@@ -1,0 +1,188 @@
+"""Composite S2ST training loss (parity: examples/s2s_trans/criterions/s2st_loss.py).
+
+All terms are computed with static shapes + masks (no boolean indexing):
+  L1 + MSE on pre-/post-postnet features over valid frames (:294-315),
+  EOS BCE with positive-class weight (:311-314),
+  guided attention (:106-144), CTC over encoder tap 0 (:228-243),
+  label-smoothed CE for the aux ASR/ST decoders normalized by their own
+  token counts and weights (:244-257).
+
+Everything returns fp32 scalars; ``reduce='mean'`` semantics follow torch
+(mean over selected elements).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..nn.core import lengths_to_mask
+from ..models import s2st_transformer as m
+
+PAD = m.PAD
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Mirrors Tacotron2CriterionConfig (s2st_loss.py:52-103) + recipe flags."""
+    bce_pos_weight: float = 5.0          # recipe: --bce-pos-weight 5.0
+    use_guided_attention_loss: bool = False
+    guided_attention_loss_sigma: float = 0.4
+    label_smoothing: float = 0.1         # recipe: --label-smoothing 0.1
+    ctc_weight: float = 0.0
+    asr_ce_weight: float = 0.0
+    st_ce_weight: float = 0.0
+    l1_loss_weight: float = 1.0
+    mse_loss_weight: float = 1.0
+    eos_loss_weight: float = 1.0
+    attn_loss_weight: float = 1.0
+    sentence_avg: bool = False
+
+
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of x over elements where mask (broadcastable) is True."""
+    mask = jnp.broadcast_to(mask, x.shape)
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask, x, 0.0)) / denom
+
+
+def label_smoothed_nll_loss(lprobs: jnp.ndarray, target: jnp.ndarray,
+                            epsilon: float, ignore_index: int = PAD
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sum-reduced label-smoothed NLL (s2st_loss.py:33-50).
+    lprobs: (N, V) fp32 log-probs; target: (N,) int."""
+    nll = -jnp.take_along_axis(lprobs, target[:, None], axis=-1)[:, 0]
+    smooth = -jnp.sum(lprobs, axis=-1)
+    keep = target != ignore_index
+    nll = jnp.where(keep, nll, 0.0)
+    smooth = jnp.where(keep, smooth, 0.0)
+    nll_sum = jnp.sum(nll)
+    smooth_sum = jnp.sum(smooth)
+    eps_i = epsilon / (lprobs.shape[-1] - 1)
+    loss = (1.0 - epsilon - eps_i) * nll_sum + eps_i * smooth_sum
+    return loss, nll_sum
+
+
+def guided_attention_loss(attn_ts: jnp.ndarray, src_lens: jnp.ndarray,
+                          tgt_lens: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """attn_ts: (B, Tt, Ts) fp32 cross-attention probabilities.
+
+    Vectorized over the batch (the reference loops per sample with an
+    lru_cache of weight grids — here one broadcasted computation)."""
+    b, tt, ts = attn_ts.shape
+    t_idx = jnp.arange(tt, dtype=jnp.float32)[None, :, None]   # (1,Tt,1)
+    s_idx = jnp.arange(ts, dtype=jnp.float32)[None, None, :]   # (1,1,Ts)
+    s_len = src_lens.astype(jnp.float32)[:, None, None]
+    t_len = tgt_lens.astype(jnp.float32)[:, None, None]
+    w = (s_idx / s_len - t_idx / t_len) ** 2
+    weights = 1.0 - jnp.exp(-w / (2.0 * sigma ** 2))
+    mask = (lengths_to_mask(tgt_lens, tt)[:, :, None]
+            & lengths_to_mask(src_lens, ts)[:, None, :])
+    return masked_mean(weights * attn_ts, mask)
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray,
+                    pos_weight: float, mask: jnp.ndarray) -> jnp.ndarray:
+    """torch binary_cross_entropy_with_logits(pos_weight=w) parity, masked mean."""
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    loss = -(pos_weight * targets * log_p + (1.0 - targets) * log_not_p)
+    return masked_mean(loss, mask)
+
+
+def s2st_loss(variables: Dict[str, Any], cfg: m.S2STConfig, lcfg: LossConfig,
+              batch: Dict[str, Any], rng: Optional[jax.Array] = None,
+              train: bool = True) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Returns (total loss fp32 scalar, extras).
+
+    extras: {"new_stats", "logging": {per-term fp32 scalars}, "sample_size"}.
+    """
+    net = m.forward(variables, cfg, batch, rng=rng,
+                    deterministic=not train, train=train)
+
+    tgt_feat = batch["tgt_speech"].astype(jnp.float32)        # (B, Tt, D)
+    tgt_lens = batch["target_lengths"]                        # (B,)
+    b, tt, d = tgt_feat.shape
+    frame_mask = lengths_to_mask(tgt_lens, tt)                # (B, Tt)
+    fmask3 = frame_mask[:, :, None]
+
+    feat_out = net["feat_out"].astype(jnp.float32)
+    post_feat_out = net["post_feat_out"].astype(jnp.float32)
+    eos_out = net["eos_out"].astype(jnp.float32)[:, :, 0]
+
+    # EOS target: 1 at the last valid frame (s2st_loss.py:184-187)
+    pos = jnp.arange(tt)[None, :]
+    eos_tgt = (pos == (tgt_lens[:, None] - 1)).astype(jnp.float32)
+
+    l1 = (masked_mean(jnp.abs(feat_out - tgt_feat), fmask3)
+          + masked_mean(jnp.abs(post_feat_out - tgt_feat), fmask3))
+    mse = (masked_mean((feat_out - tgt_feat) ** 2, fmask3)
+           + masked_mean((post_feat_out - tgt_feat) ** 2, fmask3))
+    eos = bce_with_logits(eos_out, eos_tgt, lcfg.bce_pos_weight, frame_mask)
+
+    attn_loss = jnp.float32(0.0)
+    if lcfg.use_guided_attention_loss and net["attn"] is not None:
+        attn_loss = guided_attention_loss(
+            net["attn"].astype(jnp.float32), net["encoder_out_lengths"],
+            tgt_lens, lcfg.guided_attention_loss_sigma)
+
+    ctc = jnp.float32(0.0)
+    if lcfg.ctc_weight > 0.0 and "ctc_logits" in net:
+        logits = net["ctc_logits"].astype(jnp.float32)        # (B, Ts', V)
+        logit_pad = net["encoder_padding_mask"].astype(jnp.float32)
+        labels = batch["src_text"]                            # (B, N) int32
+        label_pad = (jnp.arange(labels.shape[1])[None, :]
+                     >= batch["src_text_len"][:, None]).astype(jnp.float32)
+        per_ex = optax.ctc_loss(logits, logit_pad, labels, label_pad,
+                                blank_id=0)
+        # torch CTCLoss(reduction='mean'): per-example nll / label_len, then
+        # batch mean (s2st_loss.py:242-243)
+        per_ex = per_ex / jnp.maximum(batch["src_text_len"].astype(jnp.float32), 1.0)
+        ctc = jnp.mean(per_ex) * lcfg.ctc_weight
+
+    logging: Dict[str, Any] = {}
+    aux_asr = jnp.float32(0.0)
+    if lcfg.asr_ce_weight > 0.0 and "asr_logits" in net:
+        lp = jax.nn.log_softmax(net["asr_logits"].astype(jnp.float32), axis=-1)
+        tgt = batch["src_text"]
+        loss_sum, nll = label_smoothed_nll_loss(
+            lp.reshape(-1, lp.shape[-1]), tgt.reshape(-1), lcfg.label_smoothing)
+        aux_asr = loss_sum / jnp.maximum(batch["src_txt_ntokens"], 1) * lcfg.asr_ce_weight
+        pred = jnp.argmax(lp, axis=-1)
+        keep = tgt != PAD
+        logging["asr_n_correct"] = jnp.sum((pred == tgt) & keep)
+        logging["asr_total"] = jnp.sum(keep)
+
+    aux_st = jnp.float32(0.0)
+    if lcfg.st_ce_weight > 0.0 and "st_logits" in net:
+        lp = jax.nn.log_softmax(net["st_logits"].astype(jnp.float32), axis=-1)
+        tgt = batch["tgt_text"]
+        loss_sum, nll = label_smoothed_nll_loss(
+            lp.reshape(-1, lp.shape[-1]), tgt.reshape(-1), lcfg.label_smoothing)
+        aux_st = loss_sum / jnp.maximum(batch["tgt_txt_ntokens"], 1) * lcfg.st_ce_weight
+        pred = jnp.argmax(lp, axis=-1)
+        keep = tgt != PAD
+        logging["st_n_correct"] = jnp.sum((pred == tgt) & keep)
+        logging["st_total"] = jnp.sum(keep)
+
+    l1 = l1 * lcfg.l1_loss_weight
+    mse = mse * lcfg.mse_loss_weight
+    eos = eos * lcfg.eos_loss_weight
+    attn_loss = attn_loss * lcfg.attn_loss_weight
+    loss = l1 + mse + eos + attn_loss + ctc + aux_asr + aux_st
+
+    ntokens = jnp.sum(tgt_lens)
+    sample_size = jnp.where(lcfg.sentence_avg, b, ntokens)
+    logging.update({
+        "loss": loss, "l1_loss": l1, "mse_loss": mse, "eos_loss": eos,
+        "attn_loss": attn_loss, "ctc_loss": ctc,
+        "aux_asr_loss": aux_asr, "aux_st_loss": aux_st,
+        "ntokens": ntokens, "nsentences": jnp.int32(b),
+        "sample_size": sample_size,
+    })
+    return loss, {"new_stats": net["new_stats"], "logging": logging,
+                  "sample_size": sample_size}
