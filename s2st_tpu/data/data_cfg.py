@@ -1,0 +1,130 @@
+"""Data-side YAML config (parity: examples/s2s_trans/data/data_cfg.py).
+
+Same config.yaml schema: src/tgt_vocab_filename, transforms with split
+wildcards (_train/_eval/*), src/tgt_global_cmvn stats, features block
+(n_fft/hop/win/mels/sample_rate), vocoder block, use_audio_input, etc.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import yaml
+
+
+class S2STDataConfig:
+    def __init__(self, yaml_path: Path):
+        yaml_path = Path(yaml_path)
+        if not yaml_path.is_file():
+            raise FileNotFoundError(f"{yaml_path.as_posix()} not found")
+        with open(yaml_path) as f:
+            self.config = yaml.load(f, Loader=yaml.FullLoader) or {}
+        self.root = yaml_path.parent
+        self.use_hubert = False
+        self.kd_encoder = False
+
+    def _abs(self, x):
+        if isinstance(x, str):
+            if not Path(x).exists() and (self.root / x).exists():
+                return (self.root / x).as_posix()
+        elif isinstance(x, dict):
+            return {k: self._abs(v) for k, v in x.items()}
+        return x
+
+    def set_use_hubert(self, use_hubert: bool):
+        self.use_hubert = use_hubert
+
+    def set_kd_encoder(self, kd_encoder: bool):
+        self.kd_encoder = kd_encoder
+
+    @property
+    def src_vocab_filename(self) -> str:
+        return self.config.get("src_vocab_filename", "dict.txt")
+
+    @property
+    def tgt_vocab_filename(self) -> str:
+        return self.config.get("tgt_vocab_filename", "dict.txt")
+
+    @property
+    def speaker_set_filename(self) -> Optional[str]:
+        return self.config.get("speaker_set_filename", None)
+
+    @property
+    def shuffle(self) -> bool:
+        return self.config.get("shuffle", False)
+
+    @property
+    def pre_tokenizer(self) -> Dict:
+        return self._abs(self.config.get("pre_tokenizer", {"tokenizer": None}))
+
+    @property
+    def bpe_tokenizer(self) -> Dict:
+        return self._abs(self.config.get("bpe_tokenizer", {"bpe": None}))
+
+    @property
+    def prepend_tgt_lang_tag(self) -> bool:
+        return self.config.get("prepend_tgt_lang_tag", False)
+
+    @property
+    def input_feat_per_channel(self) -> int:
+        return self.config.get("input_feat_per_channel", 80)
+
+    @property
+    def input_channels(self) -> int:
+        return self.config.get("input_channels", 1)
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.get("sample_rate", 16_000)
+
+    @property
+    def sampling_alpha(self) -> float:
+        return self.config.get("sampling_alpha", 1.0)
+
+    @property
+    def use_audio_input(self) -> bool:
+        return self.config.get("use_audio_input", False)
+
+    @property
+    def use_sample_rate(self) -> int:
+        return self.config.get("use_sample_rate", 16000)
+
+    @property
+    def audio_root(self) -> str:
+        return self.config.get("audio_root", "")
+
+    def _transforms_for(self, key: str, split: str, is_train: bool):
+        _cur = self.config.get(key, {})
+        cur = _cur.get(split)
+        cur = _cur.get("_train") if cur is None and is_train else cur
+        cur = _cur.get("_eval") if cur is None and not is_train else cur
+        cur = _cur.get("*") if cur is None else cur
+        return cur
+
+    def get_feature_transforms(self, split: str, is_train: bool):
+        return self._transforms_for("transforms", split, is_train)
+
+    def get_feature_transforms_for_src(self, split: str, is_train: bool):
+        return self._transforms_for("src_transforms", split, is_train)
+
+    def get_feature_transforms_for_tgt(self, split: str, is_train: bool):
+        return self._transforms_for("tgt_transforms", split, is_train)
+
+    @property
+    def src_global_cmvn_stats_npz(self) -> Optional[str]:
+        p = self.config.get("src_global_cmvn", {}).get("stats_npz_path", None)
+        return self._abs(p)
+
+    @property
+    def tgt_global_cmvn_stats_npz(self) -> Optional[str]:
+        p = self.config.get("tgt_global_cmvn", {}).get("stats_npz_path", None)
+        return self._abs(p)
+
+    @property
+    def features(self) -> Optional[Dict]:
+        return self.config.get("features", None)
+
+    @property
+    def vocoder(self) -> Optional[Dict[str, str]]:
+        return self.config.get("vocoder", None)

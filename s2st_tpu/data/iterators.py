@@ -1,0 +1,194 @@
+"""Batching + resumable epoch iteration with XLA-friendly static shapes.
+
+Parity: ``fairseq/data/iterators.py`` (EpochBatchIterator semantics: frozen
+batches, seeded per-epoch batch shuffling, every-Nth-batch sharding,
+``state_dict``/``load_state_dict`` mid-epoch resume) and
+``fairseq/data/data_utils.py:281`` + ``data_utils_fast.pyx`` (token-budget
+batch formation over length-ordered indices).
+
+TPU-native twist: every batch's tensor dims are snapped UP to a coarse
+geometric grid (``snap_len``) so the closed set of compiled XLA programs
+stays small (SURVEY.md §7 "fixed padded bucket shapes"); padded rows/frames
+carry zero lengths and are exactly masked out downstream.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def snap_len(n: int, min_step: int = 16) -> int:
+    """Round n up to a coarse grid: multiples of 2^(bitlen-3), at least
+    min_step. Guarantees <= 4 distinct sizes per octave -> O(log T) shapes."""
+    n = max(int(n), 1)
+    step = max(min_step, 1 << max(n.bit_length() - 3, 0))
+    return -(-n // step) * step
+
+
+def ordered_indices(lengths: np.ndarray, shuffle: bool, seed: int,
+                    epoch: int) -> np.ndarray:
+    """Length-major ordering with seeded shuffle tiebreak
+    (speech_to_text_dataset.py:357-364 parity)."""
+    if shuffle:
+        rng = np.random.RandomState(seed + epoch)
+        tie = rng.permutation(len(lengths))
+    else:
+        tie = np.arange(len(lengths))
+    return np.lexsort((tie, lengths))[::-1]  # descending length
+
+
+def batch_by_size(indices: np.ndarray, lengths: np.ndarray, max_tokens: int,
+                  max_sentences: Optional[int] = None,
+                  required_batch_size_multiple: int = 1) -> List[np.ndarray]:
+    """Token-budget batching (data_utils_fast.pyx batch_by_size_vec parity):
+    cost of a batch = max length in batch * batch size."""
+    batches: List[np.ndarray] = []
+    cur: List[int] = []
+    cur_max = 0
+    for idx in indices:
+        ln = int(lengths[idx])
+        if ln > max_tokens:
+            logger.warning(f"skipping sample {idx}: length {ln} > max_tokens")
+            continue
+        new_max = max(cur_max, ln)
+        if cur and ((len(cur) + 1) * new_max > max_tokens
+                    or (max_sentences and len(cur) >= max_sentences)):
+            mult = required_batch_size_multiple
+            bs = max(len(cur) // mult * mult, 1) if len(cur) >= mult else len(cur)
+            batches.append(np.asarray(cur[:bs]))
+            cur = cur[bs:]
+            cur_max = max((int(lengths[i]) for i in cur), default=0)
+            new_max = max(cur_max, ln)
+        cur.append(int(idx))
+        cur_max = new_max
+    if cur:
+        batches.append(np.asarray(cur))
+    return batches
+
+
+class EpochBatchIterator:
+    """Deterministic, shardable, mid-epoch-resumable batch iterator.
+
+    collate_fn(items, pad_batch, pad_src_t, pad_tgt_t, pad_src_txt,
+    pad_tgt_txt) -> batch dict.
+    """
+
+    def __init__(self, dataset, max_tokens: int,
+                 max_sentences: Optional[int] = None, seed: int = 1,
+                 num_shards: int = 1, shard_id: int = 0,
+                 shuffle: bool = True, snap_shapes: bool = True,
+                 required_batch_size_multiple: int = 1,
+                 skip_remainder_batch: bool = False):
+        self.dataset = dataset
+        self.max_tokens = max_tokens
+        self.max_sentences = max_sentences
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+        self.shuffle = shuffle
+        self.snap_shapes = snap_shapes
+        self.required_batch_size_multiple = required_batch_size_multiple
+        self.epoch = 1
+        self.iterations_in_epoch = 0
+        self._frozen_batches: Optional[List[np.ndarray]] = None
+        self._itr: Optional[Iterator] = None
+
+    # -- batch formation ----------------------------------------------------
+
+    def _get_frozen_batches(self) -> List[np.ndarray]:
+        if self._frozen_batches is None:
+            lengths = np.asarray(
+                [self.dataset.src_frames(i) for i in range(len(self.dataset))])
+            order = ordered_indices(lengths, self.shuffle, self.seed, 1)
+            self._frozen_batches = batch_by_size(
+                order, lengths, self.max_tokens, self.max_sentences,
+                self.required_batch_size_multiple)
+        return self._frozen_batches
+
+    def _batches_for_epoch(self, epoch: int) -> List[np.ndarray]:
+        batches = list(self._get_frozen_batches())
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + epoch)
+            rng.shuffle(batches)
+        # pad so every shard sees the same number of batches, then stride
+        n = -(-len(batches) // self.num_shards) * self.num_shards
+        if n > len(batches) and batches:
+            batches = batches + batches[:n - len(batches)]
+        return batches[self.shard_id::self.num_shards]
+
+    # -- epoch control ------------------------------------------------------
+
+    def __len__(self):
+        return len(self._batches_for_epoch(self.epoch))
+
+    @property
+    def n(self):
+        return self.iterations_in_epoch
+
+    def end_of_epoch(self) -> bool:
+        return (self._itr is None and self.iterations_in_epoch > 0)
+
+    def next_epoch_itr(self, shuffle: bool = True, offset: int = 0):
+        if self.iterations_in_epoch == 0 and self._itr is None and offset == 0:
+            pass  # fresh epoch
+        batches = self._batches_for_epoch(self.epoch)
+        start = offset or self.iterations_in_epoch
+        self.iterations_in_epoch = start
+
+        def gen():
+            for i in range(start, len(batches)):
+                self.iterations_in_epoch = i + 1
+                yield self._collate(batches[i])
+            self.iterations_in_epoch = 0
+            self.epoch += 1
+        self._itr = gen()
+        return self._itr
+
+    def _collate(self, idxs: np.ndarray) -> Dict[str, Any]:
+        items = [self.dataset[int(i)] for i in idxs]
+        kw = {}
+        if self.snap_shapes:
+            kw = dict(
+                pad_batch=snap_len(len(items), 8),
+                pad_src_t=snap_len(max(it.src_speech.shape[0] for it in items)),
+                pad_tgt_t=snap_len(max(it.tgt_speech.shape[0] for it in items)),
+                pad_src_txt=snap_len(max(len(it.src_text) for it in items), 8),
+                pad_tgt_txt=snap_len(max(len(it.tgt_text) for it in items), 8),
+            )
+        return self.dataset.collate(items, **kw)
+
+    # -- checkpoint ---------------------------------------------------------
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {"epoch": self.epoch,
+                "iterations_in_epoch": self.iterations_in_epoch,
+                "shuffle": self.shuffle}
+
+    def load_state_dict(self, state: Dict[str, Any]):
+        self.epoch = state.get("epoch", 1)
+        self.iterations_in_epoch = state.get("iterations_in_epoch", 0)
+
+
+class GroupedIterator:
+    """Chunk an iterator into lists of `chunk_size` (update-freq grouping;
+    fairseq/data/iterators.py:486 parity)."""
+
+    def __init__(self, itr, chunk_size: int, skip_remainder_batch: bool = False):
+        self.itr = itr
+        self.chunk_size = chunk_size
+        self.skip_remainder_batch = skip_remainder_batch
+
+    def __iter__(self):
+        chunk = []
+        for x in self.itr:
+            chunk.append(x)
+            if len(chunk) == self.chunk_size:
+                yield chunk
+                chunk = []
+        if chunk and not self.skip_remainder_batch:
+            yield chunk

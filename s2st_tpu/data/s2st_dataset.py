@@ -1,0 +1,251 @@
+"""S2ST dataset: TSV manifests -> per-item features -> static-shape batches.
+
+Parity: ``examples/s2s_trans/data/s2st_dataset.py`` —
+- TSV columns id, src_audio, tgt_audio, src_n_frames, tgt_n_frames,
+  src_text, tgt_text, speaker [, src_orig, tgt_text_orig] (:458-533);
+- separate src/tgt transform chains (:91-96);
+- target frame-packing for n-frames-per-step (:196, pack via
+  SpeechToTextDataset.pack_frames);
+- collate: length-descending order, zero-prepended shifted spectrogram
+  ``prev_output_tokens`` (:392-395), eos-moved-to-front prev text tokens
+  (:396-409), src/tgt text tensors and token counts (:427-455).
+
+TPU-native departure: ``collate`` pads every tensor to caller-chosen static
+shapes (bucketed by the batcher) so XLA compiles a small closed set of
+programs instead of one per dynamic shape.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .audio_utils import get_features_or_waveform
+from .data_cfg import S2STDataConfig
+from .dictionary import Dictionary
+from .feature_transforms import CompositeAudioFeatureTransform
+
+logger = logging.getLogger(__name__)
+
+PAD = 1
+
+
+@dataclass
+class S2STItem:
+    index: int
+    src_speech: np.ndarray          # (T, F) fbank (or None when use_hubert)
+    tgt_speech: np.ndarray          # (Tt, F*r) packed log-mel
+    src_text: np.ndarray            # (N,) int32 incl. eos
+    tgt_text: np.ndarray            # (M,) int32 incl. eos
+    src_orig: Optional[np.ndarray] = None   # raw waveform for HuBERT
+    speaker_id: Optional[int] = None
+    tgt_text_orig: Optional[str] = None
+
+
+def _load_tsv(path: Path) -> List[Dict[str, str]]:
+    with open(path, encoding="utf-8") as f:
+        reader = csv.DictReader(f, delimiter="\t", quotechar=None,
+                                doublequote=False, lineterminator="\n",
+                                quoting=csv.QUOTE_NONE)
+        return [dict(e) for e in reader]
+
+
+def pack_frames(feature: np.ndarray, n_frames_per_step: int) -> np.ndarray:
+    """(T, d) -> (T//n, n*d) (speech_to_text_dataset.py:234-239 parity)."""
+    if n_frames_per_step == 1:
+        return feature
+    n_packed = feature.shape[0] // n_frames_per_step
+    feature = feature[:n_packed * n_frames_per_step]
+    return feature.reshape(n_packed, -1)
+
+
+class S2STDataset:
+    def __init__(self, split: str, is_train_split: bool, cfg: S2STDataConfig,
+                 samples: List[Dict[str, str]], src_dict: Dictionary,
+                 tgt_dict: Dictionary, n_frames_per_step: int = 1,
+                 speaker_to_id: Optional[Dict[str, int]] = None):
+        self.split = split
+        self.is_train_split = is_train_split
+        self.cfg = cfg
+        self.samples = samples
+        self.src_dict = src_dict
+        self.tgt_dict = tgt_dict
+        self.n_frames_per_step = n_frames_per_step
+        self.speaker_to_id = speaker_to_id
+
+        self.ids = [s["id"] for s in samples]
+        self.src_audio_paths = [s["src_audio"] for s in samples]
+        self.tgt_audio_paths = [s["tgt_audio"] for s in samples]
+        self.src_n_frames = np.array([int(s["src_n_frames"]) for s in samples])
+        self.tgt_n_frames = np.array([int(s["tgt_n_frames"]) for s in samples])
+        self.src_texts = [s.get("src_text", "") for s in samples]
+        self.tgt_texts = [s.get("tgt_text", "") for s in samples]
+        self.speakers = [s.get("speaker", "") for s in samples]
+        self.src_orig_paths = [s.get("src_orig") for s in samples]
+        self.tgt_text_orig = [s.get("tgt_text_orig") for s in samples]
+
+        self.feature_transforms_src = CompositeAudioFeatureTransform.from_config_dict(
+            cfg.get_feature_transforms_for_src(split, is_train_split), cfg.config)
+        self.feature_transforms_tgt = CompositeAudioFeatureTransform.from_config_dict(
+            cfg.get_feature_transforms_for_tgt(split, is_train_split), cfg.config)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def num_frames(self, index: int) -> int:
+        return int(self.tgt_n_frames[index])
+
+    def src_frames(self, index: int) -> int:
+        return int(self.src_n_frames[index])
+
+    def __getitem__(self, index: int) -> S2STItem:
+        src_speech = None
+        src_orig = None
+        if self.cfg.use_hubert:
+            src_orig = get_features_or_waveform(
+                self.src_orig_paths[index] or self.src_audio_paths[index],
+                need_waveform=True)
+            src_orig = np.asarray(src_orig, np.float32)
+        else:
+            src_speech = get_features_or_waveform(self.src_audio_paths[index])
+            if self.feature_transforms_src is not None:
+                src_speech = self.feature_transforms_src(src_speech)
+            src_speech = np.asarray(src_speech, np.float32)
+
+        tgt_speech = get_features_or_waveform(self.tgt_audio_paths[index])
+        if self.feature_transforms_tgt is not None:
+            tgt_speech = self.feature_transforms_tgt(tgt_speech)
+        tgt_speech = pack_frames(np.asarray(tgt_speech, np.float32),
+                                 self.n_frames_per_step)
+
+        src_text = self.src_dict.encode_line(self.src_texts[index],
+                                             append_eos=True)
+        tgt_text = self.tgt_dict.encode_line(self.tgt_texts[index],
+                                             append_eos=True)
+        speaker_id = None
+        if self.speaker_to_id is not None:
+            speaker_id = self.speaker_to_id.get(self.speakers[index], 0)
+        return S2STItem(index=index, src_speech=src_speech,
+                        tgt_speech=tgt_speech, src_text=src_text,
+                        tgt_text=tgt_text, src_orig=src_orig,
+                        speaker_id=speaker_id,
+                        tgt_text_orig=self.tgt_text_orig[index])
+
+    # ------------------------------------------------------------------
+    # collate to static shapes
+    # ------------------------------------------------------------------
+
+    def collate(self, items: Sequence[S2STItem],
+                pad_batch: Optional[int] = None,
+                pad_src_t: Optional[int] = None,
+                pad_tgt_t: Optional[int] = None,
+                pad_src_txt: Optional[int] = None,
+                pad_tgt_txt: Optional[int] = None) -> Dict[str, Any]:
+        """Pad to the given static shapes (defaults: batch maxima).
+
+        Padding rows beyond the real batch get length 0 (fully masked);
+        downstream losses are exactly invariant to them.
+        """
+        n_real = len(items)
+        b = pad_batch or n_real
+        src_t = pad_src_t or max(it.src_speech.shape[0] for it in items)
+        tgt_t = pad_tgt_t or max(it.tgt_speech.shape[0] for it in items)
+        src_n = pad_src_txt or max(len(it.src_text) for it in items)
+        tgt_n = pad_tgt_txt or max(len(it.tgt_text) for it in items)
+        feat_dim = items[0].src_speech.shape[1]
+        out_dim = items[0].tgt_speech.shape[1]
+
+        # length-descending order (collater parity :333-337)
+        order = np.argsort([-it.src_speech.shape[0] for it in items],
+                           kind="stable")
+        items = [items[i] for i in order]
+
+        src_speech = np.zeros((b, src_t, feat_dim), np.float32)
+        src_speech_lens = np.zeros((b,), np.int32)
+        tgt_speech = np.zeros((b, tgt_t, out_dim), np.float32)
+        target_lengths = np.zeros((b,), np.int32)
+        prev_output = np.zeros((b, tgt_t, out_dim), np.float32)
+        src_text = np.full((b, src_n), PAD, np.int32)
+        tgt_text = np.full((b, tgt_n), PAD, np.int32)
+        prev_src_text = np.full((b, src_n), PAD, np.int32)
+        prev_tgt_text = np.full((b, tgt_n), PAD, np.int32)
+        src_text_len = np.zeros((b,), np.int32)
+        tgt_text_len = np.zeros((b,), np.int32)
+        speaker = np.zeros((b,), np.int32)
+        ids = np.full((b,), -1, np.int64)
+
+        for i, it in enumerate(items):
+            ts, tt = it.src_speech.shape[0], it.tgt_speech.shape[0]
+            ns, nt = len(it.src_text), len(it.tgt_text)
+            src_speech[i, :ts] = it.src_speech[:src_t]
+            src_speech_lens[i] = min(ts, src_t)
+            tgt_speech[i, :tt] = it.tgt_speech[:tgt_t]
+            target_lengths[i] = min(tt, tgt_t)
+            # zero BOS frame + shifted target (:392-395)
+            prev_output[i, 1:min(tt, tgt_t)] = it.tgt_speech[:min(tt, tgt_t) - 1]
+            src_text[i, :ns] = it.src_text[:src_n]
+            tgt_text[i, :nt] = it.tgt_text[:tgt_n]
+            src_text_len[i] = min(ns, src_n)
+            tgt_text_len[i] = min(nt, tgt_n)
+            # eos-to-front shift (:396-409)
+            prev_src_text[i, 0] = it.src_text[-1]
+            prev_src_text[i, 1:ns] = it.src_text[:src_n - 1][:ns - 1]
+            prev_tgt_text[i, 0] = it.tgt_text[-1]
+            prev_tgt_text[i, 1:nt] = it.tgt_text[:tgt_n - 1][:nt - 1]
+            if it.speaker_id is not None:
+                speaker[i] = it.speaker_id
+            ids[i] = it.index
+
+        batch = {
+            "id": ids,
+            "nsentences": n_real,
+            "ntokens": int(target_lengths.sum()),
+            "src_txt_ntokens": int(src_text_len.sum()),
+            "tgt_txt_ntokens": int(tgt_text_len.sum()),
+            "src_speech": src_speech,
+            "src_speech_lens": src_speech_lens,
+            "prev_output_tokens": prev_output,
+            "prev_src_text_tokens": prev_src_text,
+            "prev_tgt_text_tokens": prev_tgt_text,
+            "tgt_speech": tgt_speech,
+            "target_lengths": target_lengths,
+            "src_text": src_text,
+            "src_text_len": src_text_len,
+            "tgt_text": tgt_text,
+            "tgt_text_len": tgt_text_len,
+            "target_texts": [self.tgt_dict.string(it.tgt_text) for it in items],
+            "tgt_text_orig": [it.tgt_text_orig for it in items],
+        }
+        if self.speaker_to_id is not None:
+            batch["speaker"] = speaker
+        return batch
+
+
+class S2STDatasetCreator:
+    @classmethod
+    def from_tsv(cls, root: str, cfg: S2STDataConfig, splits: str,
+                 src_dict: Dictionary, tgt_dict: Dictionary,
+                 is_train_split: bool, n_frames_per_step: int = 1,
+                 speaker_to_id: Optional[Dict[str, int]] = None) -> S2STDataset:
+        datasets = []
+        for split in splits.split(","):
+            tsv_path = Path(root) / f"{split}.tsv"
+            if not tsv_path.is_file():
+                raise FileNotFoundError(f"Dataset not found: {tsv_path}")
+            samples = _load_tsv(tsv_path)
+            # resolve audio paths against audio_root
+            audio_root = Path(cfg.audio_root)
+            for s in samples:
+                for k in ("src_audio", "tgt_audio", "src_orig"):
+                    if k in s and s[k] and not s[k].startswith("/"):
+                        s[k] = (audio_root / s[k]).as_posix()
+            datasets.append(samples)
+        all_samples = [s for ds in datasets for s in ds]
+        return S2STDataset(splits, is_train_split, cfg, all_samples,
+                           src_dict, tgt_dict, n_frames_per_step,
+                           speaker_to_id)

@@ -1,0 +1,154 @@
+"""On-device DSP in JAX: STFT, inverse STFT, mel/inverse-mel, Griffin-Lim,
+MFCC. All functional and jittable; mel bases are precomputed host-side
+(s2st_tpu.data.audio_utils) and closed over as constants.
+
+Parity targets:
+- ``fairseq/data/audio/audio_utils.py:245-285`` TTSSpectrogram / TTSMelScale,
+- ``fairseq/models/text_to_speech/vocoder.py:24-110`` PseudoInverseMelScale +
+  GriffinLim (window-sum-square correction, centered frames),
+- ``tasks/s2s_translation.py:520-552`` MFCC-13 for MCD (50ms hann / 12.5ms hop,
+  log-mel + ortho DCT-II, torchaudio MFCC parity).
+
+The reference runs Griffin-Lim per utterance on CPU via conv_transpose;
+here the whole mel->waveform path is one XLA program (batched frames,
+``lax.fori_loop`` phase refinement) so synthesis never leaves HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.audio_utils import mel_filters
+
+
+def hann_window(win_length: int, n_fft: int) -> np.ndarray:
+    """Periodic hann, centered zero-pad to n_fft (audio_utils.get_window)."""
+    win = np.hanning(win_length + 1)[:-1]
+    pad = n_fft - win_length
+    return np.pad(win, (pad // 2, pad - pad // 2)).astype(np.float32)
+
+
+def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """(B, L) -> (B, T, n_fft) frames (no padding; caller pads)."""
+    n_frames = 1 + (x.shape[-1] - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    return x[..., idx]
+
+
+def stft_mag_phase(wave: jnp.ndarray, n_fft: int, win_length: int, hop: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Centered magnitude/phase STFT. wave: (B, L) -> (B, F, T)."""
+    pad = n_fft // 2
+    x = jnp.pad(wave, ((0, 0), (pad, pad)), mode="reflect")
+    frames = frame_signal(x, n_fft, hop) * hann_window(win_length, n_fft)
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), n=n_fft, axis=-1)
+    mag = jnp.abs(spec)
+    phase = jnp.angle(spec)
+    return jnp.swapaxes(mag, -1, -2), jnp.swapaxes(phase, -1, -2)
+
+
+def _window_sumsquare(n_frames: int, hop: int, win_length: int, n_fft: int
+                      ) -> np.ndarray:
+    w_sq = hann_window(win_length, n_fft) ** 2
+    n = n_fft + hop * (n_frames - 1)
+    x = np.zeros(n, np.float32)
+    for i in range(n_frames):
+        ofst = i * hop
+        x[ofst:min(n, ofst + n_fft)] += w_sq[:max(0, min(n_fft, n - ofst))]
+    return x
+
+
+def istft(mag: jnp.ndarray, phase: jnp.ndarray, n_fft: int, win_length: int,
+          hop: int) -> jnp.ndarray:
+    """Inverse STFT with window-sum-square correction
+    (GriffinLim.inverse parity, vocoder.py:84-100). mag/phase: (B, F, T)
+    -> wave (B, hop*T) (center-trimmed)."""
+    n_frames = mag.shape[-1]
+    spec = mag * jnp.exp(1j * phase)
+    # pinv(fourier_basis) @ [Re; Im] == irfft(Re + i*Im) for this basis, so
+    # the reference's conv_transpose1d with a pinverse kernel reduces to
+    # windowed-irfft overlap-add; its 1/(n_fft/hop) pinv scale and final
+    # *= n_fft/hop cancel exactly.
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    frames = frames * hann_window(win_length, n_fft)
+    out_len = n_fft + hop * (n_frames - 1)
+    idx = (np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]).reshape(-1)
+    wave = jnp.zeros(mag.shape[:-2] + (out_len,), frames.dtype)
+    wave = wave.at[..., idx].add(frames.reshape(frames.shape[:-2] + (-1,)))
+    wss = _window_sumsquare(n_frames, hop, win_length, n_fft)
+    wss = np.where(wss > 1.1754944e-38, wss, 1.0)
+    wave = wave / wss
+    return wave[..., n_fft // 2: -(n_fft // 2)]
+
+
+def griffin_lim(specgram: jnp.ndarray, n_fft: int, win_length: int, hop: int,
+                n_iter: int, rng: jax.Array) -> jnp.ndarray:
+    """Griffin-Lim phase reconstruction (vocoder.py:102-110 parity).
+    specgram: (B, F, T) linear magnitude -> (B, L) waveform."""
+    angles = jax.random.uniform(rng, specgram.shape, jnp.float32,
+                                minval=-np.pi, maxval=np.pi)
+    wave = istft(specgram, angles, n_fft, win_length, hop)
+
+    def body(_, wave):
+        _, phase = stft_mag_phase(wave, n_fft, win_length, hop)
+        t = min(phase.shape[-1], specgram.shape[-1])
+        return istft(specgram[..., :t], phase[..., :t], n_fft, win_length, hop)
+
+    return jax.lax.fori_loop(0, n_iter, body, wave)
+
+
+def make_pinv_mel_basis(sample_rate: int, n_fft: int, n_mels: int,
+                        f_min: float, f_max: float) -> np.ndarray:
+    """(F, n_mels) pseudo-inverse mel basis (vocoder.py:24-46 parity)."""
+    basis = mel_filters(sample_rate, n_fft, n_mels, f_min, f_max)
+    return np.linalg.pinv(basis).astype(np.float32)
+
+
+def logmel_to_linear(logmel: jnp.ndarray, pinv_basis: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, n_mels) log-mel -> (B, F, T) linear magnitude, clamped >= 0."""
+    mel = jnp.exp(logmel.astype(jnp.float32))
+    spec = jnp.einsum("fm,btm->bft", jnp.asarray(pinv_basis), mel)
+    return jnp.maximum(spec, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# MFCC (for MCD validation metric)
+# ---------------------------------------------------------------------------
+
+def _dct_matrix(n_mfcc: int, n_mels: int) -> np.ndarray:
+    """DCT-II with ortho norm (torchaudio create_dct parity) -> (n_mels, n_mfcc)."""
+    n = np.arange(n_mels, dtype=np.float64)
+    k = np.arange(n_mfcc, dtype=np.float64)[None, :]
+    dct = np.cos(np.pi / n_mels * (n[:, None] + 0.5) * k) * np.sqrt(2.0 / n_mels)
+    dct[:, 0] *= 1.0 / np.sqrt(2.0)
+    return dct.astype(np.float32)
+
+
+def mfcc(wave: jnp.ndarray, lengths: jnp.ndarray, sample_rate: int = 16000,
+         n_mfcc: int = 13, n_mels: int = 80
+         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """torchaudio.transforms.MFCC(log_mels=True) parity with the MCD settings
+    (tasks/s2s_translation.py:536-547): 50ms hann window == n_fft, 12.5ms hop,
+    f_min 20, power-2 spectrogram, natural-log mel, ortho DCT.
+
+    wave: (B, L) padded; lengths: (B,). Returns (mfcc (B, T, n_mfcc),
+    out_lengths (B,))."""
+    n_fft = int(0.05 * sample_rate)
+    hop = int(0.0125 * sample_rate)
+    pad = n_fft // 2
+    x = jnp.pad(wave.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
+    frames = frame_signal(x, n_fft, hop) * hann_window(n_fft, n_fft)
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    power = spec.real ** 2 + spec.imag ** 2          # (B, T, F)
+    fb = mel_filters(sample_rate, n_fft, n_mels, 20.0, sample_rate / 2.0)
+    mel = jnp.einsum("mf,btf->btm", jnp.asarray(fb), power)
+    logmel = jnp.log(jnp.maximum(mel, 1e-6))
+    out = jnp.einsum("mk,btm->btk", jnp.asarray(_dct_matrix(n_mfcc, n_mels)),
+                     logmel)
+    out_lengths = 1 + lengths // hop  # centered: T = 1 + floor(L/hop)
+    return out, out_lengths

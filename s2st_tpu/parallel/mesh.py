@@ -1,0 +1,141 @@
+"""Device mesh + sharding rules (replaces the reference's entire distributed
+layer: DDP/FSDP wrappers, Megatron TP groups, NCCL/XLA collective shims —
+fairseq/distributed/*, fairseq/models/distributed_fairseq_model.py).
+
+Design (SURVEY.md §2.6): one ``jax.sharding.Mesh`` with axes
+  data  — batch (data parallel; gradient psum inserted by XLA),
+  fsdp  — parameter/optimizer-state sharding (ZeRO-ish),
+  model — tensor parallel (column/row-parallel matmuls, vocab-parallel
+          embeddings/output projections).
+
+Rules are path-based over the param pytree; XLA/GSPMD inserts all
+collectives (all-gather for fsdp params, reduce-scatter/psum for grads,
+all-reduce across the model axis) — no hand-written NCCL/MPI calls.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: Optional[int] = None, fsdp: int = 1, tp: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        assert n % (fsdp * tp) == 0, (n, fsdp, tp)
+        dp = n // (fsdp * tp)
+    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    return Mesh(arr, ("data", "fsdp", "model"))
+
+
+# ---------------------------------------------------------------------------
+# parameter partitioning
+# ---------------------------------------------------------------------------
+
+# (regex over "/"-joined path, spec builder). First match wins.
+# Column-parallel: shard output dim on "model"; row-parallel: input dim.
+_RULES: Tuple[Tuple[str, Any], ...] = (
+    # attention projections: q/k/v column-parallel, out row-parallel
+    (r".*/(self_attn|cross_attn)/(q|k|v)/w$", P(None, "model")),
+    (r".*/(self_attn|cross_attn)/(q|k|v)/b$", P("model")),
+    (r".*/(self_attn|cross_attn)/out/w$", P("model", None)),
+    (r".*/(self_attn|cross_attn)/out/b$", P()),
+    # FFN: fc1 column, fc2 row
+    (r".*/fc1/w$", P(None, "model")),
+    (r".*/fc1/b$", P("model")),
+    (r".*/fc2/w$", P("model", None)),
+    (r".*/fc2/b$", P()),
+    # vocab-parallel embeddings & output projections
+    (r".*/embed/w$", P("model", None)),
+    (r".*/out_proj/w$", P(None, "model")),
+    (r".*/ctc_proj/w$", P(None, "model")),
+    (r".*/ctc_proj/b$", P("model")),
+    # subsampler convs: shard output channels
+    (r".*/subsample/conv\d+/w$", P(None, None, "model")),
+    (r".*/subsample/conv\d+/b$", P("model")),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def _with_fsdp(spec: P, shape: Tuple[int, ...], fsdp_size: int) -> P:
+    """Add fsdp sharding on the largest unsharded, divisible dim."""
+    if fsdp_size <= 1 or not shape:
+        return spec
+    parts = list(spec) + [None] * (len(shape) - len(spec))
+    cand = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for i in cand:
+        if parts[i] is None and shape[i] % fsdp_size == 0 and shape[i] >= 2 * fsdp_size:
+            parts[i] = "fsdp"
+            return P(*parts)
+    return spec
+
+
+def param_spec(path, leaf, mesh: Mesh, use_fsdp: bool = True) -> P:
+    s = _path_str(path)
+    tp_size = mesh.shape.get("model", 1)
+    spec = P()
+    if tp_size > 1:
+        for pattern, rule_spec in _RULES:
+            if re.match(pattern, s):
+                # only apply if divisible
+                parts = list(rule_spec) + [None] * (len(leaf.shape) - len(rule_spec))
+                ok = all(p is None or leaf.shape[i] % tp_size == 0
+                         for i, p in enumerate(parts))
+                if ok:
+                    spec = P(*parts[:len(leaf.shape)])
+                break
+    if use_fsdp:
+        spec = _with_fsdp(spec, leaf.shape, mesh.shape.get("fsdp", 1))
+    return spec
+
+
+def variables_shardings(variables, mesh: Mesh, use_fsdp: bool = True):
+    """NamedSharding pytree matching a {"params","stats"} variables tree."""
+    def assign(path, leaf):
+        s = _path_str(path)
+        if s.startswith("stats"):
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, param_spec(path, leaf, mesh, use_fsdp))
+    return jax.tree_util.tree_map_with_path(assign, variables)
+
+
+def batch_spec(leaf) -> P:
+    """Shard the batch dim over (data, fsdp); replicate scalars."""
+    if getattr(leaf, "ndim", 0) == 0:
+        return P()
+    return P(("data", "fsdp"))
+
+
+def batch_shardings(batch, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, batch_spec(leaf)), batch)
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def put_batch(batch, mesh: Mesh):
+    """Device-put a host batch with batch-dim sharding."""
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, batch_spec(np.asarray(leaf))))
+        if not isinstance(leaf, (list, str, type(None))) else leaf,
+        batch)

@@ -1,0 +1,227 @@
+"""Checkpointing (parity: fairseq/checkpoint_utils.py).
+
+Format: a single ``.npz`` per checkpoint with "/"-joined pytree paths as
+keys, plus a pickled JSON-able metadata blob (step, epoch, iterator state,
+val metrics, config echo). This keeps checkpoint averaging
+(scripts/average_checkpoints.py parity) a pure numpy operation.
+
+Feature parity: checkpoint_last / checkpoint_best / checkpoint{N} file set
+(:69-115), keep-best-K by metric + retention GC (:138-187), resume incl.
+iterator state (:190-278), component-wise pretrained load
+(load_pretrained_component_from_model :784), checkpoint averaging.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SEP = "::"
+
+
+def flatten_tree(tree, prefix="") -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        parts = []
+        for k in path:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+            else:
+                parts.append(str(k))
+        flat[prefix + _SEP.join(parts)] = np.asarray(leaf)
+    return flat
+
+
+def unflatten_into(tree, flat: Dict[str, np.ndarray], prefix="",
+                   strict: bool = True):
+    """Rebuild a pytree with the same structure as `tree` from flat arrays."""
+    def rebuild(path, leaf):
+        parts = []
+        for k in path:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+            else:
+                parts.append(str(k))
+        key = prefix + _SEP.join(parts)
+        if key not in flat:
+            if strict:
+                raise KeyError(f"checkpoint missing {key}")
+            return leaf
+        arr = flat[key]
+        if tuple(arr.shape) != tuple(leaf.shape):
+            raise ValueError(f"shape mismatch for {key}: "
+                             f"ckpt {arr.shape} vs model {leaf.shape}")
+        return jnp.asarray(arr, dtype=leaf.dtype)
+    return jax.tree_util.tree_map_with_path(rebuild, tree)
+
+
+def save_checkpoint_file(path: str, state, extra_meta: Optional[Dict] = None):
+    """state: TrainState-like with params/stats/opt_state/step."""
+    flat = {}
+    flat.update(flatten_tree(jax.device_get(state.params), "params" + _SEP))
+    flat.update(flatten_tree(jax.device_get(state.stats), "stats" + _SEP))
+    flat.update(flatten_tree(jax.device_get(state.opt_state), "opt" + _SEP))
+    meta = dict(extra_meta or {})
+    meta["step"] = int(jax.device_get(state.step))
+    flat["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+    logger.info(f"saved checkpoint to {path} (step {meta['step']})")
+
+
+def load_checkpoint_file(path: str) -> Tuple[Dict[str, np.ndarray], Dict]:
+    with np.load(path, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(flat.pop("__meta__").tobytes()).decode("utf-8")) \
+        if "__meta__" in flat else {}
+    return flat, meta
+
+
+def restore_state(state, path: str, reset_optimizer: bool = False):
+    """Returns (new_state, meta)."""
+    flat, meta = load_checkpoint_file(path)
+    params = unflatten_into(state.params, flat, "params" + _SEP)
+    stats = unflatten_into(state.stats, flat, "stats" + _SEP, strict=False)
+    if reset_optimizer:
+        opt_state, step = state.opt_state, state.step
+        meta = {k: v for k, v in meta.items()
+                if k not in ("epoch", "iterations_in_epoch")}
+    else:
+        opt_state = unflatten_into(state.opt_state, flat, "opt" + _SEP,
+                                   strict=False)
+        step = jnp.asarray(meta.get("step", 0), jnp.int32)
+    new_state = type(state)(params=params, stats=stats, opt_state=opt_state,
+                            step=step)
+    return new_state, meta
+
+
+def load_pretrained_component(variables, path: str, component: str):
+    """Warm-start one component ("encoder"/"decoder"/...) from a checkpoint
+    (checkpoint_utils.load_pretrained_component_from_model parity)."""
+    flat, _ = load_checkpoint_file(path)
+    prefix = "params" + _SEP + component + _SEP
+    sub = {k[len("params" + _SEP):]: v for k, v in flat.items()
+           if k.startswith(prefix)}
+    new_params = dict(variables["params"])
+    new_params[component] = unflatten_into(
+        variables["params"][component],
+        {k[len(component + _SEP):]: v for k, v in sub.items()})
+    return {"params": new_params, "stats": variables["stats"]}
+
+
+# ---------------------------------------------------------------------------
+# save-dir policy
+# ---------------------------------------------------------------------------
+
+class CheckpointManager:
+    """checkpoint_last / checkpoint_best / epoch & update checkpoints with
+    keep-best-K / keep-last-N retention (checkpoint_utils.py:34-187 parity)."""
+
+    def __init__(self, save_dir: str, best_checkpoint_metric: str = "loss",
+                 maximize_best_checkpoint_metric: bool = False,
+                 keep_best_checkpoints: int = -1, keep_last_epochs: int = -1,
+                 no_save_optimizer_state: bool = False):
+        self.save_dir = Path(save_dir)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.metric = best_checkpoint_metric
+        self.maximize = maximize_best_checkpoint_metric
+        self.keep_best = keep_best_checkpoints
+        self.keep_last_epochs = keep_last_epochs
+        self.best: Optional[float] = None
+        # probe writability up-front (checkpoint_utils.py:815 parity)
+        probe = self.save_dir / ".writability_probe"
+        probe.write_text("ok")
+        probe.unlink()
+
+    def save(self, state, epoch: int, val_metric: Optional[float] = None,
+             end_of_epoch: bool = True, extra_meta: Optional[Dict] = None):
+        meta = dict(extra_meta or {})
+        meta["epoch"] = epoch
+        if val_metric is not None:
+            meta["val_metric"] = float(val_metric)
+            if self.best is None or (val_metric > self.best if self.maximize
+                                     else val_metric < self.best):
+                self.best = float(val_metric)
+                save_checkpoint_file(
+                    str(self.save_dir / "checkpoint_best.npz"), state, meta)
+        if end_of_epoch:
+            save_checkpoint_file(
+                str(self.save_dir / f"checkpoint{epoch}.npz"), state, meta)
+            self._gc_epochs()
+        if val_metric is not None and self.keep_best > 0:
+            name = (f"checkpoint.best_{self.metric}_{val_metric:.3f}."
+                    f"{int(jax.device_get(state.step))}.npz")
+            save_checkpoint_file(str(self.save_dir / name), state, meta)
+            self._gc_best()
+        save_checkpoint_file(
+            str(self.save_dir / "checkpoint_last.npz"), state, meta)
+
+    def _gc_epochs(self):
+        if self.keep_last_epochs <= 0:
+            return
+        ckpts = []
+        for p in self.save_dir.glob("checkpoint[0-9]*.npz"):
+            mt = re.fullmatch(r"checkpoint(\d+)\.npz", p.name)
+            if mt:
+                ckpts.append((int(mt.group(1)), p))
+        for _, p in sorted(ckpts)[:-self.keep_last_epochs]:
+            p.unlink()
+
+    def _gc_best(self):
+        pat = re.compile(
+            rf"checkpoint\.best_{re.escape(self.metric)}_(-?[\d.]+)\.(\d+)\.npz")
+        scored = []
+        for p in self.save_dir.glob("checkpoint.best_*.npz"):
+            mt = pat.fullmatch(p.name)
+            if mt:
+                scored.append((float(mt.group(1)), p))
+        scored.sort(key=lambda x: x[0], reverse=self.maximize)
+        for _, p in scored[self.keep_best:]:
+            p.unlink()
+
+    def last_checkpoint(self) -> Optional[str]:
+        p = self.save_dir / "checkpoint_last.npz"
+        return str(p) if p.is_file() else None
+
+
+def average_checkpoints(paths: List[str]) -> Dict[str, np.ndarray]:
+    """Parameter averaging (scripts/average_checkpoints.py parity); averages
+    params (fp32 accumulate) and keeps the last checkpoint's stats/meta."""
+    acc: Dict[str, np.ndarray] = {}
+    meta = {}
+    n = len(paths)
+    for path in paths:
+        flat, meta = load_checkpoint_file(path)
+        for k, v in flat.items():
+            if k.startswith("params" + _SEP):
+                v64 = v.astype(np.float64) if np.issubdtype(v.dtype, np.floating) else v
+                acc[k] = acc.get(k, 0) + v64 / n
+            else:
+                acc[k] = v  # stats/opt: keep last
+    out = {}
+    for k, v in acc.items():
+        if k.startswith("params" + _SEP) and np.issubdtype(np.asarray(v).dtype, np.floating):
+            with np.load(paths[-1]) as z:
+                ref_dtype = z[k].dtype
+            out[k] = np.asarray(v, dtype=ref_dtype)
+        else:
+            out[k] = np.asarray(v)
+    out["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    return out

@@ -1,0 +1,139 @@
+"""Optimizers + LR schedules (parity: fairseq/optim/*, fairseq/optim/lr_scheduler/*).
+
+Implemented on optax. The fairseq update semantics are reproduced in
+``trainer.py``: grads are summed over microbatches and workers, multiplied by
+1/sample_size, clipped by global norm, then stepped (trainer.py:823-873).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ---------------------------------------------------------------------------
+# LR schedules: step (0-based num_updates) -> lr. fairseq convention is
+# 1-based num_updates after the first step; we call with (updates + 1).
+# ---------------------------------------------------------------------------
+
+def inverse_sqrt_schedule(lr: float, warmup_updates: int = 4000,
+                          warmup_init_lr: float = -1.0) -> Callable:
+    """fairseq/optim/lr_scheduler/inverse_square_root_schedule.py:31-85."""
+    if warmup_init_lr < 0:
+        warmup_init_lr = 0.0 if warmup_updates > 0 else lr
+    lr_step = (lr - warmup_init_lr) / max(warmup_updates, 1)
+    decay_factor = lr * warmup_updates ** 0.5 if warmup_updates > 0 else lr
+
+    def sched(num_updates):
+        num_updates = jnp.asarray(num_updates, jnp.float32)
+        warm = warmup_init_lr + num_updates * lr_step
+        decay = decay_factor * jax.lax.rsqrt(jnp.maximum(num_updates, 1.0))
+        return jnp.where(num_updates < warmup_updates, warm, decay)
+    return sched
+
+
+def fixed_schedule(lr: float, warmup_updates: int = 0) -> Callable:
+    def sched(num_updates):
+        num_updates = jnp.asarray(num_updates, jnp.float32)
+        frac = jnp.minimum((num_updates + 1) / max(warmup_updates, 1), 1.0)
+        return jnp.where(warmup_updates > 0, lr * frac, lr)
+    return sched
+
+
+def polynomial_decay_schedule(lr: float, total_num_update: int,
+                              warmup_updates: int = 0, end_learning_rate: float = 0.0,
+                              power: float = 1.0) -> Callable:
+    def sched(num_updates):
+        t = jnp.asarray(num_updates, jnp.float32)
+        warm = lr * t / max(warmup_updates, 1)
+        pct = 1.0 - (t - warmup_updates) / max(total_num_update - warmup_updates, 1)
+        decay = (lr - end_learning_rate) * jnp.maximum(pct, 0.0) ** power \
+            + end_learning_rate
+        return jnp.where(t < warmup_updates, warm, decay)
+    return sched
+
+
+def cosine_schedule(lr: float, warmup_updates: int, max_update: int,
+                    min_lr: float = 0.0) -> Callable:
+    def sched(num_updates):
+        t = jnp.asarray(num_updates, jnp.float32)
+        warm = min_lr + (lr - min_lr) * t / max(warmup_updates, 1)
+        pct = (t - warmup_updates) / max(max_update - warmup_updates, 1)
+        cos = min_lr + 0.5 * (lr - min_lr) * (1 + jnp.cos(jnp.pi * jnp.minimum(pct, 1.0)))
+        return jnp.where(t < warmup_updates, warm, cos)
+    return sched
+
+
+def tri_stage_schedule(lr: float, warmup_steps: int, hold_steps: int,
+                       decay_steps: int, init_lr_scale: float = 0.01,
+                       final_lr_scale: float = 0.01) -> Callable:
+    import math
+    init_lr, final_lr = init_lr_scale * lr, final_lr_scale * lr
+
+    def sched(num_updates):
+        t = jnp.asarray(num_updates, jnp.float32)
+        warm = init_lr + (lr - init_lr) * jnp.minimum(t / max(warmup_steps, 1), 1.0)
+        decay_t = jnp.clip(t - warmup_steps - hold_steps, 0, decay_steps)
+        factor = -math.log(max(final_lr_scale, 1e-8)) / max(decay_steps, 1)
+        decay = lr * jnp.exp(-factor * decay_t)
+        out = jnp.where(t < warmup_steps, warm,
+                        jnp.where(t < warmup_steps + hold_steps, lr, decay))
+        return jnp.maximum(out, final_lr)
+    return sched
+
+
+SCHEDULE_REGISTRY = {
+    "inverse_sqrt": inverse_sqrt_schedule,
+    "fixed": fixed_schedule,
+    "polynomial_decay": polynomial_decay_schedule,
+    "cosine": cosine_schedule,
+    "tri_stage": tri_stage_schedule,
+}
+
+
+def build_schedule(name: str, lr: float, **kw) -> Callable:
+    return SCHEDULE_REGISTRY[name](lr, **kw)
+
+
+# ---------------------------------------------------------------------------
+# optimizers (gradient transforms WITHOUT lr scaling; the trainer applies
+# -lr(step) explicitly so schedules stay host-visible for logging)
+# ---------------------------------------------------------------------------
+
+def adam(betas: Tuple[float, float] = (0.9, 0.999), eps: float = 1e-8,
+         weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """fairseq/optim/adam.py defaults (Adam w/ optional decoupled wd)."""
+    txs = [optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps)]
+    if weight_decay > 0:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    return optax.chain(*txs)
+
+
+def adafactor(weight_decay: float = 0.0) -> optax.GradientTransformation:
+    return optax.adafactor(learning_rate=None, weight_decay_rate=weight_decay or None)
+
+
+def sgd(momentum: float = 0.0) -> optax.GradientTransformation:
+    if momentum > 0:
+        return optax.trace(decay=momentum)
+    return optax.identity()
+
+
+def adagrad() -> optax.GradientTransformation:
+    return optax.scale_by_rss()
+
+
+OPTIMIZER_REGISTRY = {
+    "adam": adam,
+    "adafactor": adafactor,
+    "sgd": sgd,
+    "adagrad": adagrad,
+}
+
+
+def build_optimizer(name: str, **kw) -> optax.GradientTransformation:
+    return OPTIMIZER_REGISTRY[name](**kw)
