@@ -1,0 +1,83 @@
+"""End-to-end S2ST inference benchmark on one TPU chip.
+
+Measures the headline number from BASELINE.md: real-time factor (RTF) of
+end-to-end waveform generation — fbank features in, waveform out — i.e.
+encoder forward + autoregressive spectrogram decode (KV-cached while_loop)
++ Griffin-Lim vocoder, everything inside XLA on-device.
+
+The reference pipeline (speech_generator_for_s2st.py + vocoder.py) runs the
+AR loop in Python and Griffin-Lim per-utterance; the driver target is >=10x
+the fairseq-CPU RTF (BASELINE.json). We report RTF and vs_baseline = RTF/10
+(fairseq CPU end-to-end is ~1x real time for this stack).
+
+Prints exactly ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from s2st_tpu.models import s2st_transformer as m
+    from s2st_tpu.generate.speech_generator import (GenerationConfig,
+                                                    generate_features)
+    from s2st_tpu.ops import dsp
+
+    # flagship config (reference base arch) in bf16
+    cfg = m.S2STConfig(src_vocab_size=1000, tgt_vocab_size=1000,
+                       middle_layers=(6,), ctc=False, aux_asr=False,
+                       aux_st=False, dtype=jnp.bfloat16)
+    variables = m.init_s2st(jax.random.PRNGKey(0), cfg)
+
+    B = 8
+    SRC_T = 600           # ~6s of 10ms-hop fbank per utterance
+    MAX_ITER = 480        # decode steps (~6s of target mel at 12.5ms hop)
+    # never terminate: worst-case full-length decode (threshold > 1)
+    gen_cfg = GenerationConfig(max_iter=MAX_ITER, eos_prob_threshold=1.5,
+                               prenet_dropout_at_inference=False)
+
+    # target-mel feature spec (TTS-style 80-bin log-mel, 16 kHz)
+    SR, N_FFT, HOP, WIN = 16000, 1024, 200, 800
+    GL_ITERS = 32
+    pinv = dsp.make_pinv_mel_basis(SR, N_FFT, 80, 20.0, 8000.0)
+
+    def e2e(variables, src, src_lens, rng):
+        out = generate_features(variables, cfg, gen_cfg, src, src_lens)
+        lin = dsp.logmel_to_linear(out["feats"], pinv)     # (B, F, T)
+        wave = dsp.griffin_lim(lin, N_FFT, WIN, HOP, GL_ITERS, rng)
+        return wave, out["raw_out_lens"]
+
+    fn = jax.jit(e2e)
+    rng = jax.random.PRNGKey(1)
+    r = np.random.RandomState(0)
+    src = jnp.asarray(r.randn(B, SRC_T, 80).astype(np.float32))
+    src_lens = jnp.full((B,), SRC_T, jnp.int32)
+
+    # warmup/compile
+    wave, lens = fn(variables, src, src_lens, rng)
+    jax.block_until_ready(wave)
+
+    n_runs = 3
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        wave, lens = fn(variables, src, src_lens,
+                        jax.random.fold_in(rng, i))
+        jax.block_until_ready(wave)
+    dt = (time.perf_counter() - t0) / n_runs
+
+    audio_seconds = B * MAX_ITER * cfg.n_frames_per_step * HOP / SR
+    rtf = audio_seconds / dt
+    print(json.dumps({
+        "metric": "e2e_s2st_generation_rtf",
+        "value": round(rtf, 3),
+        "unit": "x_realtime (fbank->mel->GriffinLim waveform, 1 chip, B=8)",
+        "vs_baseline": round(rtf / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

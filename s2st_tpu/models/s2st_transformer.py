@@ -220,12 +220,19 @@ def subsample(p: Params, cfg: S2STConfig, x: jnp.ndarray,
               lengths: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Conv1dSubsampler parity (s2st_transformer.py:94-140).
     x: (B, T, C) -> (B, ceil(T/2^n), encoder_embed_dim); lengths updated as
-    floor((L-1)/2)+1 per layer."""
+    floor((L-1)/2)+1 per layer.
+
+    TPU-native departure: activations beyond each layer's valid length are
+    zeroed so the output is exactly invariant to the physical padded shape
+    (the static-shape bucket menu must not perturb numerics; the reference's
+    conv reads whatever batch padding exists)."""
     n = len(cfg.conv_kernel_sizes)
     for i, k in enumerate(cfg.conv_kernel_sizes):
         x = conv1d(p[f"conv{i}"], x, stride=2, padding=k // 2)
         x = glu(x, axis=-1)
         lengths = (lengths - 1) // 2 + 1
+        valid = jnp.arange(x.shape[1])[None, :, None] < lengths[:, None, None]
+        x = jnp.where(valid, x, 0.0)
     return x, lengths
 
 

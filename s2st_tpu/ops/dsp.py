@@ -42,9 +42,10 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
 
 def stft_mag_phase(wave: jnp.ndarray, n_fft: int, win_length: int, hop: int
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Centered magnitude/phase STFT. wave: (B, L) -> (B, F, T)."""
+    """Centered magnitude/phase STFT. wave: (..., L) -> (..., F, T)."""
     pad = n_fft // 2
-    x = jnp.pad(wave, ((0, 0), (pad, pad)), mode="reflect")
+    pad_width = [(0, 0)] * (wave.ndim - 1) + [(pad, pad)]
+    x = jnp.pad(wave, pad_width, mode="reflect")
     frames = frame_signal(x, n_fft, hop) * hann_window(win_length, n_fft)
     spec = jnp.fft.rfft(frames.astype(jnp.float32), n=n_fft, axis=-1)
     mag = jnp.abs(spec)
@@ -141,7 +142,8 @@ def mfcc(wave: jnp.ndarray, lengths: jnp.ndarray, sample_rate: int = 16000,
     n_fft = int(0.05 * sample_rate)
     hop = int(0.0125 * sample_rate)
     pad = n_fft // 2
-    x = jnp.pad(wave.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
+    pad_width = [(0, 0)] * (wave.ndim - 1) + [(pad, pad)]
+    x = jnp.pad(wave.astype(jnp.float32), pad_width, mode="reflect")
     frames = frame_signal(x, n_fft, hop) * hann_window(n_fft, n_fft)
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     power = spec.real ** 2 + spec.imag ** 2          # (B, T, F)

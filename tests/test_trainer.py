@@ -1,0 +1,148 @@
+"""Training runtime over an 8-device virtual mesh: loss decreases, grad
+accumulation equivalence, non-finite skip, sharding configs compile.
+
+TPU-native analogue of the reference's distributed tests
+(tests/distributed/, file-rendezvous spawn) — here a real jax mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s2st_tpu.models import s2st_transformer as m
+from s2st_tpu.parallel.mesh import make_mesh
+from s2st_tpu.train.losses import LossConfig
+from s2st_tpu.train.optim import adam, inverse_sqrt_schedule
+from s2st_tpu.train.trainer import Trainer, TrainState, create_train_state
+from tests.conftest import make_batch
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return m.S2STConfig(
+        src_vocab_size=20, tgt_vocab_size=20, input_feat_per_channel=8,
+        conv_kernel_sizes=(5,), conv_channels=16,
+        encoder_layers=1, encoder_embed_dim=16, encoder_ffn_embed_dim=32,
+        encoder_attention_heads=2, middle_layers=(),
+        decoder_layers=1, decoder_embed_dim=16, decoder_ffn_embed_dim=32,
+        decoder_attention_heads=2, output_frame_dim=8,
+        prenet_layers=1, prenet_dim=8, postnet_layers=1, postnet_conv_dim=8,
+        ctc=False, aux_asr=False, aux_st=False,
+        max_source_positions=128, max_target_positions=128,
+        dtype=jnp.float32)
+
+
+def _trainer(cfg, mesh, clip=1.0):
+    tx = adam()
+    sched = inverse_sqrt_schedule(1e-3, warmup_updates=4, warmup_init_lr=1e-4)
+    return Trainer(cfg, LossConfig(), tx, sched, mesh, clip_norm=clip)
+
+
+def _state(cfg, seed=0):
+    variables = m.init_s2st(jax.random.PRNGKey(seed), cfg)
+    return create_train_state(variables, adam())
+
+
+def test_loss_decreases_on_overfit(small_cfg):
+    mesh = make_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+    tr = _trainer(small_cfg, mesh)
+    state = _state(small_cfg)
+    batch = make_batch(small_cfg, b=2, src_t=21, tgt_t=13, seed=11)
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(12):
+        state, metrics = tr.train_step(state, [batch],
+                                       jax.random.fold_in(rng, i))
+        losses.append(metrics["loss"])
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert int(state.step) == 12
+
+
+def test_grad_accum_semantics(small_cfg):
+    """update-freq accumulation follows the reference trainer semantics
+    (trainer.py:823-843): grads SUMMED over microbatches, then multiplied by
+    1/total_sample_size. (The reference's criterion is mean-reduced per
+    microbatch, so accumulation is deliberately NOT equivalent to one big
+    batch — we assert the actual contract instead.)"""
+    from s2st_tpu.train.losses import LossConfig, s2st_loss
+    cfg = small_cfg.replace(dropout=0.0, attention_dropout=0.0,
+                            activation_dropout=0.0, prenet_dropout=0.0,
+                            postnet_dropout=0.0)
+    mesh = make_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+    mb1 = make_batch(cfg, b=2, src_t=21, tgt_t=13, seed=13)
+    mb2 = make_batch(cfg, b=2, src_t=21, tgt_t=13, seed=14)
+    lcfg = LossConfig()
+    state = _state(cfg, seed=1)
+    rng = jax.random.PRNGKey(0)
+
+    # hand-computed reference: sum of per-microbatch grads / total sample_size
+    def one_grad(batch, sub):
+        def lf(p):
+            loss, extras = s2st_loss({"params": p, "stats": state.stats},
+                                     cfg, lcfg, batch, rng=sub, train=True)
+            return loss, extras["sample_size"]
+        (loss, ss), g = jax.value_and_grad(lf, has_aux=True)(state.params)
+        return g, ss
+
+    g1, ss1 = one_grad(mb1, jax.random.fold_in(rng, 0))
+    g2, ss2 = one_grad(mb2, jax.random.fold_in(rng, 1))
+    total_ss = float(ss1) + float(ss2)
+    ref_grads = jax.tree_util.tree_map(
+        lambda a, b: (a + b) / total_ss, g1, g2)
+    ref_gnorm = float(jnp.sqrt(sum(
+        jnp.sum(jnp.square(x.astype(jnp.float32)))
+        for x in jax.tree_util.tree_leaves(ref_grads))))
+
+    tr = _trainer(cfg, mesh, clip=0.0)
+    _, metrics = tr.train_step(state, [mb1, mb2], rng)
+    assert abs(metrics["sample_size"] - total_ss) < 1e-6
+    assert abs(metrics["gnorm"] - ref_gnorm) / ref_gnorm < 1e-4
+
+
+def test_nonfinite_grads_skip_update(small_cfg):
+    mesh = make_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+    tr = _trainer(small_cfg, mesh)
+    state = _state(small_cfg)
+    batch = make_batch(small_cfg, b=2, src_t=21, tgt_t=13)
+    bad = dict(batch)
+    bad["tgt_speech"] = batch["tgt_speech"] * np.inf
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    state2, metrics = tr.train_step(state, [bad], jax.random.PRNGKey(0))
+    assert int(state2.step) == 0  # update skipped
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("dp,fsdp,tp", [(8, 1, 1), (2, 2, 2), (1, 4, 2)])
+def test_mesh_configs_train(small_cfg, dp, fsdp, tp):
+    """DP / FSDP / TP shardings all compile and execute on the virtual mesh."""
+    if len(jax.devices()) < dp * fsdp * tp:
+        pytest.skip("not enough virtual devices")
+    mesh = make_mesh(dp=dp, fsdp=fsdp, tp=tp)
+    tr = _trainer(small_cfg, mesh)
+    state = _state(small_cfg)
+    batch = make_batch(small_cfg, b=8, src_t=21, tgt_t=13, seed=17)
+    state, metrics = tr.train_step(state, [batch], jax.random.PRNGKey(0))
+    assert np.isfinite(metrics["loss"])
+    assert int(state.step) == 1
+    vmetrics = tr.valid_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(vmetrics["loss"])
+
+
+def test_dp_equals_single_device(small_cfg):
+    """The same batch must give the same loss on 1 device and on an 8-way
+    data-parallel mesh (sharding is numerically transparent)."""
+    cfg = small_cfg.replace(dropout=0.0, attention_dropout=0.0,
+                            activation_dropout=0.0, prenet_dropout=0.0,
+                            postnet_dropout=0.0)
+    batch = make_batch(cfg, b=8, src_t=21, tgt_t=13, seed=19)
+    rng = jax.random.PRNGKey(3)
+    m1 = make_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+    m8 = make_mesh(dp=8, fsdp=1, tp=1)
+    tr1, tr8 = _trainer(cfg, m1, clip=0.0), _trainer(cfg, m8, clip=0.0)
+    s1, s8 = _state(cfg, seed=2), _state(cfg, seed=2)
+    s1, met1 = tr1.train_step(s1, [batch], rng)
+    s8, met8 = tr8.train_step(s8, [batch], rng)
+    assert abs(met1["loss"] - met8["loss"]) < 1e-3
+    assert abs(met1["gnorm"] - met8["gnorm"]) < 1e-3
