@@ -1,0 +1,224 @@
+"""Metrics aggregation + progress logging.
+
+Parity: ``fairseq/logging/metrics.py`` (nested named aggregation contexts,
+log_scalar with weights, derived metrics) and ``fairseq/logging/
+progress_bar.py`` (json-lines / simple log output, optional TensorBoard).
+
+Kept deliberately small: meters are plain floats on the host; everything
+device-side stays inside the jitted step functions and arrives here as
+scalars once per update.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import sys
+import time
+from collections import OrderedDict
+from contextlib import contextmanager
+from typing import Any, Callable, Dict, List, Optional
+
+logger = logging.getLogger(__name__)
+
+
+class AverageMeter:
+    def __init__(self, round: Optional[int] = None):
+        self.round = round
+        self.reset()
+
+    def reset(self):
+        self.sum = 0.0
+        self.count = 0.0
+
+    def update(self, val: float, n: float = 1.0):
+        if val is not None and not (isinstance(val, float) and math.isnan(val)):
+            self.sum += float(val) * n
+            self.count += n
+
+    @property
+    def avg(self) -> float:
+        return self.sum / self.count if self.count > 0 else 0.0
+
+    @property
+    def smoothed_value(self) -> float:
+        v = self.avg
+        return round(v, self.round) if self.round is not None else v
+
+
+class SumMeter(AverageMeter):
+    @property
+    def avg(self) -> float:
+        return self.sum
+
+
+class SpeedMeter:
+    """Items/sec since start (wps/ups parity)."""
+
+    def __init__(self, round: Optional[int] = None):
+        self.round = round
+        self.reset()
+
+    def reset(self):
+        self.start = time.perf_counter()
+        self.n = 0.0
+
+    def update(self, val: float, n: float = 1.0):
+        self.n += val
+
+    @property
+    def avg(self) -> float:
+        dt = time.perf_counter() - self.start
+        return self.n / dt if dt > 0 else 0.0
+
+    @property
+    def smoothed_value(self) -> float:
+        v = self.avg
+        return round(v, self.round) if self.round is not None else v
+
+
+class MetersDict(OrderedDict):
+    def get_smoothed_values(self) -> Dict[str, float]:
+        out = {}
+        for k, m in self.items():
+            if k.startswith("_"):
+                continue
+            if isinstance(m, _Derived):
+                out[k] = m.fn(self)
+            else:
+                out[k] = m.smoothed_value
+        return out
+
+
+class _Derived:
+    def __init__(self, fn: Callable[[MetersDict], float]):
+        self.fn = fn
+
+
+_aggregators: Dict[str, MetersDict] = {}
+_active: List[str] = ["default"]
+_aggregators["default"] = MetersDict()
+
+
+@contextmanager
+def aggregate(name: Optional[str] = None, new_root: bool = False):
+    """Nested aggregation context (metrics.py:44-104 parity): scalars logged
+    inside go to this aggregator and (unless new_root) all enclosing ones."""
+    if name is None:
+        name = f"_anon_{len(_aggregators)}"
+    agg = _aggregators.setdefault(name, MetersDict())
+    if new_root:
+        saved, _active[:] = _active[:], [name]
+    else:
+        _active.append(name)
+    try:
+        yield agg
+    finally:
+        if new_root:
+            _active[:] = saved
+        else:
+            _active.remove(name)
+
+
+def reset_meters(name: str):
+    if name in _aggregators:
+        _aggregators[name].clear()
+
+
+def get_meters(name: str) -> MetersDict:
+    return _aggregators.setdefault(name, MetersDict())
+
+
+def log_scalar(key: str, value: float, weight: float = 1.0,
+               priority: int = 10, round: Optional[int] = None):
+    for name in _active:
+        agg = _aggregators[name]
+        if key not in agg:
+            agg[key] = AverageMeter(round=round)
+        agg[key].update(value, weight)
+
+
+def log_sum(key: str, value: float, priority: int = 10):
+    for name in _active:
+        agg = _aggregators[name]
+        if key not in agg:
+            agg[key] = SumMeter()
+        agg[key].update(value)
+
+
+def log_speed(key: str, value: float, priority: int = 10,
+              round: Optional[int] = None):
+    for name in _active:
+        agg = _aggregators[name]
+        if key not in agg:
+            agg[key] = SpeedMeter(round=round)
+        agg[key].update(value)
+
+
+def log_derived(key: str, fn: Callable[[MetersDict], float],
+                priority: int = 10):
+    for name in _active:
+        _aggregators[name].setdefault(key, _Derived(fn))
+
+
+def get_smoothed_values(name: str) -> Dict[str, float]:
+    return get_meters(name).get_smoothed_values()
+
+
+# ---------------------------------------------------------------------------
+# progress output
+# ---------------------------------------------------------------------------
+
+class ProgressLogger:
+    """json-lines or simple progress output (progress_bar.py parity),
+    optional TensorBoard event writing."""
+
+    def __init__(self, log_format: str = "simple", log_interval: int = 100,
+                 epoch: Optional[int] = None,
+                 tensorboard_logdir: Optional[str] = None,
+                 log_file: Optional[str] = None):
+        self.log_format = log_format
+        self.log_interval = log_interval
+        self.epoch = epoch
+        self._tb = None
+        if tensorboard_logdir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(tensorboard_logdir)
+            except Exception:
+                logger.warning("tensorboard unavailable; skipping event logs")
+        if log_file:
+            handler = logging.FileHandler(log_file)
+            handler.setFormatter(logging.Formatter(
+                "%(asctime)s | %(levelname)s | %(name)s | %(message)s"))
+            logging.getLogger().addHandler(handler)
+
+    def _fmt(self, stats: Dict[str, Any], tag: str, step: int) -> str:
+        stats = dict(stats)
+        if self.epoch is not None:
+            stats = {"epoch": self.epoch, **stats}
+        if self.log_format == "json":
+            return json.dumps({f"{tag}_{k}" if tag else k:
+                               (round(v, 4) if isinstance(v, float) else v)
+                               for k, v in stats.items()})
+        body = " | ".join(f"{k} {v:.4g}" if isinstance(v, float) else f"{k} {v}"
+                          for k, v in stats.items())
+        return f"{tag} | {body}" if tag else body
+
+    def log(self, stats: Dict[str, Any], tag: str = "train_inner",
+            step: int = 0):
+        logger.info(self._fmt(stats, tag, step))
+        self._tb_write(stats, tag, step)
+
+    def print(self, stats: Dict[str, Any], tag: str = "train", step: int = 0):
+        logger.info(self._fmt(stats, tag, step))
+        self._tb_write(stats, tag, step)
+
+    def _tb_write(self, stats, tag, step):
+        if self._tb is None:
+            return
+        for k, v in stats.items():
+            if isinstance(v, (int, float)):
+                self._tb.add_scalar(f"{tag}/{k}", v, step)
+        self._tb.flush()

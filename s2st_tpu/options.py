@@ -1,0 +1,357 @@
+"""CLI options, flag-compatible with the reference recipes.
+
+Parity: ``fairseq/options.py`` two-pass parsing (parse --task/--arch first,
+add their args, re-parse, apply arch defaults) and the flag names used by
+``examples/s2s_trans/run_baseline.sh`` / ``run_pretraining.sh`` /
+``run_mix_tuning.sh`` — so existing recipes drive this framework unchanged
+(modulo the binary name).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Any, List, Optional, Tuple
+
+from .registry import (ARCH_REGISTRY, TASK_REGISTRY, import_user_module,
+                       populate_builtin, register_arch)
+
+
+def _str2bool(v: str) -> bool:
+    return str(v).lower() in ("true", "1", "yes", "y")
+
+
+def add_common_args(parser: argparse.ArgumentParser):
+    p = parser.add_argument_group("common")
+    p.add_argument("data", help="feature manifest root (TSVs + config.yaml)")
+    p.add_argument("--user-dir", default=None)
+    p.add_argument("--task", default="s2s_translation")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--log-format", default="simple",
+                   choices=["simple", "json"])
+    p.add_argument("--log-interval", type=int, default=100)
+    p.add_argument("--log-file", default=None)
+    p.add_argument("--tensorboard-logdir", default=None)
+    p.add_argument("--fp16", action="store_true",
+                   help="mixed precision; maps to bfloat16 on TPU")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--config-yaml", default="config.yaml")
+    p.add_argument("--num-workers", type=int, default=1)  # accepted, unused
+    p.add_argument("--max-tokens", type=int, default=40000)
+    p.add_argument("--batch-size", "--max-sentences", type=int, default=None)
+    p.add_argument("--skip-invalid-size-inputs-valid-test",
+                   action="store_true")
+    p.add_argument("--required-batch-size-multiple", type=int, default=8)
+
+
+def add_task_args(parser: argparse.ArgumentParser):
+    p = parser.add_argument_group("task")
+    p.add_argument("--train-subset", default="train")
+    p.add_argument("--valid-subset", default="valid")
+    p.add_argument("--gen-subset", default="test")
+    p.add_argument("--n-frames-per-step", type=int, default=1)
+    p.add_argument("--max-source-positions", type=int, default=3000)
+    p.add_argument("--max-target-positions", type=int, default=2400)
+    p.add_argument("--use-hubert", type=_str2bool, default=False)
+    p.add_argument("--load-pretrained-hubert-from", default=None)
+    p.add_argument("--load-pretrained-encoder-from", default=None)
+    p.add_argument("--load-pretrained-decoder-from", default=None)
+    p.add_argument("--speaker-to-id", default=None,
+                   help='JSON dict, e.g. \'{"fisher_spanish":0}\'')
+    p.add_argument("--eval-inference", action="store_true")
+    p.add_argument("--eval-args", default="{}")
+    p.add_argument("--vocoder", default="griffin_lim")
+    p.add_argument("--spec-bwd-max-iter", type=int, default=8)
+
+
+def add_model_args(parser: argparse.ArgumentParser):
+    p = parser.add_argument_group("model")
+    p.add_argument("--arch", default="s2st_transformer")
+    p.add_argument("--encoder-layers", type=int, default=12)
+    p.add_argument("--encoder-embed-dim", type=int, default=512)
+    p.add_argument("--encoder-ffn-embed-dim", type=int, default=2048)
+    p.add_argument("--encoder-attention-heads", type=int, default=4)
+    p.add_argument("--encoder-normalize-before", action="store_true")
+    p.add_argument("--decoder-layers", type=int, default=6)
+    p.add_argument("--decoder-embed-dim", type=int, default=512)
+    p.add_argument("--decoder-ffn-embed-dim", type=int, default=2048)
+    p.add_argument("--decoder-attention-heads", type=int, default=4)
+    p.add_argument("--decoder-normalize-before", action="store_true")
+    p.add_argument("--conv-kernel-sizes", default="5,5")
+    p.add_argument("--conv-channels", type=int, default=1024)
+    p.add_argument("--middle-layers", default="6",
+                   help="comma-separated encoder tap layers")
+    p.add_argument("--prenet-layers", type=int, default=2)
+    p.add_argument("--prenet-dim", type=int, default=256)
+    p.add_argument("--prenet-dropout", type=float, default=0.5)
+    p.add_argument("--postnet-layers", type=int, default=5)
+    p.add_argument("--postnet-conv-dim", type=int, default=512)
+    p.add_argument("--postnet-conv-kernel-size", type=int, default=5)
+    p.add_argument("--postnet-dropout", type=float, default=0.5)
+    p.add_argument("--output-frame-dim", type=int, default=80)
+    p.add_argument("--asr-decoder-layers", type=int, default=6)
+    p.add_argument("--asr-decoder-embed-dim", type=int, default=256)
+    p.add_argument("--st-decoder-layers", type=int, default=6)
+    p.add_argument("--st-decoder-embed-dim", type=int, default=256)
+    p.add_argument("--speaker-embed-dim", type=int, default=64)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--attention-dropout", type=float, default=0.1)
+    p.add_argument("--activation-dropout", type=float, default=0.01)
+    p.add_argument("--activation-fn", default="relu")
+    p.add_argument("--no-scale-embedding", action="store_true")
+    p.add_argument("--checkpoint-activations", action="store_true",
+                   help="remat each transformer layer")
+
+
+def add_criterion_args(parser: argparse.ArgumentParser):
+    p = parser.add_argument_group("criterion")
+    p.add_argument("--criterion", default="s2st_loss")
+    p.add_argument("--bce-pos-weight", type=float, default=5.0)
+    p.add_argument("--use-guided-attention-loss", action="store_true")
+    p.add_argument("--guided-attention-loss-sigma", type=float, default=0.4)
+    p.add_argument("--label-smoothing", type=float, default=0.0)
+    p.add_argument("--ctc-weight", type=float, default=0.0)
+    p.add_argument("--asr-ce-weight", type=float, default=0.0)
+    p.add_argument("--st-ce-weight", type=float, default=0.0)
+    p.add_argument("--l1-loss-weight", type=float, default=1.0)
+    p.add_argument("--mse-loss-weight", type=float, default=1.0)
+    p.add_argument("--eos-loss-weight", type=float, default=1.0)
+    p.add_argument("--attn-loss-weight", type=float, default=1.0)
+    p.add_argument("--sentence-avg", action="store_true")
+    p.add_argument("--report-accuracy", action="store_true")
+
+
+def add_optimization_args(parser: argparse.ArgumentParser):
+    p = parser.add_argument_group("optimization")
+    p.add_argument("--optimizer", default="adam")
+    p.add_argument("--adam-betas", default="(0.9, 0.98)")
+    p.add_argument("--adam-eps", type=float, default=1e-8)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--lr", default="0.001")
+    p.add_argument("--lr-scheduler", default="inverse_sqrt")
+    p.add_argument("--warmup-updates", type=int, default=4000)
+    p.add_argument("--warmup-init-lr", type=float, default=-1.0)
+    p.add_argument("--clip-norm", type=float, default=0.0)
+    p.add_argument("--max-update", type=int, default=0)
+    p.add_argument("--max-epoch", type=int, default=0)
+    p.add_argument("--update-freq", default="1")
+    p.add_argument("--stop-min-lr", type=float, default=-1.0)
+    p.add_argument("--find-unused-parameters", action="store_true")  # no-op
+
+
+def add_checkpoint_args(parser: argparse.ArgumentParser):
+    p = parser.add_argument_group("checkpoint")
+    p.add_argument("--save-dir", default="checkpoints")
+    p.add_argument("--restore-file", default="checkpoint_last.npz")
+    p.add_argument("--reset-optimizer", action="store_true")
+    p.add_argument("--reset-dataloader", action="store_true")
+    p.add_argument("--save-interval", type=int, default=1)
+    p.add_argument("--save-interval-updates", type=int, default=0)
+    p.add_argument("--keep-best-checkpoints", type=int, default=-1)
+    p.add_argument("--keep-last-epochs", type=int, default=-1)
+    p.add_argument("--no-save", action="store_true")
+    p.add_argument("--best-checkpoint-metric", default="loss")
+    p.add_argument("--maximize-best-checkpoint-metric", action="store_true")
+    p.add_argument("--validate-after-updates", type=int, default=0)
+    p.add_argument("--validate-interval", type=int, default=1)
+    p.add_argument("--disable-validation", action="store_true")
+    p.add_argument("--patience", type=int, default=-1)
+
+
+def add_distributed_args(parser: argparse.ArgumentParser):
+    p = parser.add_argument_group("distributed")
+    p.add_argument("--dp-size", type=int, default=None,
+                   help="data axis size (default: all devices)")
+    p.add_argument("--fsdp-size", type=int, default=1,
+                   help="parameter-sharding axis size")
+    p.add_argument("--tp-size", type=int, default=1,
+                   help="tensor-parallel axis size")
+
+
+def add_generation_args(parser: argparse.ArgumentParser):
+    p = parser.add_argument_group("generation")
+    p.add_argument("--path", required=True, help="checkpoint path(s), ':'-sep")
+    p.add_argument("--results-path", default=None)
+    p.add_argument("--max-iter", type=int, default=1500)
+    p.add_argument("--eos-prob-threshold", type=float, default=0.5)
+    p.add_argument("--teacher-forcing", action="store_true")
+    p.add_argument("--dump-waveforms", action="store_true")
+    p.add_argument("--dump-features", action="store_true")
+    p.add_argument("--dump-attentions", action="store_true")
+    p.add_argument("--dump-eos-probs", action="store_true")
+    p.add_argument("--dump-plots", action="store_true")
+    p.add_argument("--dump-target", action="store_true")
+    p.add_argument("--output-sample-rate", type=int, default=16000)
+    p.add_argument("--beam", type=int, default=5)
+    p.add_argument("--scoring", default="sacrebleu")
+    p.add_argument("--wer-tokenizer", default="none")
+    p.add_argument("--wer-lowercase", action="store_true")
+    p.add_argument("--wer-remove-punct", action="store_true")
+
+
+# ---------------------------------------------------------------------------
+# architectures (ARCH_CONFIG_REGISTRY parity)
+# ---------------------------------------------------------------------------
+
+@register_arch("s2st_transformer")
+def s2st_transformer_base(args):
+    """Reference base_architecture (s2st_transformer.py:792-830): defaults
+    already match the add_model_args defaults."""
+    return args
+
+
+@register_arch("s2st_transformer_small")
+def s2st_transformer_small(args):
+    args.encoder_layers = 6
+    args.encoder_embed_dim = 256
+    args.encoder_ffn_embed_dim = 1024
+    args.decoder_layers = 4
+    args.decoder_embed_dim = 256
+    args.decoder_ffn_embed_dim = 1024
+    args.conv_channels = 256
+    args.postnet_conv_dim = 256
+    return args
+
+
+# ---------------------------------------------------------------------------
+# parsers
+# ---------------------------------------------------------------------------
+
+def _two_pass(parser: argparse.ArgumentParser, argv: Optional[List[str]]):
+    """--user-dir import first (registers plugins), then parse, then apply
+    arch defaults (options.py:88-218 parity)."""
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--user-dir", default=None)
+    pre_args, _ = pre.parse_known_args(argv)
+    populate_builtin()
+    if pre_args.user_dir:
+        import_user_module(pre_args.user_dir)
+    args = parser.parse_args(argv)
+    arch = getattr(args, "arch", None)
+    if arch is not None:
+        if arch not in ARCH_REGISTRY:
+            raise KeyError(f"unknown arch {arch}: {list(ARCH_REGISTRY)}")
+        # arch fn sets structural defaults; explicit user flags win
+        explicit = _explicit_flags(argv)
+        saved = {k: v for k, v in vars(args).items()}
+        ARCH_REGISTRY[arch](args)
+        for k in explicit:
+            if k in saved:
+                setattr(args, k, saved[k])
+    return args
+
+
+def _explicit_flags(argv: Optional[List[str]]) -> List[str]:
+    import sys
+    argv = argv if argv is not None else sys.argv[1:]
+    out = []
+    for a in argv:
+        if a.startswith("--"):
+            out.append(a[2:].split("=")[0].replace("-", "_"))
+    return out
+
+
+def get_training_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser("s2st_tpu-train")
+    add_common_args(parser)
+    add_task_args(parser)
+    add_model_args(parser)
+    add_criterion_args(parser)
+    add_optimization_args(parser)
+    add_checkpoint_args(parser)
+    add_distributed_args(parser)
+    return parser
+
+
+def get_generation_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser("s2st_tpu-generate")
+    add_common_args(parser)
+    add_task_args(parser)
+    add_model_args(parser)
+    add_generation_args(parser)
+    return parser
+
+
+def parse_training_args(argv: Optional[List[str]] = None):
+    return _two_pass(get_training_parser(), argv)
+
+
+def parse_generation_args(argv: Optional[List[str]] = None):
+    return _two_pass(get_generation_parser(), argv)
+
+
+# ---------------------------------------------------------------------------
+# args -> typed configs
+# ---------------------------------------------------------------------------
+
+def build_model_config(args, src_vocab_size: int, tgt_vocab_size: int,
+                       num_speakers: int = 0):
+    import jax.numpy as jnp
+    from .models.s2st_transformer import S2STConfig
+    dtype = jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32
+    return S2STConfig(
+        src_vocab_size=src_vocab_size,
+        tgt_vocab_size=tgt_vocab_size,
+        input_feat_per_channel=getattr(args, "input_feat_per_channel", 80),
+        conv_kernel_sizes=tuple(
+            int(k) for k in args.conv_kernel_sizes.split(",")),
+        conv_channels=args.conv_channels,
+        encoder_layers=args.encoder_layers,
+        encoder_embed_dim=args.encoder_embed_dim,
+        encoder_ffn_embed_dim=args.encoder_ffn_embed_dim,
+        encoder_attention_heads=args.encoder_attention_heads,
+        encoder_normalize_before=True,   # recipe always passes it
+        middle_layers=tuple(int(x) for x in str(args.middle_layers).split(",")
+                            if x != ""),
+        decoder_layers=args.decoder_layers,
+        decoder_embed_dim=args.decoder_embed_dim,
+        decoder_ffn_embed_dim=args.decoder_ffn_embed_dim,
+        decoder_attention_heads=args.decoder_attention_heads,
+        decoder_normalize_before=True,
+        output_frame_dim=args.output_frame_dim,
+        n_frames_per_step=args.n_frames_per_step,
+        prenet_layers=args.prenet_layers,
+        prenet_dim=args.prenet_dim,
+        prenet_dropout=args.prenet_dropout,
+        postnet_layers=args.postnet_layers,
+        postnet_conv_dim=args.postnet_conv_dim,
+        postnet_conv_kernel_size=args.postnet_conv_kernel_size,
+        postnet_dropout=args.postnet_dropout,
+        ctc=getattr(args, "ctc_weight", 0.0) > 0.0,
+        aux_asr=getattr(args, "asr_ce_weight", 0.0) > 0.0,
+        aux_st=getattr(args, "st_ce_weight", 0.0) > 0.0,
+        asr_decoder_layers=args.asr_decoder_layers,
+        asr_decoder_embed_dim=args.asr_decoder_embed_dim,
+        st_decoder_layers=args.st_decoder_layers,
+        st_decoder_embed_dim=args.st_decoder_embed_dim,
+        num_speakers=num_speakers,
+        speaker_embed_dim=args.speaker_embed_dim,
+        speaker_embed_dim_dec=args.speaker_embed_dim,
+        dropout=args.dropout,
+        attention_dropout=args.attention_dropout,
+        activation_dropout=args.activation_dropout,
+        activation_fn=args.activation_fn,
+        no_scale_embedding=args.no_scale_embedding,
+        max_source_positions=args.max_source_positions,
+        max_target_positions=args.max_target_positions,
+        use_hubert=args.use_hubert,
+        dtype=dtype,
+        remat=getattr(args, "checkpoint_activations", False),
+    )
+
+
+def build_loss_config(args):
+    from .train.losses import LossConfig
+    return LossConfig(
+        bce_pos_weight=args.bce_pos_weight,
+        use_guided_attention_loss=args.use_guided_attention_loss,
+        guided_attention_loss_sigma=args.guided_attention_loss_sigma,
+        label_smoothing=args.label_smoothing,
+        ctc_weight=args.ctc_weight,
+        asr_ce_weight=args.asr_ce_weight,
+        st_ce_weight=args.st_ce_weight,
+        l1_loss_weight=args.l1_loss_weight,
+        mse_loss_weight=args.mse_loss_weight,
+        eos_loss_weight=args.eos_loss_weight,
+        attn_loss_weight=args.attn_loss_weight,
+        sentence_avg=args.sentence_avg,
+    )

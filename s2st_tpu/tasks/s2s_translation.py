@@ -1,0 +1,169 @@
+"""The s2s_translation task: wires config -> dictionaries -> datasets ->
+model -> loss -> speech generator -> validation-with-inference.
+
+Parity: ``examples/s2s_trans/tasks/s2s_translation.py`` —
+``setup_task`` loads src+tgt dictionaries from the data config (:92-119),
+``load_dataset`` builds S2STDataset via the creator (:121-144),
+``build_generator_tts`` + default vocoder (:186-215), and
+``valid_step_with_inference`` computing MCD via batched DTW (:240-264).
+
+TPU-native: validation inference is one jitted program (AR while_loop +
+on-device MFCC/DTW); the task owns no device state — it builds configs and
+host-side data plumbing only.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..data.data_cfg import S2STDataConfig
+from ..data.dictionary import Dictionary
+from ..data.iterators import EpochBatchIterator
+from ..data.s2st_dataset import S2STDataset, S2STDatasetCreator
+from ..registry import register_task
+
+logger = logging.getLogger(__name__)
+
+
+@register_task("s2s_translation")
+class S2STranslationTask:
+    def __init__(self, args, data_cfg: S2STDataConfig,
+                 src_dict: Dictionary, tgt_dict: Dictionary):
+        self.args = args
+        self.data_cfg = data_cfg
+        self.src_dict = src_dict
+        self.tgt_dict = tgt_dict
+        self.datasets: Dict[str, S2STDataset] = {}
+        self.speaker_to_id = (json.loads(args.speaker_to_id)
+                              if getattr(args, "speaker_to_id", None) else None)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def setup_task(cls, args) -> "S2STranslationTask":
+        data_cfg = S2STDataConfig(Path(args.data) / args.config_yaml)
+        data_cfg.set_use_hubert(args.use_hubert)
+
+        def load_dict(fname):
+            path = Path(args.data) / fname
+            if not path.is_file():
+                raise FileNotFoundError(f"Dict not found: {path}")
+            return Dictionary.load(str(path))
+
+        src_dict = load_dict(data_cfg.src_vocab_filename)
+        tgt_dict = load_dict(data_cfg.tgt_vocab_filename)
+        logger.info(f"src dictionary size: {len(src_dict)}; "
+                    f"tgt dictionary size: {len(tgt_dict)}")
+        return cls(args, data_cfg, src_dict, tgt_dict)
+
+    # ------------------------------------------------------------------
+    def load_dataset(self, split: str) -> S2STDataset:
+        is_train = split.startswith("train")
+        ds = S2STDatasetCreator.from_tsv(
+            self.args.data, self.data_cfg, split, self.src_dict,
+            self.tgt_dict, is_train,
+            n_frames_per_step=self.args.n_frames_per_step,
+            speaker_to_id=self.speaker_to_id)
+        self.datasets[split] = ds
+        return ds
+
+    def get_batch_iterator(self, split: str, max_tokens: int,
+                           max_sentences: Optional[int] = None,
+                           seed: int = 1, num_shards: int = 1,
+                           shard_id: int = 0, shuffle: bool = True
+                           ) -> EpochBatchIterator:
+        if split not in self.datasets:
+            self.load_dataset(split)
+        return EpochBatchIterator(
+            self.datasets[split], max_tokens=max_tokens,
+            max_sentences=max_sentences, seed=seed, num_shards=num_shards,
+            shard_id=shard_id, shuffle=shuffle,
+            required_batch_size_multiple=getattr(
+                self.args, "required_batch_size_multiple", 1))
+
+    # ------------------------------------------------------------------
+    def build_model_config(self):
+        from ..options import build_model_config
+        num_speakers = (max(self.speaker_to_id.values()) + 1
+                        if self.speaker_to_id else 0)
+        cfg = build_model_config(self.args, len(self.src_dict),
+                                 len(self.tgt_dict), num_speakers)
+        feat = self.data_cfg.input_feat_per_channel
+        if feat != cfg.input_feat_per_channel:
+            cfg = cfg.replace(input_feat_per_channel=feat)
+        return cfg
+
+    def build_loss_config(self):
+        from ..options import build_loss_config
+        return build_loss_config(self.args)
+
+    # ------------------------------------------------------------------
+    # validation with inference (MCD)
+    # ------------------------------------------------------------------
+
+    def gcmvn_stats(self):
+        """(mean, std) of the target GCMVN transform or (None, None)."""
+        path = self.data_cfg.tgt_global_cmvn_stats_npz
+        if path is None:
+            return None, None
+        stats = np.load(path)
+        return stats["mean"].astype(np.float32), stats["std"].astype(np.float32)
+
+    def build_vocoder(self):
+        from ..generate.vocoder import get_vocoder
+        return get_vocoder(self.args, self.data_cfg)
+
+    def build_eval_inference_fn(self, model_cfg, max_iter: int = 500,
+                                eos_prob_threshold: float = 0.5):
+        """Returns a jittable fn(variables, src_speech, src_speech_lens,
+        tgt_speech, target_lengths) -> MCD sums dict. The whole chain —
+        AR decode, mel->linear, Griffin-Lim, MFCC, DTW — is one XLA program
+        (reference: python loop + CPU DTW, tasks/s2s_translation.py:240-264).
+        """
+        import jax
+        import jax.numpy as jnp
+        from ..generate.speech_generator import (GenerationConfig,
+                                                 generate_features)
+        from ..ops import dsp
+        from ..ops.mcd import batch_mcd
+
+        gen_cfg = GenerationConfig(max_iter=max_iter,
+                                   eos_prob_threshold=eos_prob_threshold,
+                                   prenet_dropout_at_inference=True)
+        gcmvn_mean, gcmvn_std = self.gcmvn_stats()
+        feats_cfg = self.data_cfg.features or {}
+        sr = int(feats_cfg.get("sample_rate", 16000))
+        n_fft = int(feats_cfg.get("n_fft", 1024))
+        hop = int(feats_cfg.get("hop_length", 256))
+        win = int(feats_cfg.get("win_length", n_fft))
+        n_mels = int(feats_cfg.get("n_mels", 80))
+        f_min = float(feats_cfg.get("f_min", 20.0))
+        f_max = float(feats_cfg.get("f_max", sr // 2))
+        gl_iters = int(getattr(self.args, "spec_bwd_max_iter", 8))
+        pinv = dsp.make_pinv_mel_basis(sr, n_fft, n_mels, f_min, f_max)
+
+        def fn(variables, src_speech, src_speech_lens, tgt_speech,
+               target_lengths, rng):
+            out = generate_features(variables, model_cfg, gen_cfg,
+                                    src_speech, src_speech_lens, rng=rng,
+                                    gcmvn_mean=gcmvn_mean, gcmvn_std=gcmvn_std)
+            pred_lin = dsp.logmel_to_linear(out["feats"], pinv)
+            pred_wave = dsp.griffin_lim(pred_lin, n_fft, win, hop, gl_iters,
+                                        jax.random.fold_in(rng, 1))
+            pred_wlen = out["raw_out_lens"] * hop
+            # target: denormalized mel -> wave via the same vocoder path
+            tgt = tgt_speech.astype(jnp.float32).reshape(
+                tgt_speech.shape[0], -1, model_cfg.output_frame_dim)
+            if gcmvn_mean is not None:
+                tgt = tgt * jnp.asarray(gcmvn_std) + jnp.asarray(gcmvn_mean)
+            tgt_lin = dsp.logmel_to_linear(tgt, pinv)
+            tgt_wave = dsp.griffin_lim(tgt_lin, n_fft, win, hop, gl_iters,
+                                       jax.random.fold_in(rng, 2))
+            tgt_wlen = target_lengths * model_cfg.n_frames_per_step * hop
+            return batch_mcd(pred_wave, pred_wlen, tgt_wave, tgt_wlen, sr)
+
+        return fn

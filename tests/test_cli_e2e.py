@@ -1,0 +1,140 @@
+"""End-to-end CLI tests on a tiny synthetic corpus — the analogue of the
+reference's tests/test_binaries.py (preprocess -> train -> generate in tmp
+dirs on tiny random data)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.make_tiny_corpus import make_tiny_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tiny_corpus")
+    return make_tiny_corpus(root)
+
+
+def _train_args(corpus, save_dir, extra=()):
+    return [
+        str(corpus), "--save-dir", str(save_dir),
+        "--config-yaml", "config.yaml",
+        "--train-subset", "train", "--valid-subset", "dev",
+        "--task", "s2s_translation", "--criterion", "s2st_loss",
+        "--arch", "s2st_transformer",
+        "--encoder-layers", "2", "--encoder-embed-dim", "16",
+        "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+        "--decoder-layers", "2", "--decoder-embed-dim", "16",
+        "--decoder-ffn-embed-dim", "32", "--decoder-attention-heads", "2",
+        "--conv-channels", "16", "--middle-layers", "0",
+        "--prenet-dim", "8", "--prenet-layers", "1",
+        "--postnet-layers", "1", "--postnet-conv-dim", "8",
+        "--output-frame-dim", "8",
+        "--max-tokens", "2000", "--max-epoch", "2",
+        "--optimizer", "adam", "--lr", "0.001",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "4",
+        "--clip-norm", "1.0", "--n-frames-per-step", "1",
+        "--bce-pos-weight", "5.0", "--seed", "1",
+        "--encoder-normalize-before", "--decoder-normalize-before",
+        "--max-source-positions", "128", "--max-target-positions", "128",
+        "--required-batch-size-multiple", "1",
+        "--log-interval", "1",
+        *extra,
+    ]
+
+
+def test_train_and_resume(corpus, tmp_path):
+    from s2st_tpu.cli.train import main as train_main
+    save_dir = tmp_path / "ckpts"
+    rc = train_main(_train_args(corpus, save_dir))
+    assert rc == 0
+    assert (save_dir / "checkpoint_last.npz").is_file()
+    assert (save_dir / "checkpoint1.npz").is_file()
+    assert (save_dir / "checkpoint2.npz").is_file()
+    # resume: raise max epoch, training continues from epoch 3
+    rc = train_main(_train_args(corpus, save_dir) + ["--max-epoch", "3"])
+    assert rc == 0
+    assert (save_dir / "checkpoint3.npz").is_file()
+
+
+def test_train_with_aux_losses(corpus, tmp_path):
+    from s2st_tpu.cli.train import main as train_main
+    save_dir = tmp_path / "ckpts_aux"
+    rc = train_main(_train_args(
+        corpus, save_dir,
+        extra=["--ctc-weight", "0.5", "--asr-ce-weight", "0.3",
+               "--st-ce-weight", "0.3", "--label-smoothing", "0.1",
+               "--asr-decoder-layers", "1", "--asr-decoder-embed-dim", "16",
+               "--st-decoder-layers", "1", "--st-decoder-embed-dim", "16",
+               "--use-guided-attention-loss", "--report-accuracy",
+               "--middle-layers", "0,1", "--max-epoch", "1"]))
+    assert rc == 0
+    assert (save_dir / "checkpoint_last.npz").is_file()
+
+
+def test_eval_inference_mcd(corpus, tmp_path):
+    from s2st_tpu.cli.train import main as train_main
+    save_dir = tmp_path / "ckpts_mcd"
+    rc = train_main(_train_args(
+        corpus, save_dir,
+        extra=["--eval-inference", "--best-checkpoint-metric", "mcd_loss",
+               "--spec-bwd-max-iter", "2", "--max-epoch", "1"]))
+    assert rc == 0
+    assert (save_dir / "checkpoint_best.npz").is_file()
+
+
+def test_generate_waveform(corpus, tmp_path):
+    from s2st_tpu.cli.train import main as train_main
+    from s2st_tpu.cli.generate_waveform import main as gen_main
+    save_dir = tmp_path / "ckpts_gen"
+    rc = train_main(_train_args(corpus, save_dir) + ["--max-epoch", "1"])
+    assert rc == 0
+
+    results = tmp_path / "dump"
+    rc = gen_main([
+        str(corpus), "--config-yaml", "config.yaml",
+        "--gen-subset", "test", "--task", "s2s_translation",
+        "--path", str(save_dir / "checkpoint_last.npz"),
+        "--encoder-layers", "2", "--encoder-embed-dim", "16",
+        "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+        "--decoder-layers", "2", "--decoder-embed-dim", "16",
+        "--decoder-ffn-embed-dim", "32", "--decoder-attention-heads", "2",
+        "--conv-channels", "16", "--middle-layers", "0",
+        "--prenet-dim", "8", "--prenet-layers", "1",
+        "--postnet-layers", "1", "--postnet-conv-dim", "8",
+        "--output-frame-dim", "8",
+        "--max-tokens", "2000", "--max-iter", "16",
+        "--n-frames-per-step", "1",
+        "--max-source-positions", "128", "--max-target-positions", "128",
+        "--required-batch-size-multiple", "1",
+        "--spec-bwd-max-iter", "2",
+        "--dump-waveforms", "--dump-features", "--dump-attentions",
+        "--dump-eos-probs", "--dump-target",
+        "--results-path", str(results),
+    ])
+    assert rc == 0
+    wavs = list((results / "wav").glob("*_pred.wav"))
+    assert len(wavs) == 4  # n_test utterances
+    feats = list((results / "feat").glob("*_pred.npy"))
+    assert len(feats) == 4
+    assert len(list((results / "attn").glob("*.npy"))) == 4
+    # wav files are valid PCM
+    from s2st_tpu.data.audio_utils import read_wav
+    wave, sr = read_wav(str(wavs[0]))
+    assert sr == 16000 and len(wave) > 0
+    assert np.all(np.isfinite(wave))
+
+
+def test_average_checkpoints_cli(corpus, tmp_path):
+    from s2st_tpu.cli.train import main as train_main
+    from s2st_tpu.cli.average_checkpoints import main as avg_main
+    save_dir = tmp_path / "ckpts_avg"
+    rc = train_main(_train_args(corpus, save_dir))  # 2 epochs
+    assert rc == 0
+    out = str(tmp_path / "avg.npz")
+    rc = avg_main(["--inputs", str(save_dir),
+                   "--num-epoch-checkpoints", "2", "--output", out])
+    assert rc == 0
+    assert Path(out).is_file()
