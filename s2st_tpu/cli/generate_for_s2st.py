@@ -1,0 +1,125 @@
+"""Text generation from the S2ST model's auxiliary decoders
+(parity: fairseq_cli/generate_for_s2st.py).
+
+The reference's trick (:107-110): swap ``model.decoder`` for
+``aux_st_decoder`` (--scoring sacrebleu → ST BLEU) or ``aux_asr_decoder``
+(--scoring wer → ASR WER), retarget the dictionary (:178-199), and run beam
+search. Here the aux decoder IS addressed directly: the jitted beam search
+(s2st_tpu.generate.sequence_generator) runs over the matching encoder tap.
+
+Output format parity (:286-333): S-/T-/H-/D- lines + final scorer line
+"Generate <split> with beam=<k>: <result>".
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+logger = logging.getLogger("s2st_tpu.generate_for_s2st")
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+        stream=sys.stdout)
+    from ..options import parse_generation_args
+    args = parse_generation_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from ..registry import get_task
+    from ..generate.sequence_generator import BeamConfig, beam_search_aux
+    from ..models import s2st_transformer as m
+    from ..scoring import build_scorer
+    from ..train import checkpoint as ckpt
+    from ..train.optim import adam
+    from ..train.trainer import create_train_state
+
+    task = get_task(args.task).setup_task(args)
+    model_cfg = task.build_model_config()
+
+    # pick the aux decoder by scoring mode (reference :107-110)
+    use_asr = args.scoring == "wer"
+    which = "aux_asr_decoder" if use_asr else "aux_st_decoder"
+    tgt_dict = task.src_dict if use_asr else task.tgt_dict
+    if use_asr and not model_cfg.aux_asr:
+        model_cfg = model_cfg.replace(aux_asr=True)
+    if not use_asr and not model_cfg.aux_st:
+        model_cfg = model_cfg.replace(aux_st=True)
+
+    path = args.path.split(":")[0]
+    variables = m.init_s2st(jax.random.PRNGKey(0), model_cfg)
+    state = create_train_state(variables, adam())
+    state, meta = ckpt.restore_state(state, path, reset_optimizer=True)
+    variables = {"params": state.params, "stats": state.stats}
+    logger.info(f"loaded checkpoint {path} (step {meta.get('step', '?')})")
+    assert which in variables["params"], \
+        f"checkpoint has no {which}; train with the matching ce-weight"
+
+    bs_cfg = BeamConfig(beam=args.beam,
+                        max_len=min(200, model_cfg.max_target_positions))
+
+    @jax.jit
+    def infer(variables, src_speech, src_speech_lens):
+        enc = m.encode(variables, model_cfg, src_speech, src_speech_lens)
+        taps = enc["out_middle_layers"]
+        tap = taps[0] if (use_asr or len(taps) == 1) else taps[1]
+        return beam_search_aux(variables, model_cfg, which, tap,
+                               enc["encoder_padding_mask"], bs_cfg)
+
+    scorer = build_scorer(args)
+    itr = task.get_batch_iterator(args.gen_subset,
+                                  max_tokens=args.max_tokens,
+                                  max_sentences=args.batch_size,
+                                  shuffle=False)
+    dataset = task.datasets[args.gen_subset]
+    n_done = 0
+    import time
+    t0 = time.perf_counter()
+    gen_tokens = 0
+    for batch in itr.next_epoch_itr(shuffle=False):
+        out = infer(variables, jnp.asarray(batch["src_speech"]),
+                    jnp.asarray(batch["src_speech_lens"]))
+        tokens = np.asarray(out["tokens"])        # (B, K, L)
+        lengths = np.asarray(out["lengths"])
+        scores = np.asarray(out["scores"])
+        ids = np.asarray(batch["id"])
+        for row in range(len(ids)):
+            if ids[row] < 0:
+                continue
+            idx = int(ids[row])
+            sample_id = dataset.ids[idx]
+            ref = (dataset.src_texts[idx] if use_asr
+                   else dataset.tgt_texts[idx])
+            # best hypothesis: tokens[1..len] with eos stripped
+            n = int(lengths[row, 0])
+            hyp_ids = tokens[row, 0, 1:1 + n]
+            hyp_ids = hyp_ids[hyp_ids != 2][:n]
+            hyp = tgt_dict.string(hyp_ids)
+            gen_tokens += n
+            print(f"S-{sample_id}\t{sample_id}")
+            print(f"T-{sample_id}\t{ref}")
+            print(f"H-{sample_id}\t{scores[row, 0]:.4f}\t{hyp}")
+            print(f"D-{sample_id}\t{scores[row, 0]:.4f}\t{hyp}")
+            scorer.add_string(ref, hyp)
+            n_done += 1
+    dt = time.perf_counter() - t0
+    logger.info(f"Translated {n_done} sentences ({gen_tokens} tokens) in "
+                f"{dt:.1f}s ({n_done / max(dt, 1e-9):.2f} sentences/s, "
+                f"{gen_tokens / max(dt, 1e-9):.2f} tokens/s)")
+    print(f"Generate {args.gen_subset} with beam={args.beam}: "
+          f"{scorer.result_string()}")
+    return 0
+
+
+def cli_main():
+    sys.exit(main())
+
+
+if __name__ == "__main__":
+    cli_main()

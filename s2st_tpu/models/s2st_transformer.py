@@ -148,6 +148,10 @@ def _aux_decoder_init(key, cfg: S2STConfig, vocab: int, dim: int,
         p[f"layer{i}"] = decoder_layer_init(
             ks[2 + i], dim, cfg.decoder_ffn_embed_dim,
             cfg.decoder_attention_heads, kv_dim=cfg.encoder_embed_dim)
+    if cfg.decoder_normalize_before:
+        # fairseq TransformerDecoder adds a final LN under normalize_before
+        # (transformer_decoder.py; the recipe always passes the flag)
+        p["final_ln"] = layer_norm_init(dim)
     return p
 
 
@@ -418,6 +422,8 @@ def aux_decode(p: Params, cfg: S2STConfig, dim: int, n_layers: int,
             attn_dropout=cfg.attention_dropout,
             act_dropout=cfg.activation_dropout,
             rng=rngs[i], deterministic=deterministic)
+    if "final_ln" in p:
+        x = layer_norm(p["final_ln"], x)
     logits = jnp.dot(x, p["out_proj"]["w"].astype(x.dtype),
                      preferred_element_type=x.dtype)
     return logits

@@ -138,3 +138,49 @@ def test_average_checkpoints_cli(corpus, tmp_path):
                    "--num-epoch-checkpoints", "2", "--output", out])
     assert rc == 0
     assert Path(out).is_file()
+
+
+def test_generate_for_s2st_text_decode(corpus, tmp_path):
+    """Train with aux decoders then beam-decode ASR (wer) and ST (sacrebleu)
+    text — generate_for_s2st parity (stages 10-11 of run_baseline.sh)."""
+    import contextlib
+    import io
+    from s2st_tpu.cli.train import main as train_main
+    from s2st_tpu.cli.generate_for_s2st import main as g4s_main
+    save_dir = tmp_path / "ckpts_g4s"
+    rc = train_main(_train_args(
+        corpus, save_dir,
+        extra=["--asr-ce-weight", "0.3", "--st-ce-weight", "0.3",
+               "--label-smoothing", "0.1",
+               "--asr-decoder-layers", "1", "--asr-decoder-embed-dim", "16",
+               "--st-decoder-layers", "1", "--st-decoder-embed-dim", "16",
+               "--middle-layers", "0,1", "--max-epoch", "1"]))
+    assert rc == 0
+
+    common = [
+        str(corpus), "--config-yaml", "config.yaml",
+        "--gen-subset", "test", "--task", "s2s_translation",
+        "--path", str(save_dir / "checkpoint_last.npz"),
+        "--encoder-layers", "2", "--encoder-embed-dim", "16",
+        "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+        "--decoder-layers", "2", "--decoder-embed-dim", "16",
+        "--decoder-ffn-embed-dim", "32", "--decoder-attention-heads", "2",
+        "--conv-channels", "16", "--middle-layers", "0,1",
+        "--prenet-dim", "8", "--prenet-layers", "1",
+        "--postnet-layers", "1", "--postnet-conv-dim", "8",
+        "--output-frame-dim", "8",
+        "--asr-decoder-layers", "1", "--asr-decoder-embed-dim", "16",
+        "--st-decoder-layers", "1", "--st-decoder-embed-dim", "16",
+        "--max-tokens", "2000", "--beam", "2",
+        "--max-source-positions", "128", "--max-target-positions", "128",
+        "--required-batch-size-multiple", "1",
+    ]
+    for scoring, marker in (("wer", "WER"), ("sacrebleu", "BLEU")):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = g4s_main(common + ["--scoring", scoring] +
+                          (["--wer-lowercase"] if scoring == "wer" else []))
+        out = buf.getvalue()
+        assert rc == 0
+        assert out.count("H-") >= 4  # one hypothesis line per test utt
+        assert marker in out.splitlines()[-1] or marker in out
