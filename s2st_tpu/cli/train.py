@@ -74,6 +74,19 @@ def main(argv: Optional[List[str]] = None) -> int:
                       clip_norm=args.clip_norm, loss_fn=s2st_loss)
     state = create_train_state(variables, tx)
 
+    # frozen HuBERT frontend from a fairseq torch checkpoint
+    # (build_hubert parity, s2st_transformer.py:684-697)
+    if args.use_hubert and args.load_pretrained_hubert_from:
+        from ..models.hubert import load_torch_hubert
+        hub_params, hub_cfg = load_torch_hubert(
+            args.load_pretrained_hubert_from)
+        new_params = dict(state.params)
+        new_params["hubert"] = hub_params
+        state = type(state)(params=new_params, stats=state.stats,
+                            opt_state=tx.init(new_params), step=state.step)
+        logger.info(
+            f"loaded pretrained hubert from {args.load_pretrained_hubert_from}")
+
     # component warm-starts (load_pretrained_component_from_model parity)
     for flag, comp in (("load_pretrained_encoder_from", "encoder"),
                        ("load_pretrained_decoder_from", "decoder")):

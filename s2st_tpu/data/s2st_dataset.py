@@ -153,19 +153,29 @@ class S2STDataset:
         """
         n_real = len(items)
         b = pad_batch or n_real
-        src_t = pad_src_t or max(it.src_speech.shape[0] for it in items)
+        # HuBERT path: source is the raw waveform (collater_audio parity
+        # :293); same key names, 2-D (B, L) instead of 3-D (B, T, F).
+        use_audio = items[0].src_speech is None
+
+        def src_arr(it):
+            return it.src_orig if use_audio else it.src_speech
+
+        src_t = pad_src_t or max(src_arr(it).shape[0] for it in items)
         tgt_t = pad_tgt_t or max(it.tgt_speech.shape[0] for it in items)
         src_n = pad_src_txt or max(len(it.src_text) for it in items)
         tgt_n = pad_tgt_txt or max(len(it.tgt_text) for it in items)
-        feat_dim = items[0].src_speech.shape[1]
         out_dim = items[0].tgt_speech.shape[1]
 
         # length-descending order (collater parity :333-337)
-        order = np.argsort([-it.src_speech.shape[0] for it in items],
+        order = np.argsort([-src_arr(it).shape[0] for it in items],
                            kind="stable")
         items = [items[i] for i in order]
 
-        src_speech = np.zeros((b, src_t, feat_dim), np.float32)
+        if use_audio:
+            src_speech = np.zeros((b, src_t), np.float32)
+        else:
+            feat_dim = items[0].src_speech.shape[1]
+            src_speech = np.zeros((b, src_t, feat_dim), np.float32)
         src_speech_lens = np.zeros((b,), np.int32)
         tgt_speech = np.zeros((b, tgt_t, out_dim), np.float32)
         target_lengths = np.zeros((b,), np.int32)
@@ -180,9 +190,9 @@ class S2STDataset:
         ids = np.full((b,), -1, np.int64)
 
         for i, it in enumerate(items):
-            ts, tt = it.src_speech.shape[0], it.tgt_speech.shape[0]
+            ts, tt = src_arr(it).shape[0], it.tgt_speech.shape[0]
             ns, nt = len(it.src_text), len(it.tgt_text)
-            src_speech[i, :ts] = it.src_speech[:src_t]
+            src_speech[i, :min(ts, src_t)] = src_arr(it)[:src_t]
             src_speech_lens[i] = min(ts, src_t)
             tgt_speech[i, :tt] = it.tgt_speech[:tgt_t]
             target_lengths[i] = min(tt, tgt_t)

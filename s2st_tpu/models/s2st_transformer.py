@@ -156,9 +156,20 @@ def _aux_decoder_init(key, cfg: S2STConfig, vocab: int, dim: int,
 
 
 def init_s2st(key, cfg: S2STConfig) -> Dict[str, Params]:
-    """Returns {"params": ..., "stats": ...} (stats = postnet batch-norm)."""
+    """Returns {"params": ..., "stats": ...} (stats = postnet batch-norm).
+
+    When cfg.use_hubert, a frozen HuBERT frontend lives under
+    params["hubert"] (random init here; replaced by the torch-ckpt loader,
+    s2st_transformer.py:684-697 build_hubert parity). Its gradients are cut
+    with stop_gradient in encode()."""
     keys = iter(jax.random.split(key, 64))
     params: Params = {}
+
+    if cfg.use_hubert:
+        from .hubert import HubertConfig, init_hubert
+        hcfg = HubertConfig(encoder_embed_dim=cfg.hubert_hidden,
+                            dtype=cfg.dtype)
+        params["hubert"] = init_hubert(next(keys), hcfg)
 
     # --- encoder ---
     enc: Params = {"subsample": _subsampler_init(next(keys), cfg)}
@@ -259,6 +270,16 @@ def encode(variables: Dict[str, Params], cfg: S2STConfig,
     encoder_out (B, T', C), encoder_padding_mask (B, T') True=pad,
     out_middle_layers list, out_lengths (B,)."""
     p = variables["params"]["encoder"]
+    if cfg.use_hubert:
+        # frozen HuBERT frontend: src_feats is the raw waveform (B, L)
+        # (s2st_transformer.py:245-252: eval() + no_grad + detach)
+        from .hubert import HubertConfig, extract_features
+        hcfg = HubertConfig(encoder_embed_dim=cfg.hubert_hidden,
+                            dtype=cfg.dtype)
+        hub = jax.lax.stop_gradient(variables["params"]["hubert"])
+        src_feats, src_lengths = extract_features(
+            hub, hcfg, src_feats, src_lengths)
+        src_feats = jax.lax.stop_gradient(src_feats)
     x = src_feats.astype(cfg.dtype)
     x, out_lengths = subsample(p["subsample"], cfg, x, src_lengths)
     t_out = x.shape[1]
