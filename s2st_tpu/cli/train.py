@@ -44,7 +44,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     task_cls = get_task(args.task)
     task = task_cls.setup_task(args)
-    model_cfg = task.build_model_config()
+    model_cfg, init_fn, loss_fn = task.build_model_and_loss()
     loss_cfg = task.build_loss_config()
 
     mesh = make_mesh(dp=args.dp_size, fsdp=args.fsdp_size, tp=args.tp_size)
@@ -54,7 +54,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ..models import s2st_transformer as m
     rng = jax.random.PRNGKey(args.seed)
     init_rng, train_rng = jax.random.split(rng)
-    variables = m.init_s2st(init_rng, model_cfg)
+    variables = init_fn(init_rng)
     logger.info(f"model params: {m.param_count(variables):,}")
 
     lrs = [float(x) for x in str(args.lr).split(",")]
@@ -71,7 +71,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                       weight_decay=args.weight_decay)
     tx = build_optimizer(args.optimizer, **opt_kw)
     trainer = Trainer(model_cfg, loss_cfg, tx, schedule, mesh,
-                      clip_norm=args.clip_norm, loss_fn=s2st_loss)
+                      clip_norm=args.clip_norm, loss_fn=loss_fn)
     state = create_train_state(variables, tx)
 
     # frozen HuBERT frontend from a fairseq torch checkpoint
@@ -130,7 +130,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     update_freq = [int(x) for x in str(args.update_freq).split(",")]
 
     eval_fn = None
-    if args.eval_inference:
+    if args.eval_inference and args.arch.startswith("s2st"):
         eval_fn = jax.jit(task.build_eval_inference_fn(
             model_cfg, max_iter=max(64, args.max_target_positions //
                                     max(args.n_frames_per_step, 1))))

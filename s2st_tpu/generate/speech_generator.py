@@ -141,6 +141,18 @@ def generate_features(variables, cfg: m.S2STConfig, gen_cfg: GenerationConfig,
     enc_lens (B,)."""
     enc = m.encode(variables, cfg, src_speech, src_speech_lens,
                    speaker=speaker, rng=None, deterministic=True)
+    return generate_from_encoder_out(variables, cfg, gen_cfg, enc,
+                                     speaker=speaker, rng=rng,
+                                     gcmvn_mean=gcmvn_mean,
+                                     gcmvn_std=gcmvn_std)
+
+
+def generate_from_encoder_out(variables, cfg, gen_cfg: GenerationConfig, enc,
+                              speaker=None, rng=None, gcmvn_mean=None,
+                              gcmvn_std=None):
+    """AR decode + postnet + denorm from any encoder output dict with
+    encoder_out/encoder_padding_mask/out_lengths (shared by the S2ST and
+    T2S models — both use the same spectrogram decoder)."""
     feats, eos_prob, attn, out_lens = _decode_loop(
         variables, cfg, gen_cfg, enc, speaker, rng)
     # postnet residual over the whole sequence (speech_generator:101-102)

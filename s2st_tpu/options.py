@@ -93,6 +93,13 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--st-decoder-layers", type=int, default=6)
     p.add_argument("--st-decoder-embed-dim", type=int, default=256)
     p.add_argument("--speaker-embed-dim", type=int, default=64)
+    # t2s text-encoder knobs (t2s_transformer.py arch args)
+    p.add_argument("--encoder-conv-layers", type=int, default=3)
+    p.add_argument("--encoder-conv-kernel-size", type=int, default=5)
+    p.add_argument("--encoder-dropout", type=float, default=0.5)
+    p.add_argument("--encoder-transformer-layers", type=int, default=6)
+    # s2t criterion target selection (s2t_loss.py:88-94)
+    p.add_argument("--test-type", default="st", choices=["st", "asr"])
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument("--attention-dropout", type=float, default=0.1)
     p.add_argument("--activation-dropout", type=float, default=0.01)
@@ -196,6 +203,25 @@ def add_generation_args(parser: argparse.ArgumentParser):
 def s2st_transformer_base(args):
     """Reference base_architecture (s2st_transformer.py:792-830): defaults
     already match the add_model_args defaults."""
+    return args
+
+
+@register_arch("t2s_transformer")
+def t2s_transformer_base(args):
+    """t2s_transformer.py base arch: text encoder w/ conv prenet."""
+    return args
+
+
+@register_arch("s2t_transformer")
+def s2t_transformer_base(args):
+    return args
+
+
+@register_arch("s2t_transformer_hubert")
+def s2t_transformer_hubert(args):
+    """s2t_transformer_me.py:82 — S2T with the frozen HuBERT frontend
+    (mix/prompt-tuning ST pretraining stage)."""
+    args.use_hubert = True
     return args
 
 

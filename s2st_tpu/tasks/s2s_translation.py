@@ -101,6 +101,41 @@ class S2STranslationTask:
         from ..options import build_loss_config
         return build_loss_config(self.args)
 
+    def build_model_and_loss(self):
+        """arch -> (model_cfg, init_fn(key)->variables, loss_fn).
+
+        loss_fn has the uniform signature (variables, cfg, lcfg, batch, rng,
+        train) used by the Trainer. Mirrors the reference's arch/criterion
+        registry dispatch (models/__init__.py:55 + criterions registry)."""
+        import functools
+        from ..train import losses as L
+        arch = getattr(self.args, "arch", "s2st_transformer")
+        base = self.build_model_config()
+        if arch.startswith("t2s_transformer"):
+            from ..models import t2s_transformer as t2s
+            cfg = t2s.T2SConfig(
+                base=base,
+                encoder_conv_layers=self.args.encoder_conv_layers,
+                encoder_conv_kernel_size=self.args.encoder_conv_kernel_size,
+                encoder_dropout=self.args.encoder_dropout,
+                encoder_transformer_layers=self.args.encoder_transformer_layers)
+            return cfg, functools.partial(t2s.init_t2s, cfg=cfg), L.t2s_loss
+        if arch.startswith("s2t_transformer"):
+            from ..models import s2t_transformer as s2t
+            test_type = getattr(self.args, "test_type", "st")
+            vocab = len(self.src_dict) if test_type == "asr" \
+                else len(self.tgt_dict)
+            cfg = s2t.S2TConfig(
+                base=base,
+                decoder_layers=self.args.decoder_layers,
+                decoder_embed_dim=self.args.decoder_embed_dim)
+            loss = functools.partial(L.s2t_loss, test_type=test_type)
+            return cfg, functools.partial(s2t.init_s2t, cfg=cfg,
+                                          vocab_size=vocab), loss
+        from ..models import s2st_transformer as s2st_m
+        return base, functools.partial(s2st_m.init_s2st, cfg=base), \
+            L.s2st_loss
+
     # ------------------------------------------------------------------
     # validation with inference (MCD)
     # ------------------------------------------------------------------

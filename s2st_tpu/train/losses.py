@@ -103,7 +103,66 @@ def s2st_loss(variables: Dict[str, Any], cfg: m.S2STConfig, lcfg: LossConfig,
     """
     net = m.forward(variables, cfg, batch, rng=rng,
                     deterministic=not train, train=train)
+    return _composite_loss(net, cfg, lcfg, batch)
 
+
+def t2s_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
+             batch: Dict[str, Any], rng: Optional[jax.Array] = None,
+             train: bool = True) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Tacotron2 loss for the T2S model (registered ``t2s_loss``,
+    t2s_loss.py:91 parity): same spectrogram terms, no CTC/aux decoders.
+    cfg: t2s_transformer.T2SConfig."""
+    from ..models import t2s_transformer as t2s
+    net = t2s.forward(variables, cfg, batch, rng=rng,
+                      deterministic=not train, train=train)
+    return _composite_loss(net, cfg.base, lcfg, batch)
+
+
+def s2t_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
+             batch: Dict[str, Any], rng: Optional[jax.Array] = None,
+             train: bool = True, test_type: str = "st"
+             ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Label-smoothed CE for ST/ASR pretraining (registered ``s2t_loss``,
+    s2t_loss.py:57 parity; test_type picks asr=src_text vs st=tgt_text
+    targets, :88-94). cfg: s2t_transformer.S2TConfig."""
+    from ..models import s2t_transformer as s2t
+    b = {**batch}
+    if test_type == "asr":
+        b["prev_text_tokens"] = batch["prev_src_text_tokens"]
+        tgt = batch["src_text"]
+        ntokens = jnp.asarray(batch["src_txt_ntokens"], jnp.float32)
+    else:
+        b["prev_text_tokens"] = batch["prev_tgt_text_tokens"]
+        tgt = batch["tgt_text"]
+        ntokens = jnp.asarray(batch["tgt_txt_ntokens"], jnp.float32)
+    net = s2t.forward(variables, cfg, b, rng=rng,
+                      deterministic=not train, train=train)
+    lp = jax.nn.log_softmax(net["logits"].astype(jnp.float32), axis=-1)
+    loss_sum, nll_sum = label_smoothed_nll_loss(
+        lp.reshape(-1, lp.shape[-1]), tgt.reshape(-1), lcfg.label_smoothing)
+    sample_size = jnp.where(lcfg.sentence_avg, tgt.shape[0],
+                            ntokens.astype(jnp.int32))
+    pred = jnp.argmax(lp, axis=-1)
+    keep = tgt != PAD
+    logging = {
+        # fairseq convention: CE losses logged in base-2 per-sample-size
+        "loss": loss_sum / jnp.maximum(ntokens, 1.0),
+        "nll_loss": nll_sum / jnp.maximum(ntokens, 1.0),
+        "n_correct": jnp.sum((pred == tgt) & keep),
+        "total": jnp.sum(keep),
+        "ntokens": ntokens,
+        "nsentences": jnp.int32(tgt.shape[0]),
+        "sample_size": sample_size,
+    }
+    # trainer normalizes summed grads by sample_size, so return the SUM here
+    # (label_smoothed_cross_entropy parity: loss is sum-reduced)
+    return loss_sum, {"new_stats": net["new_stats"], "logging": logging,
+                      "sample_size": sample_size}
+
+
+def _composite_loss(net: Dict[str, Any], cfg: m.S2STConfig, lcfg: LossConfig,
+                    batch: Dict[str, Any]
+                    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     tgt_feat = batch["tgt_speech"].astype(jnp.float32)        # (B, Tt, D)
     tgt_lens = batch["target_lengths"]                        # (B,)
     b, tt, d = tgt_feat.shape
