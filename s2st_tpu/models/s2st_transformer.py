@@ -85,6 +85,10 @@ class S2STConfig:
     ctc: bool = False
     aux_asr: bool = False
     aux_st: bool = False
+    # MTL variant (s2st_transformer_mtl.py:231-273): decoder middle-layer
+    # taps + target-side CTC projection over them
+    middle_layers_decoder: Tuple[int, ...] = ()
+    ctc_tgt: bool = False
     asr_decoder_layers: int = 6
     asr_decoder_embed_dim: int = 256
     st_decoder_layers: int = 6
@@ -213,6 +217,9 @@ def init_s2st(key, cfg: S2STConfig) -> Dict[str, Params]:
     if cfg.ctc:
         dec["ctc_proj"] = linear_init(next(keys), cfg.encoder_embed_dim,
                                       cfg.src_vocab_size)
+    if cfg.ctc_tgt:
+        dec["ctc_proj_tgt"] = linear_init(next(keys), cfg.decoder_embed_dim,
+                                          cfg.tgt_vocab_size)
     params["decoder"] = dec
 
     if cfg.aux_asr:
@@ -372,6 +379,7 @@ def decode(variables: Dict[str, Params], cfg: S2STConfig,
     alignment_layer = cfg.decoder_layers - 1
 
     attn = None
+    middle_decoder: List[jnp.ndarray] = []
     for i in range(cfg.decoder_layers):
         x, w = decoder_layer(
             p[f"layer{i}"], x, enc, enc_pad, mask, self_pad,
@@ -384,6 +392,8 @@ def decode(variables: Dict[str, Params], cfg: S2STConfig,
             need_attn=(i == alignment_layer))
         if w is not None:
             attn = jnp.mean(w, axis=1)  # (B, Tt, Ts) fp32
+        if i in cfg.middle_layers_decoder:
+            middle_decoder.append(x)
 
     if "final_ln" in p:
         x = layer_norm(p["final_ln"], x)
@@ -401,6 +411,7 @@ def decode(variables: Dict[str, Params], cfg: S2STConfig,
         "post_feat_out": post_feat_out,
         "eos_out": eos_out,
         "attn": attn,
+        "out_middle_layers_decoder": middle_decoder,
         "new_stats": {"postnet": new_postnet_stats},
     }
 
@@ -489,6 +500,10 @@ def forward(variables: Dict[str, Params], cfg: S2STConfig, batch: Dict[str, Any]
     params = variables["params"]
     if cfg.ctc and enc["out_middle_layers"]:
         out["ctc_logits"] = ctc_logits(variables, cfg, enc["out_middle_layers"][0])
+    if cfg.ctc_tgt and dec["out_middle_layers_decoder"]:
+        out["ctc_tgt_logits"] = linear(
+            params["decoder"]["ctc_proj_tgt"],
+            dec["out_middle_layers_decoder"][0])
     if cfg.aux_asr and "prev_src_text_tokens" in batch:
         out["asr_logits"] = aux_decode(
             params["aux_asr_decoder"], cfg, cfg.asr_decoder_embed_dim,

@@ -80,6 +80,8 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--conv-channels", type=int, default=1024)
     p.add_argument("--middle-layers", default="6",
                    help="comma-separated encoder tap layers")
+    p.add_argument("--middle-layers-decoder", default="",
+                   help="MTL: comma-separated decoder tap layers")
     p.add_argument("--prenet-layers", type=int, default=2)
     p.add_argument("--prenet-dim", type=int, default=256)
     p.add_argument("--prenet-dropout", type=float, default=0.5)
@@ -117,6 +119,8 @@ def add_criterion_args(parser: argparse.ArgumentParser):
     p.add_argument("--guided-attention-loss-sigma", type=float, default=0.4)
     p.add_argument("--label-smoothing", type=float, default=0.0)
     p.add_argument("--ctc-weight", type=float, default=0.0)
+    p.add_argument("--ctc-weight-tgt", type=float, default=0.0,
+                   help="MTL: tgt CTC over a decoder middle-layer tap")
     p.add_argument("--asr-ce-weight", type=float, default=0.0)
     p.add_argument("--st-ce-weight", type=float, default=0.0)
     p.add_argument("--l1-loss-weight", type=float, default=1.0)
@@ -203,6 +207,15 @@ def add_generation_args(parser: argparse.ArgumentParser):
 def s2st_transformer_base(args):
     """Reference base_architecture (s2st_transformer.py:792-830): defaults
     already match the add_model_args defaults."""
+    return args
+
+
+@register_arch("s2st_transformer_mtl")
+def s2st_transformer_mtl(args):
+    """MTL predecessor (s2st_transformer_mtl.py:410): encoder + decoder
+    middle-layer taps with src+tgt CTC; no HuBERT, no aux text decoders."""
+    if not getattr(args, "middle_layers_decoder", ""):
+        args.middle_layers_decoder = "3"
     return args
 
 
@@ -345,6 +358,10 @@ def build_model_config(args, src_vocab_size: int, tgt_vocab_size: int,
         ctc=getattr(args, "ctc_weight", 0.0) > 0.0,
         aux_asr=getattr(args, "asr_ce_weight", 0.0) > 0.0,
         aux_st=getattr(args, "st_ce_weight", 0.0) > 0.0,
+        middle_layers_decoder=tuple(
+            int(x) for x in str(getattr(args, "middle_layers_decoder", "")
+                                ).split(",") if x != ""),
+        ctc_tgt=getattr(args, "ctc_weight_tgt", 0.0) > 0.0,
         asr_decoder_layers=args.asr_decoder_layers,
         asr_decoder_embed_dim=args.asr_decoder_embed_dim,
         st_decoder_layers=args.st_decoder_layers,
@@ -373,6 +390,7 @@ def build_loss_config(args):
         guided_attention_loss_sigma=args.guided_attention_loss_sigma,
         label_smoothing=args.label_smoothing,
         ctc_weight=args.ctc_weight,
+        ctc_weight_tgt=getattr(args, "ctc_weight_tgt", 0.0),
         asr_ce_weight=args.asr_ce_weight,
         st_ce_weight=args.st_ce_weight,
         l1_loss_weight=args.l1_loss_weight,

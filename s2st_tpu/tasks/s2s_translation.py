@@ -136,6 +136,14 @@ class S2STranslationTask:
         return base, functools.partial(s2st_m.init_s2st, cfg=base), \
             L.s2st_loss
 
+
+@register_task("s2s_translation_mtl")
+class S2STranslationMTLTask(S2STranslationTask):
+    """Legacy MTL task variant (examples/s2s_trans/tasks/
+    s2s_translation_mtl.py:39): same data plumbing; the model/criterion
+    differences (decoder taps + src/tgt CTC, no HuBERT/aux decoders) come
+    from --arch s2st_transformer_mtl + --ctc-weight-tgt."""
+
     # ------------------------------------------------------------------
     # validation with inference (MCD)
     # ------------------------------------------------------------------

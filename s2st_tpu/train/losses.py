@@ -34,6 +34,7 @@ class LossConfig:
     guided_attention_loss_sigma: float = 0.4
     label_smoothing: float = 0.1         # recipe: --label-smoothing 0.1
     ctc_weight: float = 0.0
+    ctc_weight_tgt: float = 0.0          # MTL: tgt CTC over decoder tap
     asr_ce_weight: float = 0.0
     st_ce_weight: float = 0.0
     l1_loss_weight: float = 1.0
@@ -203,6 +204,22 @@ def _composite_loss(net: Dict[str, Any], cfg: m.S2STConfig, lcfg: LossConfig,
         per_ex = per_ex / jnp.maximum(batch["src_text_len"].astype(jnp.float32), 1.0)
         ctc = jnp.mean(per_ex) * lcfg.ctc_weight
 
+    ctc_tgt = jnp.float32(0.0)
+    if lcfg.ctc_weight_tgt > 0.0 and "ctc_tgt_logits" in net:
+        # MTL tgt-side CTC over a decoder middle-layer tap
+        # (s2st_loss_mtl.py:171-183): logit lengths = target frame lengths
+        logits_t = net["ctc_tgt_logits"].astype(jnp.float32)  # (B, Tt, V)
+        logit_pad_t = (jnp.arange(logits_t.shape[1])[None, :]
+                       >= tgt_lens[:, None]).astype(jnp.float32)
+        labels_t = batch["tgt_text"]
+        label_pad_t = (jnp.arange(labels_t.shape[1])[None, :]
+                       >= batch["tgt_text_len"][:, None]).astype(jnp.float32)
+        per_ex_t = optax.ctc_loss(logits_t, logit_pad_t, labels_t,
+                                  label_pad_t, blank_id=0)
+        per_ex_t = per_ex_t / jnp.maximum(
+            batch["tgt_text_len"].astype(jnp.float32), 1.0)
+        ctc_tgt = jnp.mean(per_ex_t) * lcfg.ctc_weight_tgt
+
     logging: Dict[str, Any] = {}
     aux_asr = jnp.float32(0.0)
     if lcfg.asr_ce_weight > 0.0 and "asr_logits" in net:
@@ -232,13 +249,13 @@ def _composite_loss(net: Dict[str, Any], cfg: m.S2STConfig, lcfg: LossConfig,
     mse = mse * lcfg.mse_loss_weight
     eos = eos * lcfg.eos_loss_weight
     attn_loss = attn_loss * lcfg.attn_loss_weight
-    loss = l1 + mse + eos + attn_loss + ctc + aux_asr + aux_st
+    loss = l1 + mse + eos + attn_loss + ctc + ctc_tgt + aux_asr + aux_st
 
     ntokens = jnp.sum(tgt_lens)
     sample_size = jnp.where(lcfg.sentence_avg, b, ntokens)
     logging.update({
         "loss": loss, "l1_loss": l1, "mse_loss": mse, "eos_loss": eos,
-        "attn_loss": attn_loss, "ctc_loss": ctc,
+        "attn_loss": attn_loss, "ctc_loss": ctc, "ctc_loss_tgt": ctc_tgt,
         "aux_asr_loss": aux_asr, "aux_st_loss": aux_st,
         "ntokens": ntokens, "nsentences": jnp.int32(b),
         "sample_size": sample_size,

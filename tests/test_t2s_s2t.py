@@ -172,3 +172,47 @@ def test_s2t_cli_training(tmp_path):
     ])
     assert rc == 0
     assert (tmp_path / "ckpts" / "checkpoint_last.npz").is_file()
+
+
+def test_mtl_forward_loss_and_cli(tmp_path, base_cfg):
+    """s2st_transformer_mtl: decoder middle-layer taps + src/tgt CTC
+    (s2st_transformer_mtl.py:231-273, s2st_loss_mtl.py:154-183)."""
+    from s2st_tpu.train.losses import s2st_loss
+    cfg = base_cfg.replace(ctc=True, ctc_tgt=True, middle_layers=(0,),
+                           middle_layers_decoder=(0,))
+    variables = s2st.init_s2st(jax.random.PRNGKey(0), cfg)
+    assert "ctc_proj_tgt" in variables["params"]["decoder"]
+    batch = make_batch(cfg, b=2, src_t=41, tgt_t=21)
+    out = s2st.forward(variables, cfg, batch, deterministic=True)
+    assert "ctc_tgt_logits" in out
+    assert out["ctc_tgt_logits"].shape == (2, 21, cfg.tgt_vocab_size)
+    lcfg = LossConfig(ctc_weight=0.3, ctc_weight_tgt=0.3)
+    loss, extras = s2st_loss(variables, cfg, lcfg, batch, train=False)
+    assert np.isfinite(float(loss))
+    assert float(extras["logging"]["ctc_loss_tgt"]) > 0
+
+    # CLI smoke via the mtl task + arch
+    from tests.make_tiny_corpus import make_tiny_corpus
+    from s2st_tpu.cli.train import main as train_main
+    corpus = make_tiny_corpus(tmp_path / "corpus")
+    rc = train_main([
+        str(corpus), "--save-dir", str(tmp_path / "ckpts"),
+        "--config-yaml", "config.yaml",
+        "--train-subset", "train", "--valid-subset", "dev",
+        "--task", "s2s_translation_mtl", "--criterion", "s2st_loss_mtl",
+        "--arch", "s2st_transformer_mtl",
+        "--ctc-weight", "0.3", "--ctc-weight-tgt", "0.3",
+        "--middle-layers", "0", "--middle-layers-decoder", "0",
+        "--encoder-layers", "1", "--encoder-embed-dim", "16",
+        "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+        "--decoder-layers", "1", "--decoder-embed-dim", "16",
+        "--decoder-ffn-embed-dim", "32", "--decoder-attention-heads", "2",
+        "--conv-channels", "16", "--prenet-dim", "8", "--prenet-layers", "1",
+        "--postnet-layers", "1", "--postnet-conv-dim", "8",
+        "--output-frame-dim", "8", "--max-tokens", "2000",
+        "--max-epoch", "1", "--optimizer", "adam", "--lr", "0.001",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "4",
+        "--max-source-positions", "128", "--max-target-positions", "64",
+        "--required-batch-size-multiple", "1", "--clip-norm", "1.0",
+    ])
+    assert rc == 0
