@@ -1,0 +1,102 @@
+"""ASR-BLEU / ASR-WER evaluation of dumped waveforms
+(parity: examples/s2s_trans/evalute_s2s_bleu.py).
+
+Transcribes the generated ``*_pred.wav`` files with a CTC wav2vec2 ASR model
+(the reference uses HF ``facebook/wav2vec2-large-960h-lv60-self``,
+evalute_s2s_bleu.py:47-48), normalizes (punctuation strip + lowercase,
+:72-82), and scores sacrebleu/WER against the reference transcripts from
+the audio manifest.
+
+This image has no network egress, so the ASR checkpoint must already be on
+disk: pass --asr-model-path (a HF directory) or have it in the HF cache.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import logging
+import re
+import string
+import sys
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("s2st_tpu.evaluate_s2s_bleu")
+
+PUNC = string.punctuation.replace("'", "")
+
+
+def normalize_text(s: str) -> str:
+    s = re.sub(f"[{re.escape(PUNC)}]", " ", s)
+    return " ".join(s.lower().split())
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+    p = argparse.ArgumentParser("s2st_tpu evaluate_s2s_bleu")
+    p.add_argument("--audio-manifest-file", required=True,
+                   help="TSV with id + tgt_text reference transcripts")
+    p.add_argument("--decode-save-path", required=True,
+                   help="generate_waveform --results-path (contains wav/)")
+    p.add_argument("--out-result-file", required=True)
+    p.add_argument("--scoring", default="sacrebleu",
+                   choices=["sacrebleu", "wer"])
+    p.add_argument("--asr-model-path",
+                   default="facebook/wav2vec2-large-960h-lv60-self",
+                   help="HF model dir or cached hub id")
+    p.add_argument("--reference-field", default="tgt_text")
+    args = p.parse_args(argv)
+
+    try:
+        import torch
+        from transformers import (Wav2Vec2ForCTC, Wav2Vec2Processor)
+        processor = Wav2Vec2Processor.from_pretrained(args.asr_model_path)
+        model = Wav2Vec2ForCTC.from_pretrained(args.asr_model_path).eval()
+    except Exception as e:
+        logger.error(
+            f"cannot load ASR model '{args.asr_model_path}': {e}\n"
+            "This environment has no network egress; download the model "
+            "elsewhere and pass --asr-model-path /path/to/dir")
+        return 2
+
+    from ..data.audio_utils import read_wav
+    refs = {}
+    with open(args.audio_manifest_file, encoding="utf-8") as f:
+        for row in csv.DictReader(f, delimiter="\t", quoting=csv.QUOTE_NONE):
+            refs[row["id"]] = row[args.reference_field]
+
+    wav_dir = Path(args.decode_save_path) / "wav"
+    out_path = Path(args.out_result_file)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+
+    from ..scoring import BleuScorer, WerScorer
+    scorer = (WerScorer(lowercase=True, remove_punct=True)
+              if args.scoring == "wer" else BleuScorer(lowercase=True))
+    n = 0
+    with open(out_path, "w", encoding="utf-8") as out:
+        for wav_path in sorted(wav_dir.glob("*_pred.wav")):
+            uid = wav_path.name[: -len("_pred.wav")]
+            if uid not in refs:
+                logger.warning(f"no reference for {uid}; skipping")
+                continue
+            wave, sr = read_wav(str(wav_path))
+            inputs = processor(wave, sampling_rate=sr, return_tensors="pt",
+                               padding=True)
+            with torch.no_grad():
+                logits = model(inputs.input_values).logits
+            ids = torch.argmax(logits, dim=-1)
+            hyp = processor.batch_decode(ids)[0]
+            hyp_n = normalize_text(hyp)
+            ref_n = normalize_text(refs[uid])
+            out.write(f"{hyp_n}\t{ref_n}\t{uid}\n")
+            scorer.add_string(ref_n, hyp_n)
+            n += 1
+    logger.info(f"scored {n} utterances")
+    print(scorer.result_string())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

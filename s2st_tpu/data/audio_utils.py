@@ -314,3 +314,15 @@ def compute_global_cmvn(feature_iter) -> Dict[str, np.ndarray]:
     mean_x2 /= n
     std = np.sqrt(np.maximum(mean_x2 - mean_x ** 2, 1e-10))
     return {"mean": mean_x.astype(np.float32), "std": std.astype(np.float32)}
+
+
+def resample(waveform: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
+    """Polyphase resampling (sox-effects "rate" parity in spirit;
+    audio_utils.convert_waveform in the reference shells out to sox)."""
+    if orig_sr == new_sr:
+        return waveform
+    from math import gcd
+    from scipy.signal import resample_poly
+    g = gcd(orig_sr, new_sr)
+    return resample_poly(waveform, new_sr // g, orig_sr // g).astype(
+        waveform.dtype)

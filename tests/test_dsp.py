@@ -62,7 +62,7 @@ def test_kaldi_fbank_matches_torchaudio_compliance():
     torchaudio = pytest.importorskip("torchaudio")
     import torch
     wave = _tone(dur=0.2)
-    ours = au.kaldi_fbank(wave, sample_rate=SR, n_mels=24)
+    ours = au.kaldi_fbank(wave * (2 ** 15), sample_rate=SR, num_mel_bins=24)
     ref = torchaudio.compliance.kaldi.fbank(
         torch.tensor(wave[None] * (2 ** 15)), num_mel_bins=24,
         sample_frequency=SR, dither=0.0).numpy()
