@@ -17,6 +17,7 @@ from __future__ import annotations
 import logging
 import math
 import sys
+from pathlib import Path
 from typing import List, Optional
 
 import numpy as np
@@ -140,6 +141,20 @@ def main(argv: Optional[List[str]] = None) -> int:
                               tensorboard_logdir=args.tensorboard_logdir,
                               log_file=args.log_file)
 
+    # EMA (trainer.py:924-936 parity) + diagnostics (SURVEY §5)
+    from ..train.ema import EMAConfig, ema_step, init_ema
+    from ..utils.diagnostics import (HeartbeatWatchdog, profile,
+                                     report_nonfinite)
+    ema_params = None
+    ema_cfg = None
+    if args.store_ema:
+        ema_cfg = EMAConfig(ema_decay=args.ema_decay,
+                            ema_start_update=args.ema_start_update,
+                            ema_update_freq=args.ema_update_freq)
+        ema_params = init_ema(state.params)
+        _ema_step = jax.jit(lambda e, p, s: ema_step(ema_cfg, e, p, s))
+    watchdog = HeartbeatWatchdog(args.heartbeat_timeout).start()
+
     max_epoch = args.max_epoch or math.inf
     max_update = args.max_update or math.inf
     patience_left = args.patience
@@ -155,6 +170,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         for i, microbatches in enumerate(itr):
             step_rng = jax.random.fold_in(train_rng, int(state.step))
             state, metrics = trainer.train_step(state, microbatches, step_rng)
+            watchdog.beat()
+            if not np.isfinite(metrics.get("gnorm", 0.0)):
+                # NanDetector parity: name what went non-finite
+                logger.warning(
+                    "non-finite gradient norm; update skipped.\n"
+                    + report_nonfinite(params=state.params,
+                                       batch=microbatches[0]))
+            if ema_params is not None:
+                ema_params = _ema_step(ema_params, state.params, state.step)
             n_updates_epoch += 1
             for k, v in metrics.items():
                 inner_metrics[k] = v
@@ -199,8 +223,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         if mgr is not None and epoch % args.save_interval == 0:
             mgr.save(state, epoch, val_metric=val_metric,
                      extra_meta={"iterator": epoch_itr.state_dict()})
+            if ema_params is not None:
+                from ..train.checkpoint import flatten_tree
+                flat = flatten_tree(jax.device_get(ema_params), "params::")
+                np.savez(str(Path(args.save_dir) / "checkpoint_last_ema.npz"),
+                         **flat)
         epoch += 1
 
+    watchdog.stop()
     logger.info(f"done training at update {int(state.step)}")
     return 0
 

@@ -46,7 +46,17 @@ def batch_by_size(indices: np.ndarray, lengths: np.ndarray, max_tokens: int,
                   max_sentences: Optional[int] = None,
                   required_batch_size_multiple: int = 1) -> List[np.ndarray]:
     """Token-budget batching (data_utils_fast.pyx batch_by_size_vec parity):
-    cost of a batch = max length in batch * batch size."""
+    cost of a batch = max length in batch * batch size. Uses the native C++
+    batcher (s2st_tpu/clib) when available."""
+    try:
+        from ..clib import batch_by_size_native
+        native = batch_by_size_native(indices, lengths, max_tokens,
+                                      max_sentences or 0,
+                                      required_batch_size_multiple)
+        if native is not None:
+            return native
+    except Exception as e:
+        logger.debug(f"native batcher unavailable: {e}")
     batches: List[np.ndarray] = []
     cur: List[int] = []
     cur_max = 0

@@ -168,6 +168,18 @@ def add_checkpoint_args(parser: argparse.ArgumentParser):
     p.add_argument("--patience", type=int, default=-1)
 
 
+def add_ema_and_diag_args(parser: argparse.ArgumentParser):
+    p = parser.add_argument_group("ema/diagnostics")
+    p.add_argument("--store-ema", action="store_true")
+    p.add_argument("--ema-decay", type=float, default=0.9999)
+    p.add_argument("--ema-start-update", type=int, default=0)
+    p.add_argument("--ema-update-freq", type=int, default=1)
+    p.add_argument("--heartbeat-timeout", type=float, default=-1.0,
+                   help="SIGINT the job if no update completes in N seconds")
+    p.add_argument("--profile", action="store_true",
+                   help="write a jax.profiler trace for the first epoch")
+
+
 def add_distributed_args(parser: argparse.ArgumentParser):
     p = parser.add_argument_group("distributed")
     p.add_argument("--dp-size", type=int, default=None,
@@ -298,6 +310,7 @@ def get_training_parser() -> argparse.ArgumentParser:
     add_optimization_args(parser)
     add_checkpoint_args(parser)
     add_distributed_args(parser)
+    add_ema_and_diag_args(parser)
     return parser
 
 

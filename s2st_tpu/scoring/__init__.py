@@ -20,11 +20,16 @@ from typing import List, Optional, Sequence
 # ---------------------------------------------------------------------------
 
 def edit_distance(a: Sequence, b: Sequence) -> int:
-    """Levenshtein distance (host scoring; see clib for the C++ fast path)."""
+    """Levenshtein distance. Uses the native C++ op (s2st_tpu/clib,
+    libnat edit_dist.cpp parity) when built, Python DP otherwise."""
     try:
-        from ..clib import libbleu  # noqa: F401  (shared native module)
-        from ..clib.libbleu import edit_distance as _ed
-        return _ed(list(map(str, a)), list(map(str, b)))
+        from ..clib import edit_distance_tokens, get_lib
+        if get_lib() is not None:
+            # map arbitrary tokens to int ids for the native path
+            ids = {}
+            enc = [ids.setdefault(t, len(ids)) for t in a]
+            enc_b = [ids.setdefault(t, len(ids)) for t in b]
+            return edit_distance_tokens(enc, enc_b)
     except Exception:
         pass
     n, m = len(a), len(b)

@@ -216,3 +216,65 @@ def test_mtl_forward_loss_and_cli(tmp_path, base_cfg):
         "--required-batch-size-multiple", "1", "--clip-norm", "1.0",
     ])
     assert rc == 0
+
+
+def test_ema_training(tmp_path):
+    """--store-ema maintains an EMA param copy saved as
+    checkpoint_last_ema.npz (fairseq EMA parity)."""
+    from tests.make_tiny_corpus import make_tiny_corpus
+    from s2st_tpu.cli.train import main as train_main
+    corpus = make_tiny_corpus(tmp_path / "corpus")
+    save = tmp_path / "ckpts"
+    rc = train_main([
+        str(corpus), "--save-dir", str(save),
+        "--config-yaml", "config.yaml",
+        "--train-subset", "train", "--valid-subset", "dev",
+        "--arch", "s2st_transformer",
+        "--encoder-layers", "1", "--encoder-embed-dim", "16",
+        "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+        "--decoder-layers", "1", "--decoder-embed-dim", "16",
+        "--decoder-ffn-embed-dim", "32", "--decoder-attention-heads", "2",
+        "--conv-channels", "16", "--middle-layers", "0",
+        "--prenet-dim", "8", "--prenet-layers", "1",
+        "--postnet-layers", "1", "--postnet-conv-dim", "8",
+        "--output-frame-dim", "8", "--max-tokens", "2000",
+        "--max-epoch", "1", "--optimizer", "adam", "--lr", "0.001",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "4",
+        "--clip-norm", "1.0", "--required-batch-size-multiple", "1",
+        "--max-source-positions", "128", "--max-target-positions", "128",
+        "--store-ema", "--ema-decay", "0.9",
+    ])
+    assert rc == 0
+    import numpy as np
+    assert (save / "checkpoint_last_ema.npz").is_file()
+    with np.load(save / "checkpoint_last_ema.npz") as z:
+        assert len(z.files) > 10
+
+
+def test_ema_step_math():
+    import jax
+    import jax.numpy as jnp
+    from s2st_tpu.train.ema import EMAConfig, ema_step, init_ema
+    cfg = EMAConfig(ema_decay=0.5, ema_start_update=2)
+    params = {"w": jnp.ones((3,))}
+    ema = init_ema(params)
+    # before start_update: EMA tracks raw params exactly
+    new = {"w": jnp.full((3,), 5.0)}
+    ema = ema_step(cfg, ema, new, jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(ema["w"]), 5.0)
+    # after: lerp with decay
+    newer = {"w": jnp.full((3,), 9.0)}
+    ema = ema_step(cfg, ema, newer, jnp.asarray(3))
+    np.testing.assert_allclose(np.asarray(ema["w"]), 7.0)
+
+
+def test_heartbeat_and_nonfinite_report():
+    import time
+    from s2st_tpu.utils.diagnostics import (HeartbeatWatchdog,
+                                            report_nonfinite)
+    wd = HeartbeatWatchdog(timeout=-1).start()  # disabled
+    wd.beat(); wd.stop()
+    rep = report_nonfinite(params={"a": np.array([1.0, np.nan]),
+                                   "b": np.ones(3)})
+    assert "a" in rep and "1/2" in rep
+    assert "b" not in rep
