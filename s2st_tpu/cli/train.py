@@ -43,6 +43,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ..train.trainer import Trainer, create_train_state
     from ..data.iterators import GroupedIterator
 
+    if getattr(args, "multihost", False):
+        # multi-host bring-up: replaces the reference's rendezvous +
+        # process-group machinery (distributed/utils.py:46-312) entirely
+        jax.distributed.initialize()
+        logger.info(f"multihost: process {jax.process_index()} of "
+                    f"{jax.process_count()}")
+
     task_cls = get_task(args.task)
     task = task_cls.setup_task(args)
     model_cfg, init_fn, loss_fn = task.build_model_and_loss()
@@ -167,9 +174,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         itr = GroupedIterator(epoch_itr.next_epoch_itr(shuffle=True), uf)
         inner_metrics: dict = {}
         n_updates_epoch = 0
+        import time as _time
         for i, microbatches in enumerate(itr):
+            _t0 = _time.perf_counter()
             step_rng = jax.random.fold_in(train_rng, int(state.step))
             state, metrics = trainer.train_step(state, microbatches, step_rng)
+            _dt = max(_time.perf_counter() - _t0, 1e-9)
+            # wps/ups speed meters (trainer.py:1407 parity)
+            metrics["ups"] = 1.0 / _dt
+            metrics["wps"] = metrics.get("sample_size", 0.0) / _dt
             watchdog.beat()
             if not np.isfinite(metrics.get("gnorm", 0.0)):
                 # NanDetector parity: name what went non-finite

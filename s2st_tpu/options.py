@@ -188,6 +188,9 @@ def add_distributed_args(parser: argparse.ArgumentParser):
                    help="parameter-sharding axis size")
     p.add_argument("--tp-size", type=int, default=1,
                    help="tensor-parallel axis size")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (env-configured "
+                        "coordinator) before building the mesh")
 
 
 def add_generation_args(parser: argparse.ArgumentParser):

@@ -184,3 +184,27 @@ def test_generate_for_s2st_text_decode(corpus, tmp_path):
         assert rc == 0
         assert out.count("H-") >= 4  # one hypothesis line per test utt
         assert marker in out.splitlines()[-1] or marker in out
+
+
+def test_validate_and_score_clis(corpus, tmp_path, capsys):
+    from s2st_tpu.cli.train import main as train_main
+    from s2st_tpu.cli.validate import main as validate_main
+    from s2st_tpu.cli.score import main as score_main
+    save_dir = tmp_path / "ckpts_val"
+    rc = train_main(_train_args(corpus, save_dir) + ["--max-epoch", "1"])
+    assert rc == 0
+    rc = validate_main(_train_args(corpus, save_dir) + [
+        "--path", str(save_dir / "checkpoint_last.npz"),
+        "--valid-subset", "dev"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "dev | loss" in out
+
+    sysf = tmp_path / "sys.txt"
+    reff = tmp_path / "ref.txt"
+    sysf.write_text("hello world\nfoo bar baz qux\n")
+    reff.write_text("hello world\nfoo bar baz qux\n")
+    rc = score_main(["--sys", str(sysf), "--ref", str(reff),
+                     "--scoring", "wer"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "WER: 0.00" in out
