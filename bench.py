@@ -27,15 +27,17 @@ def main():
                                                     generate_features)
     from s2st_tpu.ops import dsp
 
-    # flagship config (reference base arch) in bf16
+    # flagship config (reference base arch) in bf16, at the recipe's
+    # operating point: --n-frames-per-step 4 (run_baseline.sh:98)
     cfg = m.S2STConfig(src_vocab_size=1000, tgt_vocab_size=1000,
                        middle_layers=(6,), ctc=False, aux_asr=False,
-                       aux_st=False, dtype=jnp.bfloat16)
+                       aux_st=False, n_frames_per_step=4,
+                       dtype=jnp.bfloat16)
     variables = m.init_s2st(jax.random.PRNGKey(0), cfg)
 
     B = 8
     SRC_T = 600           # ~6s of 10ms-hop fbank per utterance
-    MAX_ITER = 480        # decode steps (~6s of target mel at 12.5ms hop)
+    MAX_ITER = 120        # packed decode steps -> 480 raw mel frames (~6s)
     # never terminate: worst-case full-length decode (threshold > 1)
     gen_cfg = GenerationConfig(max_iter=MAX_ITER, eos_prob_threshold=1.5,
                                prenet_dropout_at_inference=False)

@@ -125,6 +125,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 itr_state = meta.get("iterator")
             logger.info(f"resumed from {last} at step {int(state.step)}")
 
+
     # data
     shard_id, num_shards = 0, 1  # single-host; mesh shards within the batch
     epoch_itr = task.get_batch_iterator(
@@ -135,6 +136,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         epoch_itr.load_state_dict(itr_state)
         start_epoch = epoch_itr.epoch
 
+    state = trainer.place_state(state)  # commit shardings (no recompiles)
+    num_updates = int(jax.device_get(state.step))  # one fetch at startup
     update_freq = [int(x) for x in str(args.update_freq).split(",")]
 
     eval_fn = None
@@ -173,47 +176,65 @@ def main(argv: Optional[List[str]] = None) -> int:
         uf = update_freq[min(epoch - 1, len(update_freq) - 1)]
         itr = GroupedIterator(epoch_itr.next_epoch_itr(shuffle=True), uf)
         inner_metrics: dict = {}
+        metrics: dict = {}
         n_updates_epoch = 0
         import time as _time
+        _tick = _time.perf_counter()
+        _steps_since_log = 0
         for i, microbatches in enumerate(itr):
-            _t0 = _time.perf_counter()
-            step_rng = jax.random.fold_in(train_rng, int(state.step))
-            state, metrics = trainer.train_step(state, microbatches, step_rng)
-            _dt = max(_time.perf_counter() - _t0, 1e-9)
-            # wps/ups speed meters (trainer.py:1407 parity)
-            metrics["ups"] = 1.0 / _dt
-            metrics["wps"] = metrics.get("sample_size", 0.0) / _dt
+            # rng folded from host-side counters — never fetch state.step
+            # per iteration (a device round trip each time)
+            step_rng = jax.random.fold_in(
+                jax.random.fold_in(train_rng, epoch), num_updates)
+            # metrics stay on device between log points so consecutive
+            # steps pipeline without a host round trip
+            want_metrics = ((i + 1) % args.log_interval == 0)
+            state, metrics = trainer.train_step(state, microbatches, step_rng,
+                                                fetch_metrics=want_metrics)
+            num_updates += 1
+            _steps_since_log += 1
             watchdog.beat()
-            if not np.isfinite(metrics.get("gnorm", 0.0)):
-                # NanDetector parity: name what went non-finite
-                logger.warning(
-                    "non-finite gradient norm; update skipped.\n"
-                    + report_nonfinite(params=state.params,
-                                       batch=microbatches[0]))
             if ema_params is not None:
                 ema_params = _ema_step(ema_params, state.params, state.step)
             n_updates_epoch += 1
-            for k, v in metrics.items():
-                inner_metrics[k] = v
-            if (i + 1) % args.log_interval == 0:
+            if want_metrics:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                _now = _time.perf_counter()
+                _dt = max(_now - _tick, 1e-9)
+                # wps/ups speed meters (trainer.py:1407 parity)
+                metrics["ups"] = _steps_since_log / _dt
+                metrics["wps"] = (metrics.get("sample_size", 0.0)
+                                  * _steps_since_log / _dt)
+                _tick, _steps_since_log = _now, 0
+                if not np.isfinite(metrics.get("gnorm", 0.0)):
+                    # NanDetector parity: name what went non-finite
+                    logger.warning(
+                        "non-finite gradient norm; update skipped.\n"
+                        + report_nonfinite(params=state.params,
+                                           batch=microbatches[0]))
+                inner_metrics = metrics
                 progress.log({**{k: round(float(v), 4)
                                  for k, v in metrics.items()},
-                              "num_updates": int(state.step)},
-                             tag="train_inner", step=int(state.step))
-            if int(state.step) >= max_update:
+                              "num_updates": num_updates},
+                             tag="train_inner", step=num_updates)
+            if num_updates >= max_update:
                 stop = True
                 break
 
+        if not inner_metrics and metrics:
+            # epoch ended between log points: fetch the last step's metrics
+            inner_metrics = {k: float(v)
+                             for k, v in jax.device_get(metrics).items()}
         progress.print({**{k: round(float(v), 4)
                            for k, v in inner_metrics.items()},
-                        "num_updates": int(state.step), "epoch": epoch},
-                       tag="train", step=int(state.step))
+                        "num_updates": num_updates, "epoch": epoch},
+                       tag="train", step=num_updates)
 
         # validation
         val_metric = None
         do_validate = (not args.disable_validation
                        and epoch % args.validate_interval == 0
-                       and int(state.step) >= args.validate_after_updates)
+                       and num_updates >= args.validate_after_updates)
         if do_validate:
             val_metric = validate(args, task, trainer, state, eval_fn,
                                   progress, train_rng)

@@ -137,13 +137,6 @@ class S2STranslationTask:
             L.s2st_loss
 
 
-@register_task("s2s_translation_mtl")
-class S2STranslationMTLTask(S2STranslationTask):
-    """Legacy MTL task variant (examples/s2s_trans/tasks/
-    s2s_translation_mtl.py:39): same data plumbing; the model/criterion
-    differences (decoder taps + src/tgt CTC, no HuBERT/aux decoders) come
-    from --arch s2st_transformer_mtl + --ctc-weight-tgt."""
-
     # ------------------------------------------------------------------
     # validation with inference (MCD)
     # ------------------------------------------------------------------
@@ -210,3 +203,11 @@ class S2STranslationMTLTask(S2STranslationTask):
             return batch_mcd(pred_wave, pred_wlen, tgt_wave, tgt_wlen, sr)
 
         return fn
+
+
+@register_task("s2s_translation_mtl")
+class S2STranslationMTLTask(S2STranslationTask):
+    """Legacy MTL task variant (examples/s2s_trans/tasks/
+    s2s_translation_mtl.py:39): same data plumbing; the model/criterion
+    differences (decoder taps + src/tgt CTC, no HuBERT/aux decoders) come
+    from --arch s2st_transformer_mtl + --ctc-weight-tgt."""

@@ -74,6 +74,7 @@ class Trainer:
         self._apply_step = None
         self._accum = None
         self._valid_step = None
+        self._fused_step = None
 
     # ------------------------------------------------------------------
     # compiled pieces
@@ -86,6 +87,55 @@ class Trainer:
         rep = replicated(self.mesh)
         var_sh = variables_shardings(
             {"params": state.params, "stats": state.stats}, self.mesh)
+        opt_sh = self._opt_shardings(state, var_sh["params"], rep)
+        self._opt_sh = opt_sh
+
+        def apply_grads(params, opt_state, step, grads, sample_size):
+            """normalize -> clip -> optimizer -> skip-on-nonfinite
+            (shared by the fused and accumulated paths)."""
+            scale = 1.0 / jnp.maximum(sample_size.astype(jnp.float32), 1.0)
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32) * scale, grads)
+            gnorm = global_norm(grads)
+            if clip_norm > 0:
+                factor = jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
+                grads = jax.tree_util.tree_map(lambda g: g * factor, grads)
+            lr = lr_schedule(step + 1)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            new_params = optax.apply_updates(params, updates)
+            ok = jnp.isfinite(gnorm)
+            new_params, new_opt = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old),
+                (new_params, new_opt), (params, opt_state))
+            return new_params, new_opt, step + ok.astype(jnp.int32), gnorm, lr
+
+        def fused_fn(params, stats, opt_state, step, batch, rng):
+            """grad + apply in ONE compiled program (update_freq == 1 fast
+            path): a single dispatch and zero intermediate host traffic —
+            essential when device dispatch has real latency (remote TPU)."""
+            def lf(p):
+                loss, extras = loss_fn({"params": p, "stats": stats},
+                                       cfg, lcfg, batch, rng=rng, train=True)
+                return loss, extras
+            (loss, extras), grads = jax.value_and_grad(
+                lf, has_aux=True)(params)
+            ss = extras["sample_size"]
+            new_params, new_opt, new_step, gnorm, lr = apply_grads(
+                params, opt_state, step, grads, ss)
+            logging = dict(extras["logging"])
+            logging["gnorm"] = gnorm
+            logging["lr"] = lr
+            return (new_params, extras["new_stats"], new_opt, new_step,
+                    logging)
+
+        self._fused_step = jax.jit(
+            fused_fn,
+            in_shardings=(var_sh["params"], var_sh["stats"], opt_sh, rep,
+                          None, rep),
+            out_shardings=(var_sh["params"], var_sh["stats"], opt_sh, rep,
+                           rep),
+            donate_argnums=(0, 2))
 
         def grad_fn(params, stats, batch, rng):
             def lf(p):
@@ -106,29 +156,11 @@ class Trainer:
 
         self._accum = jax.jit(accum, out_shardings=var_sh["params"])
 
-        def apply_fn(params, opt_state, step, grads, sample_size):
-            scale = 1.0 / jnp.maximum(sample_size.astype(jnp.float32), 1.0)
-            grads = jax.tree_util.tree_map(
-                lambda g: g.astype(jnp.float32) * scale, grads)
-            gnorm = global_norm(grads)
-            if clip_norm > 0:
-                factor = jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
-                grads = jax.tree_util.tree_map(lambda g: g * factor, grads)
-            lr = lr_schedule(step + 1)
-            updates, new_opt = tx.update(grads, opt_state, params)
-            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-            new_params = optax.apply_updates(params, updates)
-            # non-finite grad norm -> skip the update (overflow-skip parity)
-            ok = jnp.isfinite(gnorm)
-            new_params, new_opt = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(ok, new, old),
-                (new_params, new_opt), (params, opt_state))
-            return new_params, new_opt, step + ok.astype(jnp.int32), gnorm, lr
-
         self._apply_step = jax.jit(
-            apply_fn,
-            in_shardings=(var_sh["params"], None, rep, var_sh["params"], rep),
-            out_shardings=(var_sh["params"], None, rep, rep, rep),
+            apply_grads,
+            in_shardings=(var_sh["params"], opt_sh, rep, var_sh["params"],
+                          rep),
+            out_shardings=(var_sh["params"], opt_sh, rep, rep, rep),
             donate_argnums=(0, 1, 3))
 
         def valid_fn(params, stats, batch, rng):
@@ -145,14 +177,67 @@ class Trainer:
     # public API
     # ------------------------------------------------------------------
 
-    def train_step(self, state: TrainState, microbatches, rng
-                   ) -> Tuple[TrainState, Dict[str, float]]:
+    def _opt_shardings(self, state: TrainState, param_sh, rep):
+        """Sharding tree for the optimizer state: leaves that mirror a param
+        (mu/nu in Adam) inherit that param's sharding (identified by shape —
+        same layout stability, and fsdp memory savings carry over); scalars
+        and counters replicate."""
+        by_shape = {}
+        for p_leaf, sh in zip(jax.tree_util.tree_leaves(state.params),
+                              jax.tree_util.tree_leaves(param_sh)):
+            by_shape.setdefault(tuple(p_leaf.shape), sh)
+
+        def assign(leaf):
+            return by_shape.get(tuple(getattr(leaf, "shape", ())), rep)
+        return jax.tree_util.tree_map(assign, state.opt_state)
+
+    def place_state(self, state: TrainState) -> TrainState:
+        """Device-put the state with the mesh shardings. Do this ONCE before
+        training: otherwise the first fused step consumes host-committed
+        arrays and its outputs (explicitly sharded) trigger a second
+        compilation on the next call."""
+        var_sh = variables_shardings(
+            {"params": state.params, "stats": state.stats}, self.mesh)
+        rep = replicated(self.mesh)
+        return TrainState(
+            params=jax.device_put(state.params, var_sh["params"]),
+            stats=jax.device_put(state.stats, var_sh["stats"]),
+            opt_state=jax.device_put(
+                state.opt_state, self._opt_shardings(state, var_sh["params"],
+                                                     rep)),
+            step=jax.device_put(state.step, rep))
+
+    def train_step(self, state: TrainState, microbatches, rng,
+                   fetch_metrics: bool = True
+                   ) -> Tuple[TrainState, Dict[str, Any]]:
         """One optimizer update over `microbatches` (list of host batch dicts,
-        possibly different shapes — each shape compiles once)."""
+        possibly different shapes — each shape compiles once).
+
+        Host-traffic discipline: update_freq == 1 takes the fused single-jit
+        path (grad + optimizer in one dispatch); metrics come back as ONE
+        ``jax.device_get`` of the whole scalar dict — never one fetch per
+        scalar (each fetch is a full device round trip). With
+        ``fetch_metrics=False`` the metrics stay on device (fetch them with
+        ``jax.device_get`` when you actually log) so consecutive steps
+        pipeline without a host sync in between."""
         if self._grad_step is None:
             self._build(state)
+
+        if len(microbatches) == 1:
+            batch = self._device_batch(microbatches[0])
+            new_params, new_stats, new_opt, new_step, logging = \
+                self._fused_step(state.params, state.stats, state.opt_state,
+                                 state.step, batch, rng)
+            new_state = TrainState(params=new_params, stats=new_stats,
+                                   opt_state=new_opt, step=new_step)
+            if not fetch_metrics:
+                return new_state, logging
+            host = jax.device_get(logging)
+            metrics = {k: float(v) for k, v in host.items()}
+            return new_state, metrics
+
         acc_grads = None
-        acc_logging: Dict[str, Any] = {}
+        acc_logging = None
         sample_size = None
         stats = state.stats
         for i, hb in enumerate(microbatches):
@@ -162,21 +247,21 @@ class Trainer:
                 state.params, stats, batch, sub)
             acc_grads = grads if acc_grads is None else self._accum(acc_grads, grads)
             sample_size = ss if sample_size is None else sample_size + ss
-            for k, v in logging.items():
-                acc_logging[k] = acc_logging.get(k, 0.0) + np.float64(v)
+            # accumulate logging scalars on DEVICE (no per-microbatch fetch)
+            acc_logging = logging if acc_logging is None else \
+                jax.tree_util.tree_map(jnp.add, acc_logging, logging)
         new_params, new_opt, new_step, gnorm, lr = self._apply_step(
             state.params, state.opt_state, state.step, acc_grads, sample_size)
         new_state = TrainState(params=new_params, stats=stats,
                                opt_state=new_opt, step=new_step)
-        metrics = {k: float(v) for k, v in acc_logging.items()}
+        host = jax.device_get({**acc_logging, "gnorm": gnorm, "lr": lr,
+                               "sample_size": sample_size})
+        metrics = {k: float(v) for k, v in host.items()}
         n = len(microbatches)
         for k in ("loss", "l1_loss", "mse_loss", "eos_loss", "attn_loss",
-                  "ctc_loss", "aux_asr_loss", "aux_st_loss"):
+                  "ctc_loss", "ctc_loss_tgt", "aux_asr_loss", "aux_st_loss"):
             if k in metrics:
                 metrics[k] /= n
-        metrics["gnorm"] = float(gnorm)
-        metrics["lr"] = float(lr)
-        metrics["sample_size"] = float(sample_size)
         return new_state, metrics
 
     def valid_step(self, state: TrainState, host_batch, rng) -> Dict[str, float]:
@@ -184,7 +269,8 @@ class Trainer:
             self._build(state)
         batch = self._device_batch(host_batch)
         logging = self._valid_step(state.params, state.stats, batch, rng)
-        return {k: float(v) for k, v in logging.items()}
+        host = jax.device_get(logging)
+        return {k: float(v) for k, v in host.items()}
 
     def _device_batch(self, host_batch: Dict[str, Any]) -> Dict[str, Any]:
         drop = {"target_texts", "tgt_text_orig", "id", "nsentences", "ntokens",
@@ -192,4 +278,12 @@ class Trainer:
         batch = {k: v for k, v in host_batch.items() if k not in drop}
         batch["src_txt_ntokens"] = np.int32(host_batch.get("src_txt_ntokens", 0))
         batch["tgt_txt_ntokens"] = np.int32(host_batch.get("tgt_txt_ntokens", 0))
+        if self.cfg.dtype == jnp.bfloat16:
+            # --fp16 parity: the reference ships half-precision batches
+            # (trainer.py:1214 fp16 cast); halves host->device bytes. The
+            # loss still compares targets in fp32 after upcast.
+            import ml_dtypes
+            for k in ("src_speech", "prev_output_tokens", "tgt_speech"):
+                if k in batch and getattr(batch[k], "dtype", None) == np.float32:
+                    batch[k] = batch[k].astype(ml_dtypes.bfloat16)
         return put_batch(batch, self.mesh)

@@ -44,10 +44,15 @@ def _state(cfg, seed=0):
 
 
 def test_loss_decreases_on_overfit(small_cfg):
+    # dropout off: the 12-step overfit check must be deterministic, not a
+    # bet on the dropout rng stream
+    cfg = small_cfg.replace(dropout=0.0, attention_dropout=0.0,
+                            activation_dropout=0.0, prenet_dropout=0.0,
+                            postnet_dropout=0.0)
     mesh = make_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
-    tr = _trainer(small_cfg, mesh)
-    state = _state(small_cfg)
-    batch = make_batch(small_cfg, b=2, src_t=21, tgt_t=13, seed=11)
+    tr = _trainer(cfg, mesh)
+    state = _state(cfg)
+    batch = make_batch(cfg, b=2, src_t=21, tgt_t=13, seed=11)
     rng = jax.random.PRNGKey(42)
     losses = []
     for i in range(12):
