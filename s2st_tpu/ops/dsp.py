@@ -40,17 +40,84 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     return x[..., idx]
 
 
+@functools.lru_cache(maxsize=8)
+def _stft_kernel(n_fft: int, win_length: int) -> np.ndarray:
+    """(n_fft, 1, 2F) windowed DFT conv kernel: out ch f = Re(X_f),
+    ch F+f = Im(X_f) — the STFT as ONE strided conv (MXU-friendly;
+    TTSSpectrogram's conv formulation, audio_utils.py:245-271)."""
+    f_count = n_fft // 2 + 1
+    j = np.arange(n_fft)[:, None].astype(np.float64)
+    f = np.arange(f_count)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * j * f / n_fft
+    win = hann_window(win_length, n_fft).astype(np.float64)[:, None]
+    k = np.concatenate([np.cos(ang) * win, -np.sin(ang) * win], axis=1)
+    return k[:, None, :].astype(np.float32)           # (K, 1, 2F)
+
+
+@functools.lru_cache(maxsize=8)
+def _istft_basis(n_fft: int, win_length: int) -> np.ndarray:
+    """(2F, n_fft) windowed inverse-DFT basis: frames = [Re; Im] @ basis
+    — the irfft as one MXU matmul."""
+    f_count = n_fft // 2 + 1
+    j = np.arange(n_fft)[None, :].astype(np.float64)
+    f = np.arange(f_count)[:, None].astype(np.float64)
+    ang = 2.0 * np.pi * j * f / n_fft
+    coef = np.full((f_count, 1), 2.0)
+    coef[0, 0] = 1.0
+    if n_fft % 2 == 0:
+        coef[-1, 0] = 1.0
+    win = hann_window(win_length, n_fft).astype(np.float64)[None, :]
+    ic = coef * np.cos(ang) / n_fft * win            # (F, K)
+    is_ = -coef * np.sin(ang) / n_fft * win
+    return np.concatenate([ic, is_], axis=0).astype(np.float32)  # (2F, K)
+
+
+def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """(B, T, K) frames -> (B, (T-1)*hop + K) by overlap-add, scatter-free:
+    frames g = ceil(K/hop) apart never overlap, so each residue class lays
+    out as a plain reshape; the g shifted streams sum densely. (XLA
+    scatter-adds serialize on TPU — this was 100x the cost of the rest of
+    Griffin-Lim combined.)"""
+    b, t, k = frames.shape
+    g = -(-k // hop)
+    stride = g * hop
+    out_len = (t - 1) * hop + k
+    buf_len = out_len + stride + k                   # headroom for padding
+    total = jnp.zeros((b, buf_len), frames.dtype)
+    for r in range(g):
+        fr = frames[:, r::g]                          # (B, T_r, k)
+        tr = fr.shape[1]
+        if tr == 0:
+            continue
+        padded = jnp.pad(fr, ((0, 0), (0, 0), (0, stride - k)))
+        flat = padded.reshape(b, tr * stride)
+        start = r * hop
+        flat = jnp.pad(flat, ((0, 0), (start, buf_len - start - tr * stride)))
+        total = total + flat
+    return total[:, :out_len]
+
+
 def stft_mag_phase(wave: jnp.ndarray, n_fft: int, win_length: int, hop: int
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Centered magnitude/phase STFT. wave: (..., L) -> (..., F, T)."""
     pad = n_fft // 2
-    pad_width = [(0, 0)] * (wave.ndim - 1) + [(pad, pad)]
-    x = jnp.pad(wave, pad_width, mode="reflect")
-    frames = frame_signal(x, n_fft, hop) * hann_window(win_length, n_fft)
-    spec = jnp.fft.rfft(frames.astype(jnp.float32), n=n_fft, axis=-1)
-    mag = jnp.abs(spec)
-    phase = jnp.angle(spec)
-    return jnp.swapaxes(mag, -1, -2), jnp.swapaxes(phase, -1, -2)
+    single = wave.ndim == 1
+    if single:
+        wave = wave[None]
+    x = jnp.pad(wave.astype(jnp.float32), ((0, 0), (pad, pad)),
+                mode="reflect")
+    k = jnp.asarray(_stft_kernel(n_fft, win_length))
+    out = jax.lax.conv_general_dilated(
+        x[:, :, None], k, window_strides=(hop,), padding=[(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32)           # (B, T, 2F)
+    f_count = n_fft // 2 + 1
+    re, im = out[..., :f_count], out[..., f_count:]
+    mag = jnp.sqrt(re * re + im * im + 1e-30)
+    phase = jnp.arctan2(im, re)
+    mag = jnp.swapaxes(mag, -1, -2)
+    phase = jnp.swapaxes(phase, -1, -2)
+    return (mag[0], phase[0]) if single else (mag, phase)
 
 
 def _window_sumsquare(n_frames: int, hop: int, win_length: int, n_fft: int
@@ -68,23 +135,26 @@ def istft(mag: jnp.ndarray, phase: jnp.ndarray, n_fft: int, win_length: int,
           hop: int) -> jnp.ndarray:
     """Inverse STFT with window-sum-square correction
     (GriffinLim.inverse parity, vocoder.py:84-100). mag/phase: (B, F, T)
-    -> wave (B, hop*T) (center-trimmed)."""
+    -> wave (B, hop*T) (center-trimmed).
+
+    Windowed inverse DFT as one MXU matmul + scatter-free overlap-add."""
+    single = mag.ndim == 2
+    if single:
+        mag, phase = mag[None], phase[None]
     n_frames = mag.shape[-1]
-    spec = mag * jnp.exp(1j * phase)
-    # pinv(fourier_basis) @ [Re; Im] == irfft(Re + i*Im) for this basis, so
-    # the reference's conv_transpose1d with a pinverse kernel reduces to
-    # windowed-irfft overlap-add; its 1/(n_fft/hop) pinv scale and final
-    # *= n_fft/hop cancel exactly.
-    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
-    frames = frames * hann_window(win_length, n_fft)
-    out_len = n_fft + hop * (n_frames - 1)
-    idx = (np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]).reshape(-1)
-    wave = jnp.zeros(mag.shape[:-2] + (out_len,), frames.dtype)
-    wave = wave.at[..., idx].add(frames.reshape(frames.shape[:-2] + (-1,)))
+    re = (mag * jnp.cos(phase)).astype(jnp.float32)
+    im = (mag * jnp.sin(phase)).astype(jnp.float32)
+    spec2 = jnp.concatenate([jnp.swapaxes(re, -1, -2),
+                             jnp.swapaxes(im, -1, -2)], axis=-1)  # (B,T,2F)
+    basis = jnp.asarray(_istft_basis(n_fft, win_length))          # (2F, K)
+    frames = jnp.einsum("btf,fk->btk", spec2, basis,
+                        preferred_element_type=jnp.float32)
+    wave = _overlap_add(frames, hop)
     wss = _window_sumsquare(n_frames, hop, win_length, n_fft)
     wss = np.where(wss > 1.1754944e-38, wss, 1.0)
     wave = wave / wss
-    return wave[..., n_fft // 2: -(n_fft // 2)]
+    wave = wave[..., n_fft // 2: -(n_fft // 2)]
+    return wave[0] if single else wave
 
 
 def griffin_lim(specgram: jnp.ndarray, n_fft: int, win_length: int, hop: int,
