@@ -61,6 +61,12 @@ def add_task_args(parser: argparse.ArgumentParser):
     p.add_argument("--eval-args", default="{}")
     p.add_argument("--vocoder", default="griffin_lim")
     p.add_argument("--spec-bwd-max-iter", type=int, default=8)
+    p.add_argument("--input-feat-per-channel", type=int, default=80)
+    # dummy_s2st benchmark task knobs (fairseq/benchmark parity)
+    p.add_argument("--dummy-items", type=int, default=256)
+    p.add_argument("--dummy-src-frames", type=int, default=1200)
+    p.add_argument("--dummy-tgt-frames", type=int, default=960)
+    p.add_argument("--dummy-vocab", type=int, default=100)
 
 
 def add_model_args(parser: argparse.ArgumentParser):
