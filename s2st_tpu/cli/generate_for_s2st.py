@@ -54,10 +54,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     path = args.path.split(":")[0]
     variables = m.init_s2st(jax.random.PRNGKey(0), model_cfg)
-    state = create_train_state(variables, adam())
-    state, meta = ckpt.restore_state(state, path, reset_optimizer=True)
-    variables = {"params": state.params, "stats": state.stats}
-    logger.info(f"loaded checkpoint {path} (step {meta.get('step', '?')})")
+    if path.endswith(".pt") or path.endswith(".bin"):
+        variables = ckpt.load_variables_any(path)
+        logger.info(f"loaded fairseq checkpoint {path}")
+    else:
+        state = create_train_state(variables, adam())
+        state, meta = ckpt.restore_state(state, path, reset_optimizer=True)
+        variables = {"params": state.params, "stats": state.stats}
+        logger.info(f"loaded checkpoint {path} (step {meta.get('step', '?')})")
     assert which in variables["params"], \
         f"checkpoint has no {which}; train with the matching ce-weight"
 

@@ -96,13 +96,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     task = get_task(args.task).setup_task(args)
     model_cfg = task.build_model_config()
 
-    # load checkpoint (ensemble: first path; averaging handled offline)
+    # load checkpoint (ensemble: first path; averaging handled offline).
+    # .pt paths are reference fairseq checkpoints (torch_import mapping).
     path = args.path.split(":")[0]
     variables = m.init_s2st(jax.random.PRNGKey(0), model_cfg)
-    state = create_train_state(variables, adam())
-    state, meta = ckpt.restore_state(state, path, reset_optimizer=True)
-    variables = {"params": state.params, "stats": state.stats}
-    logger.info(f"loaded checkpoint {path} (step {meta.get('step', '?')})")
+    if path.endswith(".pt") or path.endswith(".bin"):
+        variables = ckpt.load_variables_any(path)
+        logger.info(f"loaded fairseq checkpoint {path}")
+    else:
+        state = create_train_state(variables, adam())
+        state, meta = ckpt.restore_state(state, path, reset_optimizer=True)
+        variables = {"params": state.params, "stats": state.stats}
+        logger.info(f"loaded checkpoint {path} (step {meta.get('step', '?')})")
 
     vocoder = task.build_vocoder()
     gcmvn_mean, gcmvn_std = task.gcmvn_stats()

@@ -1,0 +1,307 @@
+"""fairseq <-> s2st_tpu checkpoint conversion for the s2st_transformer.
+
+Imports the reference's torch ``.pt`` checkpoints
+(``examples/s2s_trans/models/s2st_transformer.py`` module naming:
+``encoder.subsample.conv_layers.N``, ``encoder.transformer_layers.N.*``,
+``decoder.prenet.0.layers.N.0`` / ``decoder.prenet.1`` (Prenet+proj
+Sequential), ``decoder.transformer_layers.N.{self_attn,encoder_attn,...}``,
+``decoder.{feat_proj,eos_proj,ctc_proj,pos_emb_alpha}``,
+``decoder.postnet.convolutions.N.{0,1}`` (conv + BatchNorm),
+``aux_{asr,st}_decoder.{embed_tokens,layers.N,layer_norm,
+output_projection}``) into this framework's param pytree, and exports back.
+
+Layout transforms: torch Linear (out,in) -> ours (in,out) [transpose];
+torch Conv1d (Cout,Cin,K) -> ours (K,Cin,Cout); LayerNorm weight->scale;
+BatchNorm running stats land in the ``stats`` tree.
+
+``checkpoint_utils.load_model_ensemble_and_task`` wraps the state dict
+under ``["model"]``; plain generator checkpoints are accepted too.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _lin(sd, prefix, out):
+    out["w"] = sd.pop(prefix + ".weight").T.copy()
+    if prefix + ".bias" in sd:
+        out["b"] = sd.pop(prefix + ".bias")
+    return out
+
+
+def _ln(sd, prefix):
+    return {"scale": sd.pop(prefix + ".weight"),
+            "bias": sd.pop(prefix + ".bias")}
+
+
+def _conv(sd, prefix):
+    p = {"w": np.transpose(sd.pop(prefix + ".weight"), (2, 1, 0)).copy()}
+    if prefix + ".bias" in sd:
+        p["b"] = sd.pop(prefix + ".bias")
+    return p
+
+
+def _mha(sd, prefix):
+    return {
+        "q": _lin(sd, prefix + ".q_proj", {}),
+        "k": _lin(sd, prefix + ".k_proj", {}),
+        "v": _lin(sd, prefix + ".v_proj", {}),
+        "out": _lin(sd, prefix + ".out_proj", {}),
+    }
+
+
+def _enc_layer(sd, prefix):
+    return {
+        "self_attn": _mha(sd, prefix + ".self_attn"),
+        "self_attn_ln": _ln(sd, prefix + ".self_attn_layer_norm"),
+        "fc1": _lin(sd, prefix + ".fc1", {}),
+        "fc2": _lin(sd, prefix + ".fc2", {}),
+        "final_ln": _ln(sd, prefix + ".final_layer_norm"),
+    }
+
+
+def _dec_layer(sd, prefix):
+    return {
+        "self_attn": _mha(sd, prefix + ".self_attn"),
+        "self_attn_ln": _ln(sd, prefix + ".self_attn_layer_norm"),
+        "cross_attn": _mha(sd, prefix + ".encoder_attn"),
+        "cross_attn_ln": _ln(sd, prefix + ".encoder_attn_layer_norm"),
+        "fc1": _lin(sd, prefix + ".fc1", {}),
+        "fc2": _lin(sd, prefix + ".fc2", {}),
+        "final_ln": _ln(sd, prefix + ".final_layer_norm"),
+    }
+
+
+def _count(sd, pat):
+    ids = {int(m.group(1)) for k in sd
+           for m in [re.match(pat, k)] if m}
+    return max(ids) + 1 if ids else 0
+
+
+def from_fairseq_state_dict(sd: Dict[str, np.ndarray]
+                            ) -> Dict[str, Any]:
+    """fairseq state dict (numpy values) -> {"params", "stats"} trees.
+    Consumes keys as it maps them; leftover keys are logged."""
+    sd = dict(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # --- encoder ---
+    enc: Dict[str, Any] = {"subsample": {}}
+    n_convs = _count(sd, r"encoder\.subsample\.conv_layers\.(\d+)\.weight")
+    for i in range(n_convs):
+        enc["subsample"][f"conv{i}"] = _conv(
+            sd, f"encoder.subsample.conv_layers.{i}")
+    n_enc = _count(sd, r"encoder\.transformer_layers\.(\d+)\.fc1\.weight")
+    for i in range(n_enc):
+        enc[f"layer{i}"] = _enc_layer(sd, f"encoder.transformer_layers.{i}")
+    if "encoder.layer_norm.weight" in sd:
+        enc["final_ln"] = _ln(sd, "encoder.layer_norm")
+    for name in ("aux_asr_norm", "aux_st_norm"):
+        if f"encoder.{name}.weight" in sd:
+            enc[name] = _ln(sd, f"encoder.{name}")
+    if "encoder.embed_speaker.weight" in sd:
+        enc["embed_speaker"] = {"w": sd.pop("encoder.embed_speaker.weight")}
+    params["encoder"] = enc
+
+    # --- spectrogram decoder ---
+    dec: Dict[str, Any] = {"prenet": {}}
+    n_pre = _count(sd, r"decoder\.prenet\.0\.layers\.(\d+)\.0\.weight")
+    for i in range(n_pre):
+        dec["prenet"][f"fc{i}"] = _lin(sd, f"decoder.prenet.0.layers.{i}.0",
+                                       {})
+    dec["prenet_proj"] = _lin(sd, "decoder.prenet.1", {})
+    dec["pos_emb_alpha"] = sd.pop("decoder.pos_emb_alpha")
+    n_dec = _count(sd, r"decoder\.transformer_layers\.(\d+)\.fc1\.weight")
+    for i in range(n_dec):
+        dec[f"layer{i}"] = _dec_layer(sd, f"decoder.transformer_layers.{i}")
+    if "decoder.layer_norm.weight" in sd:
+        dec["final_ln"] = _ln(sd, "decoder.layer_norm")
+    dec["feat_proj"] = _lin(sd, "decoder.feat_proj", {})
+    dec["eos_proj"] = _lin(sd, "decoder.eos_proj", {})
+    if "decoder.ctc_proj.weight" in sd:
+        dec["ctc_proj"] = _lin(sd, "decoder.ctc_proj", {})
+    if "decoder.ctc_proj_tgt.weight" in sd:
+        dec["ctc_proj_tgt"] = _lin(sd, "decoder.ctc_proj_tgt", {})
+    if "decoder.embed_speaker.weight" in sd:
+        dec["embed_speaker"] = {"w": sd.pop("decoder.embed_speaker.weight")}
+    # postnet: conv (idx 0) + batchnorm (idx 1) per block
+    post: Dict[str, Any] = {}
+    post_stats: Dict[str, Any] = {}
+    n_post = _count(sd, r"decoder\.postnet\.convolutions\.(\d+)\.0\.weight")
+    for i in range(n_post):
+        pre = f"decoder.postnet.convolutions.{i}"
+        post[f"conv{i}"] = _conv(sd, pre + ".0")
+        post[f"bn{i}"] = {"scale": sd.pop(pre + ".1.weight"),
+                          "bias": sd.pop(pre + ".1.bias")}
+        post_stats[f"bn{i}"] = {
+            "mean": sd.pop(pre + ".1.running_mean"),
+            "var": sd.pop(pre + ".1.running_var"),
+            "count": np.asarray(
+                sd.pop(pre + ".1.num_batches_tracked", 0), np.int32),
+        }
+    dec["postnet"] = post
+    stats["postnet"] = post_stats
+    params["decoder"] = dec
+
+    # --- aux text decoders ---
+    for which in ("aux_asr_decoder", "aux_st_decoder"):
+        if f"{which}.embed_tokens.weight" not in sd:
+            continue
+        aux: Dict[str, Any] = {
+            "embed": {"w": sd.pop(f"{which}.embed_tokens.weight")}}
+        n_aux = _count(sd, rf"{which}\.layers\.(\d+)\.fc1\.weight")
+        for i in range(n_aux):
+            aux[f"layer{i}"] = _dec_layer(sd, f"{which}.layers.{i}")
+        if f"{which}.layer_norm.weight" in sd:
+            aux["final_ln"] = _ln(sd, f"{which}.layer_norm")
+        aux["out_proj"] = {
+            "w": sd.pop(f"{which}.output_projection.weight").T.copy()}
+        params[which] = aux
+
+    # hubert lives in its own checkpoint normally; accept inline too
+    hub_keys = [k for k in sd if k.startswith("hubert.")]
+    if hub_keys:
+        from .hubert import load_torch_hubert  # noqa: F401  (doc pointer)
+        logger.info(f"{len(hub_keys)} hubert.* keys present; load them via "
+                    "models.hubert.load_torch_hubert on the hubert ckpt")
+        for k in hub_keys:
+            sd.pop(k)
+
+    leftover = [k for k in sd if "embed_positions" not in k
+                and "version" not in k]
+    if leftover:
+        logger.warning(f"unmapped checkpoint keys: {leftover[:10]}"
+                       f"{'...' if len(leftover) > 10 else ''}")
+    return {"params": params, "stats": stats}
+
+
+def load_fairseq_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a reference .pt checkpoint into {"params","stats"} trees."""
+    import torch
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    sd = state.get("model", state)
+    sd = {k: v.detach().float().numpy() if torch.is_tensor(v)
+          else np.asarray(v, np.float32) for k, v in sd.items()}
+    return from_fairseq_state_dict(sd)
+
+
+# ---------------------------------------------------------------------------
+# export (ours -> fairseq names); inverse of the above
+# ---------------------------------------------------------------------------
+
+def _unlin(p, prefix, sd):
+    sd[prefix + ".weight"] = np.asarray(p["w"]).T.copy()
+    if "b" in p:
+        sd[prefix + ".bias"] = np.asarray(p["b"])
+
+
+def _unln(p, prefix, sd):
+    sd[prefix + ".weight"] = np.asarray(p["scale"])
+    sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def _unconv(p, prefix, sd):
+    sd[prefix + ".weight"] = np.transpose(np.asarray(p["w"]), (2, 1, 0)).copy()
+    if "b" in p:
+        sd[prefix + ".bias"] = np.asarray(p["b"])
+
+
+def _unmha(p, prefix, sd):
+    for ours, theirs in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                         ("out", "out_proj")):
+        _unlin(p[ours], f"{prefix}.{theirs}", sd)
+
+
+def _undec_layer(p, prefix, sd):
+    _unmha(p["self_attn"], prefix + ".self_attn", sd)
+    _unln(p["self_attn_ln"], prefix + ".self_attn_layer_norm", sd)
+    _unmha(p["cross_attn"], prefix + ".encoder_attn", sd)
+    _unln(p["cross_attn_ln"], prefix + ".encoder_attn_layer_norm", sd)
+    _unlin(p["fc1"], prefix + ".fc1", sd)
+    _unlin(p["fc2"], prefix + ".fc2", sd)
+    _unln(p["final_ln"], prefix + ".final_layer_norm", sd)
+
+
+def to_fairseq_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    params = variables["params"]
+    stats = variables["stats"]
+    sd: Dict[str, np.ndarray] = {}
+
+    enc = params["encoder"]
+    for name, p in enc["subsample"].items():
+        i = int(name[4:])
+        _unconv(p, f"encoder.subsample.conv_layers.{i}", sd)
+    for name, p in enc.items():
+        if name.startswith("layer") and name != "layer_norm":
+            i = int(name[5:])
+            pre = f"encoder.transformer_layers.{i}"
+            _unmha(p["self_attn"], pre + ".self_attn", sd)
+            _unln(p["self_attn_ln"], pre + ".self_attn_layer_norm", sd)
+            _unlin(p["fc1"], pre + ".fc1", sd)
+            _unlin(p["fc2"], pre + ".fc2", sd)
+            _unln(p["final_ln"], pre + ".final_layer_norm", sd)
+    if "final_ln" in enc:
+        _unln(enc["final_ln"], "encoder.layer_norm", sd)
+    for name in ("aux_asr_norm", "aux_st_norm"):
+        if name in enc:
+            _unln(enc[name], f"encoder.{name}", sd)
+    if "embed_speaker" in enc:
+        sd["encoder.embed_speaker.weight"] = np.asarray(
+            enc["embed_speaker"]["w"])
+
+    dec = params["decoder"]
+    for name, p in dec["prenet"].items():
+        i = int(name[2:])
+        _unlin(p, f"decoder.prenet.0.layers.{i}.0", sd)
+    _unlin(dec["prenet_proj"], "decoder.prenet.1", sd)
+    sd["decoder.pos_emb_alpha"] = np.asarray(dec["pos_emb_alpha"])
+    for name, p in dec.items():
+        if name.startswith("layer") and name != "layer_norm":
+            i = int(name[5:])
+            _undec_layer(p, f"decoder.transformer_layers.{i}", sd)
+    if "final_ln" in dec:
+        _unln(dec["final_ln"], "decoder.layer_norm", sd)
+    _unlin(dec["feat_proj"], "decoder.feat_proj", sd)
+    _unlin(dec["eos_proj"], "decoder.eos_proj", sd)
+    for name in ("ctc_proj", "ctc_proj_tgt"):
+        if name in dec:
+            _unlin(dec[name], f"decoder.{name}", sd)
+    if "embed_speaker" in dec:
+        sd["decoder.embed_speaker.weight"] = np.asarray(
+            dec["embed_speaker"]["w"])
+    for name, p in dec["postnet"].items():
+        if name.startswith("conv"):
+            i = int(name[4:])
+            _unconv(p, f"decoder.postnet.convolutions.{i}.0", sd)
+        elif name.startswith("bn"):
+            i = int(name[2:])
+            pre = f"decoder.postnet.convolutions.{i}.1"
+            sd[pre + ".weight"] = np.asarray(p["scale"])
+            sd[pre + ".bias"] = np.asarray(p["bias"])
+            st = stats["postnet"][f"bn{i}"]
+            sd[pre + ".running_mean"] = np.asarray(st["mean"])
+            sd[pre + ".running_var"] = np.asarray(st["var"])
+            sd[pre + ".num_batches_tracked"] = np.asarray(st["count"])
+
+    for which in ("aux_asr_decoder", "aux_st_decoder"):
+        if which not in params:
+            continue
+        aux = params[which]
+        sd[f"{which}.embed_tokens.weight"] = np.asarray(aux["embed"]["w"])
+        for name, p in aux.items():
+            if name.startswith("layer") and name != "layer_norm":
+                i = int(name[5:])
+                _undec_layer(p, f"{which}.layers.{i}", sd)
+        if "final_ln" in aux:
+            _unln(aux["final_ln"], f"{which}.layer_norm", sd)
+        sd[f"{which}.output_projection.weight"] = np.asarray(
+            aux["out_proj"]["w"]).T.copy()
+    return sd

@@ -328,6 +328,7 @@ def get_generation_parser() -> argparse.ArgumentParser:
     add_common_args(parser)
     add_task_args(parser)
     add_model_args(parser)
+    add_criterion_args(parser)  # weights decide which aux heads exist
     add_generation_args(parser)
     return parser
 

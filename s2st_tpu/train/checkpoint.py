@@ -111,9 +111,39 @@ def restore_state(state, path: str, reset_optimizer: bool = False):
     return new_state, meta
 
 
+def load_variables_any(path: str, template=None):
+    """Load {"params","stats"} from either our .npz format or a reference
+    fairseq torch .pt checkpoint (auto-detected by extension)."""
+    if path.endswith(".pt") or path.endswith(".bin"):
+        from ..models.torch_import import load_fairseq_checkpoint
+        return load_fairseq_checkpoint(path)
+    flat, _ = load_checkpoint_file(path)
+    assert template is not None, "npz load needs a template tree"
+    return {
+        "params": unflatten_into(template["params"], flat, "params" + _SEP),
+        "stats": unflatten_into(template["stats"], flat, "stats" + _SEP,
+                                strict=False),
+    }
+
+
 def load_pretrained_component(variables, path: str, component: str):
     """Warm-start one component ("encoder"/"decoder"/...) from a checkpoint
-    (checkpoint_utils.load_pretrained_component_from_model parity)."""
+    (checkpoint_utils.load_pretrained_component_from_model parity).
+    Accepts our .npz or a fairseq .pt."""
+    if path.endswith(".pt") or path.endswith(".bin"):
+        loaded = load_variables_any(path)
+        new_params = dict(variables["params"])
+        src = loaded["params"][component]
+        # shape-check against the template
+        jax.tree_util.tree_map(
+            lambda a, b: (_ for _ in ()).throw(ValueError(
+                f"shape mismatch {a.shape} vs {b.shape}"))
+            if tuple(np.asarray(a).shape) != tuple(b.shape) else None,
+            src, variables["params"][component])
+        new_params[component] = jax.tree_util.tree_map(
+            lambda a, b: jnp.asarray(a, b.dtype), src,
+            variables["params"][component])
+        return {"params": new_params, "stats": variables["stats"]}
     flat, _ = load_checkpoint_file(path)
     prefix = "params" + _SEP + component + _SEP
     sub = {k[len("params" + _SEP):]: v for k, v in flat.items()
