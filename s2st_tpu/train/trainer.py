@@ -278,7 +278,10 @@ class Trainer:
         batch = {k: v for k, v in host_batch.items() if k not in drop}
         batch["src_txt_ntokens"] = np.int32(host_batch.get("src_txt_ntokens", 0))
         batch["tgt_txt_ntokens"] = np.int32(host_batch.get("tgt_txt_ntokens", 0))
-        if self.cfg.dtype == jnp.bfloat16:
+        # T2S/S2T configs nest the S2STConfig under .base
+        dtype = getattr(self.cfg, "dtype", None) or \
+            getattr(getattr(self.cfg, "base", None), "dtype", None)
+        if dtype == jnp.bfloat16:
             # --fp16 parity: the reference ships half-precision batches
             # (trainer.py:1214 fp16 cast); halves host->device bytes. The
             # loss still compares targets in fp32 after upcast.
