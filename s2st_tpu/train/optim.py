@@ -127,11 +127,42 @@ def adagrad() -> optax.GradientTransformation:
     return optax.scale_by_rss()
 
 
+def adadelta(rho: float = 0.9, eps: float = 1e-6):
+    return optax.scale_by_adadelta(rho=rho, eps=eps)
+
+
+def adamax(betas: Tuple[float, float] = (0.9, 0.999), eps: float = 1e-8):
+    return optax.scale_by_adamax(b1=betas[0], b2=betas[1], eps=eps)
+
+
+def nag(momentum: float = 0.99):
+    """Nesterov accelerated gradient (fairseq/optim/nag.py)."""
+    return optax.trace(decay=momentum, nesterov=True)
+
+
+def lamb(betas: Tuple[float, float] = (0.9, 0.999), eps: float = 1e-8,
+         weight_decay: float = 0.0):
+    """fused_lamb parity via optax (LAMB trust-ratio scaling)."""
+    return optax.chain(
+        optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_trust_ratio())
+
+
+def rmsprop(decay: float = 0.99, eps: float = 1e-8):
+    return optax.scale_by_rms(decay=decay, eps=eps)
+
+
 OPTIMIZER_REGISTRY = {
     "adam": adam,
     "adafactor": adafactor,
     "sgd": sgd,
     "adagrad": adagrad,
+    "adadelta": adadelta,
+    "adamax": adamax,
+    "nag": nag,
+    "lamb": lamb,
+    "rmsprop": rmsprop,
 }
 
 
