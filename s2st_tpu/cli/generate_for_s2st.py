@@ -66,7 +66,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         f"checkpoint has no {which}; train with the matching ce-weight"
 
     bs_cfg = BeamConfig(beam=args.beam,
-                        max_len=min(200, model_cfg.max_target_positions))
+                        max_len=min(200, model_cfg.max_target_positions),
+                        len_penalty=args.lenpen,
+                        no_repeat_ngram_size=args.no_repeat_ngram_size)
 
     @jax.jit
     def infer(variables, src_speech, src_speech_lens):

@@ -142,9 +142,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     eval_fn = None
     if args.eval_inference and args.arch.startswith("s2st"):
-        eval_fn = jax.jit(task.build_eval_inference_fn(
+        _raw_eval = task.build_eval_inference_fn(
             model_cfg, max_iter=max(64, args.max_target_positions //
-                                    max(args.n_frames_per_step, 1))))
+                                    max(args.n_frames_per_step, 1)))
+        eval_fn = jax.jit(_raw_eval)
+        eval_fn.sample_rate = getattr(_raw_eval, "sample_rate", 16000)
 
     progress = ProgressLogger(log_format=args.log_format,
                               log_interval=args.log_interval,
@@ -294,8 +296,22 @@ def validate(args, task, trainer, state, eval_fn, progress, rng):
             out = eval_fn(state.variables(), db["src_speech"],
                           db["src_speech_lens"], db["tgt_speech"],
                           db["target_lengths"], jax.random.fold_in(rng, n))
+            host = jax.device_get({k: out[k] for k in mcd_sums})
             for k in mcd_sums:
-                mcd_sums[k] += float(out[k])
+                mcd_sums[k] += float(host[k])
+            if n == 1 and progress._tb is not None:
+                # audio/spectrogram/attention panels on the first batch
+                wl = int(jax.device_get(out["example_wave_len"]))
+                progress.log_audio(
+                    "valid/pred_audio",
+                    jax.device_get(out["example_wave"])[:max(wl, 1)],
+                    getattr(eval_fn, "sample_rate", 16000), step=n)
+                progress.log_spectrogram(
+                    "valid/pred_spectrogram",
+                    jax.device_get(out["example_feats"]), step=n)
+                progress.log_attention(
+                    "valid/attention", jax.device_get(out["example_attn"]),
+                    step=n)
     stats = {k: agg[k] / max(weights[k], 1.0) for k in agg}
     if eval_fn is not None and mcd_sums["targ_frames"] > 0:
         stats["mcd_loss"] = mcd_sums["mcd_loss"] / mcd_sums["targ_frames"]

@@ -69,6 +69,36 @@ def _length_penalty(length, alpha):
     return length.astype(jnp.float32) ** alpha
 
 
+def _ngram_ban_mask(tokens: jnp.ndarray, t, vocab: int, n: int) -> jnp.ndarray:
+    """(B, K, V) additive mask banning tokens that would repeat an n-gram
+    (NGramRepeatBlock parity, fairseq/ngram_repeat_block.py:39 — the CUDA
+    kernel's job as pure vectorized XLA inside the decode loop).
+
+    tokens[:, :, :t+1] is the generated prefix (position 0 = bos). A token v
+    is banned at step t+1 if [tokens[t-n+2..t], v] already occurs in the
+    prefix."""
+    b, k, L = tokens.shape
+    m = n - 1                                  # context length
+    # trailing context: tokens at positions t-m+1 .. t  -> (B, K, m)
+    ctx = jnp.stack([
+        jnp.take(tokens, jnp.maximum(t - m + 1 + i, 0), axis=2)
+        for i in range(m)], axis=-1)
+    # all historical m-grams starting at j (j+m-1 <= t-1 so the banned token
+    # j+m is within the prefix): match[b,k,j] = prefix[j..j+m-1] == ctx
+    pos = jnp.arange(L)
+    match = jnp.ones((b, k, L), bool)
+    for i in range(m):
+        shifted = jnp.roll(tokens, -i, axis=2)         # tokens[j+i] at col j
+        match = match & (shifted == ctx[..., i:i + 1])
+    valid = (pos[None, None, :] + m <= t) & (pos[None, None, :] + m >= 1)
+    match = match & valid & (t + 1 >= n)
+    # banned token for match at j is tokens[j+m]
+    nxt = jnp.roll(tokens, -m, axis=2)                 # tokens[j+m] at col j
+    onehot = jax.nn.one_hot(nxt, vocab, dtype=jnp.float32)  # (B,K,L,V)
+    banned = jnp.einsum("bkl,bklv->bkv", match.astype(jnp.float32), onehot)
+    return jnp.where(banned > 0, NEG_INF, 0.0)
+
+
 def _gather_beams(tree, beam_idx, b, k):
     """Reorder the leading N=B*K axis of every leaf by (B, K) beam indices."""
     flat = (jnp.arange(b)[:, None] * k + beam_idx).reshape(-1)
@@ -141,6 +171,9 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
                                        s["caches"], cross_kvs, enc_pad_k)
         lprobs = lprobs.reshape(b, k, vocab)
         lprobs = lprobs.at[:, :, PAD].set(NEG_INF)  # never emit pad
+        if bs_cfg.no_repeat_ngram_size > 0:
+            lprobs = lprobs + _ngram_ban_mask(
+                s["alive_tokens"], t, vocab, bs_cfg.no_repeat_ngram_size)
         cand = s["alive_scores"][:, :, None] + lprobs  # (B, K, V)
 
         # top 2K candidates over K*V

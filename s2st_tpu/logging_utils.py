@@ -222,3 +222,34 @@ class ProgressLogger:
             if isinstance(v, (int, float)):
                 self._tb.add_scalar(f"{tag}/{k}", v, step)
         self._tb.flush()
+
+    def log_audio(self, tag: str, wave, sample_rate: int, step: int = 0):
+        """Validation audio panel (tasks/s2s_translation.py:266-310 parity)."""
+        if self._tb is None:
+            return
+        import numpy as np
+        w = np.asarray(wave, dtype=np.float32).reshape(-1)
+        peak = max(float(np.abs(w).max()), 1e-8)
+        self._tb.add_audio(tag, (w / peak)[None, :], step,
+                           sample_rate=sample_rate)
+        self._tb.flush()
+
+    def log_spectrogram(self, tag: str, spec, step: int = 0):
+        """(T, n_mels) spectrogram as a normalized image panel."""
+        if self._tb is None:
+            return
+        import numpy as np
+        s = np.asarray(spec, dtype=np.float32).T  # (mels, T)
+        s = s - s.min()
+        s = s / max(float(s.max()), 1e-8)
+        self._tb.add_image(tag, s[None, ::-1, :], step)
+        self._tb.flush()
+
+    def log_attention(self, tag: str, attn, step: int = 0):
+        if self._tb is None:
+            return
+        import numpy as np
+        a = np.asarray(attn, dtype=np.float32)
+        a = a / max(float(a.max()), 1e-8)
+        self._tb.add_image(tag, a[None], step)
+        self._tb.flush()

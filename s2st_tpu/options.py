@@ -214,6 +214,8 @@ def add_generation_args(parser: argparse.ArgumentParser):
     p.add_argument("--dump-target", action="store_true")
     p.add_argument("--output-sample-rate", type=int, default=16000)
     p.add_argument("--beam", type=int, default=5)
+    p.add_argument("--lenpen", type=float, default=1.0)
+    p.add_argument("--no-repeat-ngram-size", type=int, default=0)
     p.add_argument("--scoring", default="sacrebleu")
     p.add_argument("--wer-tokenizer", default="none")
     p.add_argument("--wer-lowercase", action="store_true")

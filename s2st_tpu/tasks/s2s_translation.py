@@ -200,8 +200,16 @@ class S2STranslationTask:
             tgt_wave = dsp.griffin_lim(tgt_lin, n_fft, win, hop, gl_iters,
                                        jax.random.fold_in(rng, 2))
             tgt_wlen = target_lengths * model_cfg.n_frames_per_step * hop
-            return batch_mcd(pred_wave, pred_wlen, tgt_wave, tgt_wlen, sr)
+            sums = batch_mcd(pred_wave, pred_wlen, tgt_wave, tgt_wlen, sr)
+            # first-utterance panels for tensorboard
+            # (tasks/s2s_translation.py:266-310 audio/spectrogram logging)
+            sums["example_wave"] = pred_wave[0]
+            sums["example_wave_len"] = pred_wlen[0]
+            sums["example_feats"] = out["feats"][0]
+            sums["example_attn"] = out["attn"][0]
+            return sums
 
+        fn.sample_rate = sr
         return fn
 
 

@@ -86,17 +86,55 @@ def tri_stage_schedule(lr: float, warmup_steps: int, hold_steps: int,
     return sched
 
 
-SCHEDULE_REGISTRY = {
-    "inverse_sqrt": inverse_sqrt_schedule,
-    "fixed": fixed_schedule,
-    "polynomial_decay": polynomial_decay_schedule,
-    "cosine": cosine_schedule,
-    "tri_stage": tri_stage_schedule,
-}
+SCHEDULE_REGISTRY: dict = {}
+
+
+def _register_schedules():
+    SCHEDULE_REGISTRY.update({
+        "inverse_sqrt": inverse_sqrt_schedule,
+        "fixed": fixed_schedule,
+        "polynomial_decay": polynomial_decay_schedule,
+        "cosine": cosine_schedule,
+        "tri_stage": tri_stage_schedule,
+        "step": step_schedule,
+        "triangular": triangular_schedule,
+        "pass_through": pass_through_schedule,
+    })
+
+
+def step_schedule(lr: float, warmup_updates: int = 0,
+                  decay_updates: int = 50000, decay_factor: float = 0.5
+                  ) -> Callable:
+    def sched(num_updates):
+        import jax.numpy as jnp
+        warm = jnp.minimum(num_updates / max(warmup_updates, 1), 1.0)
+        n_decays = jnp.floor(num_updates / decay_updates)
+        return lr * warm * decay_factor ** n_decays
+    return sched
+
+
+def triangular_schedule(lr: float, warmup_updates: int = 0,
+                        max_lr: float = None, period: int = 5000) -> Callable:
+    max_lr = max_lr or lr * 10
+    def sched(num_updates):
+        import jax.numpy as jnp
+        cycle = jnp.abs((num_updates / period) % 2.0 - 1.0)
+        return lr + (max_lr - lr) * (1.0 - cycle)
+    return sched
+
+
+def pass_through_schedule(lr: float, **kw) -> Callable:
+    return lambda num_updates: lr
 
 
 def build_schedule(name: str, lr: float, **kw) -> Callable:
-    return SCHEDULE_REGISTRY[name](lr, **kw)
+    if not SCHEDULE_REGISTRY:
+        _register_schedules()
+    import inspect
+    fn = SCHEDULE_REGISTRY[name]
+    accepted = set(inspect.signature(fn).parameters)
+    kw = {k: v for k, v in kw.items() if k in accepted}
+    return fn(lr, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -208,3 +208,21 @@ def test_validate_and_score_clis(corpus, tmp_path, capsys):
                      "--scoring", "wer"])
     out = capsys.readouterr().out
     assert rc == 0 and "WER: 0.00" in out
+
+
+def test_tensorboard_panels(corpus, tmp_path):
+    """--tensorboard-logdir + --eval-inference writes scalar, audio,
+    spectrogram and attention events (task tensorboard logging parity)."""
+    pytest.importorskip("torch.utils.tensorboard")
+    from s2st_tpu.cli.train import main as train_main
+    tb_dir = tmp_path / "tb"
+    rc = train_main(_train_args(
+        corpus, tmp_path / "ckpts_tb",
+        extra=["--eval-inference", "--best-checkpoint-metric", "mcd_loss",
+               "--spec-bwd-max-iter", "2", "--max-epoch", "1",
+               "--tensorboard-logdir", str(tb_dir)]))
+    assert rc == 0
+    events = list(tb_dir.glob("events.*"))
+    assert events, "no tensorboard event files written"
+    # the audio/image panels make events files much larger than scalars only
+    assert sum(e.stat().st_size for e in events) > 5000

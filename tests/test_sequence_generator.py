@@ -114,3 +114,26 @@ def test_beam_search_jits(tiny_cfg, tiny_variables, enc_state):
     out = f(tiny_variables, enc_state["out_middle_layers"][0],
             enc_state["encoder_padding_mask"])
     assert np.asarray(out["tokens"]).shape[:2] == (2, 2)
+
+
+def test_no_repeat_ngram_blocking(tiny_cfg, tiny_variables, enc_state):
+    """With no_repeat_ngram_size=2, no generated hypothesis may contain a
+    repeated bigram (NGramRepeatBlock parity)."""
+    out = beam_search_aux(tiny_variables, tiny_cfg, "aux_asr_decoder",
+                          enc_state["out_middle_layers"][0],
+                          enc_state["encoder_padding_mask"],
+                          BeamConfig(beam=3, max_len=20,
+                                     no_repeat_ngram_size=2))
+    tokens = np.asarray(out["tokens"])
+    lengths = np.asarray(out["lengths"])
+    for b in range(tokens.shape[0]):
+        for k in range(tokens.shape[1]):
+            n = int(lengths[b, k])
+            seq = tokens[b, k, 1:n]  # exclude bos; final token may be
+            bigrams = set()
+            for i in range(len(seq) - 1):
+                bg = (int(seq[i]), int(seq[i + 1]))
+                if bg[1] == 2:  # forced final EOS at max_len is exempt
+                    continue
+                assert bg not in bigrams, (b, k, seq)
+                bigrams.add(bg)
