@@ -174,9 +174,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     epoch = start_epoch
     stop = False
 
+    from ..data.iterators import BufferedIterator
+
     while not stop and epoch <= max_epoch:
+        if args.profile and epoch == start_epoch:
+            # --profile: jax trace of the first epoch (torch.cuda.profiler
+            # parity, fairseq_cli/train.py:503-506)
+            jax.profiler.start_trace("/tmp/s2st_tpu_profile")
         uf = update_freq[min(epoch - 1, len(update_freq) - 1)]
-        itr = GroupedIterator(epoch_itr.next_epoch_itr(shuffle=True), uf)
+        # background-thread prefetch: host __getitem__/collate overlaps the
+        # device step (BufferedIterator parity)
+        itr = GroupedIterator(
+            BufferedIterator(epoch_itr.next_epoch_itr(shuffle=True)), uf)
         inner_metrics: dict = {}
         metrics: dict = {}
         n_updates_epoch = 0
@@ -222,6 +231,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             if num_updates >= max_update:
                 stop = True
                 break
+
+        if args.profile and epoch == start_epoch:
+            jax.profiler.stop_trace()
+            logger.info("profiler trace at /tmp/s2st_tpu_profile")
 
         if not inner_metrics and metrics:
             # epoch ended between log points: fetch the last step's metrics

@@ -163,9 +163,12 @@ class EpochBatchIterator:
         items = [self.dataset[int(i)] for i in idxs]
         kw = {}
         if self.snap_shapes:
+            def src_len(it):
+                arr = it.src_speech if it.src_speech is not None else it.src_orig
+                return arr.shape[0]
             kw = dict(
                 pad_batch=snap_len(len(items), 8),
-                pad_src_t=snap_len(max(it.src_speech.shape[0] for it in items)),
+                pad_src_t=snap_len(max(src_len(it) for it in items)),
                 pad_tgt_t=snap_len(max(it.tgt_speech.shape[0] for it in items)),
                 pad_src_txt=snap_len(max(len(it.src_text) for it in items), 8),
                 pad_tgt_txt=snap_len(max(len(it.tgt_text) for it in items), 8),
@@ -202,3 +205,40 @@ class GroupedIterator:
                 chunk = []
         if chunk and not self.skip_remainder_batch:
             yield chunk
+
+
+class BufferedIterator:
+    """Background-thread prefetch (fairseq/data/iterators.py:551-640
+    BufferedIterator parity): __getitem__ + collate run in a daemon thread
+    so host data prep overlaps device steps."""
+
+    _END = object()
+
+    def __init__(self, iterable, buffer_size: int = 2):
+        import queue
+        import threading
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(buffer_size, 1))
+        self._exc = None
+
+        def worker():
+            try:
+                for item in iterable:
+                    self._queue.put(item)
+            except BaseException as e:  # surfaced on the consumer side
+                self._exc = e
+            finally:
+                self._queue.put(self._END)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._END:
+            if self._exc is not None:
+                raise self._exc
+            raise StopIteration
+        return item

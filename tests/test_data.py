@@ -170,3 +170,38 @@ def test_collate_static_shape_padding(tiny_cfg):
     assert batch["prev_src_text_tokens"][0, 0] == 2
     np.testing.assert_array_equal(batch["prev_src_text_tokens"][0, 1:3],
                                   batch["src_text"][0, :2])
+
+
+def test_buffered_iterator():
+    from s2st_tpu.data.iterators import BufferedIterator
+    items = list(BufferedIterator(iter(range(20)), buffer_size=3))
+    assert items == list(range(20))
+
+    def boom():
+        yield 1
+        raise ValueError("boom")
+    it = BufferedIterator(boom())
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        next(it)
+
+
+def test_utterance_cmvn_and_specaugment():
+    from s2st_tpu.data.feature_transforms import SpecAugment, UtteranceCMVN
+    r = np.random.RandomState(0)
+    x = (r.randn(40, 8) * 3 + 5).astype(np.float32)
+    out = UtteranceCMVN(norm_means=True, norm_vars=True)(x)
+    np.testing.assert_allclose(out.mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(out.std(0), 1.0, atol=1e-4)
+
+    sa = SpecAugment(time_warp_w=0, freq_mask_n=2, freq_mask_f=3,
+                     time_mask_n=2, time_mask_t=5, time_mask_p=1.0,
+                     rng=np.random.RandomState(7))
+    masked = sa(x.copy())
+    assert masked.shape == x.shape
+    # masked cells take the spectrogram mean (specaugment.py parity)
+    n_masked = int((masked != x).sum())
+    assert 0 < n_masked < masked.size
+    changed = masked[masked != x]
+    np.testing.assert_allclose(changed, x.mean(), atol=1e-5)
