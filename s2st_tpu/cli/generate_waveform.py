@@ -94,12 +94,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ..train.trainer import create_train_state
 
     task = get_task(args.task).setup_task(args)
-    model_cfg = task.build_model_config()
+    full_cfg, init_fn, _ = task.build_model_and_loss()
+    is_t2s = args.arch.startswith("t2s_transformer")
+    model_cfg = full_cfg.base if is_t2s else full_cfg
 
     # load checkpoint (ensemble: first path; averaging handled offline).
     # .pt paths are reference fairseq checkpoints (torch_import mapping).
     path = args.path.split(":")[0]
-    variables = m.init_s2st(jax.random.PRNGKey(0), model_cfg)
+    variables = init_fn(jax.random.PRNGKey(0))
     if path.endswith(".pt") or path.endswith(".bin"):
         variables = ckpt.load_variables_any(path)
         logger.info(f"loaded fairseq checkpoint {path}")
@@ -115,6 +117,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         max_iter=min(args.max_iter, model_cfg.max_target_positions //
                      max(model_cfg.n_frames_per_step, 1)),
         eos_prob_threshold=args.eos_prob_threshold)
+
+    if is_t2s:
+        # pseudo-label TTS mode (t2s_transformer: text in, spectrogram out —
+        # generate_waveform's "input-text" path in the reference)
+        from ..models import t2s_transformer as t2s
+        from ..generate.speech_generator import generate_from_encoder_out
+
+        @jax.jit
+        def infer_t2s(variables, src_text, rng):
+            enc = t2s.encode(variables, full_cfg, src_text,
+                             deterministic=True)
+            dec_vars = {"params": variables["params"],
+                        "stats": {"postnet": variables["stats"]["postnet"]}}
+            return generate_from_encoder_out(
+                dec_vars, model_cfg, gen_cfg, enc, rng=rng,
+                gcmvn_mean=gcmvn_mean, gcmvn_std=gcmvn_std)
 
     @jax.jit
     def infer(variables, src_speech, src_speech_lens, rng):
@@ -138,7 +156,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     n_done = 0
     for bi, batch in enumerate(itr.next_epoch_itr(shuffle=False)):
         sub = jax.random.fold_in(rng, bi)
-        if args.teacher_forcing:
+        if is_t2s:
+            out = infer_t2s(variables, jnp.asarray(batch["src_text"]), sub)
+        elif args.teacher_forcing:
             db = {k: v for k, v in batch.items()
                   if isinstance(v, np.ndarray) or np.isscalar(v)}
             db.pop("id", None)

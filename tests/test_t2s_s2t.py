@@ -278,3 +278,43 @@ def test_heartbeat_and_nonfinite_report():
                                    "b": np.ones(3)})
     assert "a" in rep and "1/2" in rep
     assert "b" not in rep
+
+
+def test_t2s_generate_waveform_cli(tmp_path):
+    """Pseudo-label TTS generation: train t2s, synthesize waveforms from
+    TEXT input via generate_waveform (the reference's input-text mode)."""
+    from tests.make_tiny_corpus import make_tiny_corpus
+    from s2st_tpu.cli.train import main as train_main
+    from s2st_tpu.cli.generate_waveform import main as gen_main
+    corpus = make_tiny_corpus(tmp_path / "corpus")
+    save = tmp_path / "ckpts"
+    common_model = [
+        "--arch", "t2s_transformer",
+        "--encoder-conv-layers", "1", "--encoder-transformer-layers", "1",
+        "--encoder-embed-dim", "16", "--encoder-ffn-embed-dim", "32",
+        "--encoder-attention-heads", "2",
+        "--decoder-layers", "1", "--decoder-embed-dim", "16",
+        "--decoder-ffn-embed-dim", "32", "--decoder-attention-heads", "2",
+        "--prenet-dim", "8", "--prenet-layers", "1",
+        "--postnet-layers", "1", "--postnet-conv-dim", "8",
+        "--output-frame-dim", "8",
+        "--max-source-positions", "128", "--max-target-positions", "64",
+        "--required-batch-size-multiple", "1",
+    ]
+    rc = train_main([
+        str(corpus), "--save-dir", str(save), "--config-yaml", "config.yaml",
+        "--train-subset", "train", "--valid-subset", "dev",
+        "--criterion", "t2s_loss", *common_model,
+        "--max-tokens", "2000", "--max-epoch", "1",
+        "--optimizer", "adam", "--lr", "0.001",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "4",
+        "--clip-norm", "1.0"])
+    assert rc == 0
+    results = tmp_path / "dump"
+    rc = gen_main([
+        str(corpus), "--config-yaml", "config.yaml", "--gen-subset", "test",
+        "--path", str(save / "checkpoint_last.npz"), *common_model,
+        "--max-tokens", "2000", "--max-iter", "8", "--spec-bwd-max-iter", "2",
+        "--dump-waveforms", "--results-path", str(results)])
+    assert rc == 0
+    assert len(list((results / "wav").glob("*_pred.wav"))) == 4
