@@ -20,7 +20,7 @@ to the MXU and synthesis stays in HBM end to end.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -219,3 +219,51 @@ def load_torch_generator(path: str, cfg: HiFiGANConfig) -> Dict[str, Any]:
             params[f"res_{i}_{j}"] = blk
     params["conv_post"] = _t_conv(sd, "conv_post")
     return params
+
+
+def receptive_field_frames(cfg: HiFiGANConfig) -> int:
+    """Upper bound on the generator's receptive field in INPUT mel frames:
+    conv_pre + each stage's resblock stack mapped back through the
+    cumulative upsampling factor."""
+    rf = 3  # conv_pre k=7 -> +-3
+    up = 1
+    for i, (u, k) in enumerate(
+            zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        up *= u
+        stage_rf = k  # transpose conv spread
+        for rk, rd in zip(cfg.resblock_kernel_sizes,
+                          cfg.resblock_dilation_sizes):
+            stage_rf += sum((rk - 1) * d + (rk - 1) for d in rd)
+        rf += -(-stage_rf // up)  # ceil back to input frames
+    return rf + 4  # conv_post + margin
+
+
+def synthesize_streaming(params, x, cfg: HiFiGANConfig,
+                         chunk_frames: int = 64,
+                         overlap: Optional[int] = None):
+    """Chunked synthesis fully on-device (BASELINE config: 'streaming
+    chunked synthesis'): mel (B, T, M) is processed in fixed chunks with
+    receptive-field overlap; interior samples are bit-identical to
+    full-sequence synthesis, so chunks concatenate seamlessly. Latency per
+    chunk = chunk_frames * hop / sr (e.g. 64 frames = 0.8 s at 80 fps).
+    """
+    import numpy as _np
+    b, t, mels = x.shape
+    ov = overlap if overlap is not None else receptive_field_frames(cfg)
+    up = int(_np.prod(cfg.upsample_rates))
+    n_chunks = -(-t // chunk_frames)
+    t_pad = n_chunks * chunk_frames
+    xp = jnp.pad(x, ((0, 0), (ov, t_pad - t + ov), (0, 0)))
+
+    def one_chunk(carry, ci):
+        start = ci * chunk_frames
+        seg = jax.lax.dynamic_slice(
+            xp, (0, start, 0), (b, chunk_frames + 2 * ov, mels))
+        wav = synthesize(params, seg, cfg)          # (B, (chunk+2ov)*up)
+        return carry, jax.lax.dynamic_slice(
+            wav, (0, ov * up), (b, chunk_frames * up))
+
+    _, chunks = jax.lax.scan(one_chunk, 0, jnp.arange(n_chunks))
+    # chunks: (n_chunks, B, chunk*up) -> (B, T*up)
+    wave = jnp.swapaxes(chunks, 0, 1).reshape(b, n_chunks * chunk_frames * up)
+    return wave[:, : t * up]
