@@ -93,7 +93,12 @@ class EpochBatchIterator:
                  num_shards: int = 1, shard_id: int = 0,
                  shuffle: bool = True, snap_shapes: bool = True,
                  required_batch_size_multiple: int = 1,
-                 skip_remainder_batch: bool = False):
+                 skip_remainder_batch: bool = False,
+                 max_positions: Optional[int] = None):
+        """max_positions: drop samples whose source length exceeds it
+        (--skip-invalid-size-inputs-valid-test + max-source-positions
+        filtering, fairseq_task.py:168-199 parity)."""
+        self.max_positions = max_positions
         self.dataset = dataset
         self.max_tokens = max_tokens
         self.max_sentences = max_sentences
@@ -115,6 +120,13 @@ class EpochBatchIterator:
             lengths = np.asarray(
                 [self.dataset.src_frames(i) for i in range(len(self.dataset))])
             order = ordered_indices(lengths, self.shuffle, self.seed, 1)
+            if self.max_positions is not None:
+                keep = lengths[order] <= self.max_positions
+                if not keep.all():
+                    logger.warning(
+                        f"filtered {int((~keep).sum())} samples longer than "
+                        f"max_positions={self.max_positions}")
+                order = order[keep]
             self._frozen_batches = batch_by_size(
                 order, lengths, self.max_tokens, self.max_sentences,
                 self.required_batch_size_multiple)

@@ -78,12 +78,16 @@ class S2STranslationTask:
                            ) -> EpochBatchIterator:
         if split not in self.datasets:
             self.load_dataset(split)
+        max_pos = None
+        if getattr(self.args, "skip_invalid_size_inputs_valid_test", False):
+            max_pos = getattr(self.args, "max_source_positions", None)
         return EpochBatchIterator(
             self.datasets[split], max_tokens=max_tokens,
             max_sentences=max_sentences, seed=seed, num_shards=num_shards,
             shard_id=shard_id, shuffle=shuffle,
             required_batch_size_multiple=getattr(
-                self.args, "required_batch_size_multiple", 1))
+                self.args, "required_batch_size_multiple", 1),
+            max_positions=max_pos)
 
     # ------------------------------------------------------------------
     def build_model_config(self):

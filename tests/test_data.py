@@ -205,3 +205,17 @@ def test_utterance_cmvn_and_specaugment():
     assert 0 < n_masked < masked.size
     changed = masked[masked != x]
     np.testing.assert_allclose(changed, x.mean(), atol=1e-5)
+
+
+def test_max_positions_filtering():
+    """--skip-invalid-size-inputs: samples longer than max_positions are
+    dropped at batch-formation time (fairseq_task.py:168-199 parity)."""
+    ds = _FakeDataset(n=30, seed=2)
+    it = EpochBatchIterator(ds, max_tokens=500, seed=1, shuffle=False,
+                            max_positions=20)
+    seen = []
+    for b in it.next_epoch_itr(shuffle=False):
+        seen.extend(b["id"].tolist())
+    assert all(ds.src_frames(i) <= 20 for i in seen)
+    n_valid = sum(1 for i in range(len(ds)) if ds.src_frames(i) <= 20)
+    assert len(set(seen)) == n_valid
