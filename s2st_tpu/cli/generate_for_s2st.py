@@ -52,18 +52,24 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not use_asr and not model_cfg.aux_st:
         model_cfg = model_cfg.replace(aux_st=True)
 
-    path = args.path.split(":")[0]
-    variables = m.init_s2st(jax.random.PRNGKey(0), model_cfg)
-    if path.endswith(".pt") or path.endswith(".bin"):
-        variables = ckpt.load_variables_any(path)
-        logger.info(f"loaded fairseq checkpoint {path}")
-    else:
-        state = create_train_state(variables, adam())
-        state, meta = ckpt.restore_state(state, path, reset_optimizer=True)
-        variables = {"params": state.params, "stats": state.stats}
-        logger.info(f"loaded checkpoint {path} (step {meta.get('step', '?')})")
-    assert which in variables["params"], \
-        f"checkpoint has no {which}; train with the matching ce-weight"
+    # ensemble: ':'-separated checkpoint paths (EnsembleModel parity)
+    ens_vars = []
+    for path in args.path.split(":"):
+        if path.endswith(".pt") or path.endswith(".bin"):
+            v = ckpt.load_variables_any(path)
+            logger.info(f"loaded fairseq checkpoint {path}")
+        else:
+            template = m.init_s2st(jax.random.PRNGKey(0), model_cfg)
+            state = create_train_state(template, adam())
+            state, meta = ckpt.restore_state(state, path,
+                                             reset_optimizer=True)
+            v = {"params": state.params, "stats": state.stats}
+            logger.info(
+                f"loaded checkpoint {path} (step {meta.get('step', '?')})")
+        assert which in v["params"], \
+            f"{path} has no {which}; train with the matching ce-weight"
+        ens_vars.append(v)
+    variables = ens_vars[0]
 
     bs_cfg = BeamConfig(beam=args.beam,
                         max_len=min(200, model_cfg.max_target_positions),
@@ -71,12 +77,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                         no_repeat_ngram_size=args.no_repeat_ngram_size)
 
     @jax.jit
-    def infer(variables, src_speech, src_speech_lens):
-        enc = m.encode(variables, model_cfg, src_speech, src_speech_lens)
-        taps = enc["out_middle_layers"]
-        tap = taps[0] if (use_asr or len(taps) == 1) else taps[1]
-        return beam_search_aux(variables, model_cfg, which, tap,
-                               enc["encoder_padding_mask"], bs_cfg)
+    def infer(ens_vars, src_speech, src_speech_lens):
+        taps, pads = [], []
+        for v in ens_vars:
+            enc = m.encode(v, model_cfg, src_speech, src_speech_lens)
+            t = enc["out_middle_layers"]
+            taps.append(t[0] if (use_asr or len(t) == 1) else t[1])
+            pads.append(enc["encoder_padding_mask"])
+        return beam_search_aux(ens_vars, model_cfg, which, taps, pads,
+                               bs_cfg)
 
     scorer = build_scorer(args)
     itr = task.get_batch_iterator(args.gen_subset,
@@ -89,7 +98,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     t0 = time.perf_counter()
     gen_tokens = 0
     for batch in itr.next_epoch_itr(shuffle=False):
-        out = infer(variables, jnp.asarray(batch["src_speech"]),
+        out = infer(ens_vars, jnp.asarray(batch["src_speech"]),
                     jnp.asarray(batch["src_speech_lens"]))
         tokens = np.asarray(out["tokens"])        # (B, K, L)
         lengths = np.asarray(out["lengths"])

@@ -114,8 +114,18 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
     matching encoder middle-layer tap. Returns dict with tokens
     (B, K, max_len+1) (position 0 = EOS bos), scores (B, K) normalized,
     lengths (B, K) incl. the final EOS.
+
+    Ensembles (EnsembleModel parity, sequence_generator.py:19): pass LISTS
+    for `variables` and `enc_tap`/`enc_pad` — per-step log-probs are
+    combined as log of the mean probability (logsumexp - log N).
     """
-    p = variables["params"][which]
+    ens_vars = variables if isinstance(variables, (list, tuple)) \
+        else [variables]
+    ens_taps = enc_tap if isinstance(enc_tap, (list, tuple)) else [enc_tap]
+    ens_pads = enc_pad if isinstance(enc_pad, (list, tuple)) else [enc_pad]
+    n_models = len(ens_vars)
+    ps = [v["params"][which] for v in ens_vars]
+    p = ps[0]
     dim = cfg.asr_decoder_embed_dim if which == "aux_asr_decoder" \
         else cfg.st_decoder_embed_dim
     n_layers = cfg.asr_decoder_layers if which == "aux_asr_decoder" \
@@ -123,19 +133,25 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
     vocab = p["out_proj"]["w"].shape[1]
     k = bs_cfg.beam
     max_len = bs_cfg.max_len
-    b, ts, cdim = enc_tap.shape
+    b, ts, cdim = ens_taps[0].shape
     heads = cfg.decoder_attention_heads
     head_dim = dim // heads
     table = sinusoidal_table(max_len + PAD + 8, dim, PAD)
 
-    # tile encoder state to B*K
-    enc_tap_k = jnp.repeat(enc_tap, k, axis=0)             # (B*K, Ts, C)
-    enc_pad_k = jnp.repeat(enc_pad, k, axis=0)
-    cross_kvs = tuple(
-        cross_attn_precompute(p[f"layer{i}"]["cross_attn"], enc_tap_k, heads)
-        for i in range(n_layers))
-    caches = tuple(self_attn_cache_init(b * k, max_len + 1, heads, head_dim,
-                                        cfg.dtype) for _ in range(n_layers))
+    # tile encoder state to B*K (per model)
+    enc_pads_k = [jnp.repeat(ep, k, axis=0) for ep in ens_pads]
+    cross_kvs_ens = []
+    caches_ens = []
+    for mi in range(n_models):
+        tap_k = jnp.repeat(ens_taps[mi], k, axis=0)        # (B*K, Ts, C)
+        cross_kvs_ens.append(tuple(
+            cross_attn_precompute(ps[mi][f"layer{i}"]["cross_attn"],
+                                  tap_k, heads)
+            for i in range(n_layers)))
+        caches_ens.append(tuple(
+            self_attn_cache_init(b * k, max_len + 1, heads, head_dim,
+                                 cfg.dtype) for _ in range(n_layers)))
+    caches_ens = tuple(caches_ens)
 
     tokens0 = jnp.full((b, k, max_len + 2), PAD, jnp.int32)
     tokens0 = tokens0.at[:, :, 0].set(EOS)                 # bos = eos
@@ -145,7 +161,7 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
         step=jnp.zeros((), jnp.int32),
         alive_tokens=tokens0,
         alive_scores=alive_scores0,                        # cumulative lprob
-        caches=caches,
+        caches=caches_ens,
         fin_tokens=tokens0,
         fin_scores=jnp.full((b, k), NEG_INF, jnp.float32), # normalized
         fin_lens=jnp.zeros((b, k), jnp.int32),
@@ -167,8 +183,21 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
         t = s["step"]
         last = jax.lax.dynamic_slice_in_dim(
             s["alive_tokens"].reshape(b * k, -1), t, 1, axis=1)  # (B*K,1)
-        lprobs, new_caches = _aux_step(p, cfg, dim, n_layers, table, last, t,
-                                       s["caches"], cross_kvs, enc_pad_k)
+        lps = []
+        new_caches = []
+        for mi in range(n_models):
+            lp_m, c_m = _aux_step(ps[mi], cfg, dim, n_layers, table, last, t,
+                                  s["caches"][mi], cross_kvs_ens[mi],
+                                  enc_pads_k[mi])
+            lps.append(lp_m)
+            new_caches.append(c_m)
+        new_caches = tuple(new_caches)
+        if n_models == 1:
+            lprobs = lps[0]
+        else:
+            # log of the mean probability (EnsembleModel parity)
+            lprobs = jax.nn.logsumexp(jnp.stack(lps), axis=0) \
+                - jnp.log(float(n_models))
         lprobs = lprobs.reshape(b, k, vocab)
         lprobs = lprobs.at[:, :, PAD].set(NEG_INF)  # never emit pad
         if bs_cfg.no_repeat_ngram_size > 0:

@@ -137,3 +137,30 @@ def test_no_repeat_ngram_blocking(tiny_cfg, tiny_variables, enc_state):
                     continue
                 assert bg not in bigrams, (b, k, seq)
                 bigrams.add(bg)
+
+
+def test_ensemble_beam_search(tiny_cfg, tiny_variables, enc_state, rng):
+    """Ensemble of [model, model] must equal the single model exactly
+    (log-mean of identical probs is identity); a 2-distinct-model ensemble
+    runs and produces well-formed hypotheses."""
+    tap = enc_state["out_middle_layers"][0]
+    pad = enc_state["encoder_padding_mask"]
+    cfg = BeamConfig(beam=2, max_len=10)
+    single = beam_search_aux(tiny_variables, tiny_cfg, "aux_asr_decoder",
+                             tap, pad, cfg)
+    dup = beam_search_aux([tiny_variables, tiny_variables], tiny_cfg,
+                          "aux_asr_decoder", [tap, tap], [pad, pad], cfg)
+    np.testing.assert_array_equal(np.asarray(single["tokens"]),
+                                  np.asarray(dup["tokens"]))
+    np.testing.assert_allclose(np.asarray(single["scores"]),
+                               np.asarray(dup["scores"]), atol=1e-5)
+
+    from s2st_tpu.models.s2st_transformer import init_s2st
+    other = init_s2st(jax.random.fold_in(rng, 123), tiny_cfg)
+    mixed = beam_search_aux([tiny_variables, other], tiny_cfg,
+                            "aux_asr_decoder", [tap, tap], [pad, pad], cfg)
+    tokens = np.asarray(mixed["tokens"])
+    lengths = np.asarray(mixed["lengths"])
+    for b in range(tokens.shape[0]):
+        for k in range(tokens.shape[1]):
+            assert tokens[b, k, int(lengths[b, k])] == EOS
