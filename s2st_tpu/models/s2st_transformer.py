@@ -106,9 +106,13 @@ class S2STConfig:
     # positions
     max_source_positions: int = 3000
     max_target_positions: int = 2400
-    # frontend
+    # frontend (hubert-base defaults; the small knobs exist so CPU tests
+    # and small variants don't instantiate a 95M frontend)
     use_hubert: bool = False
     hubert_hidden: int = 768
+    hubert_layers: int = 12
+    hubert_ffn: int = 3072
+    hubert_heads: int = 12
     # compute
     dtype: Any = jnp.bfloat16
     # remat: checkpoint each transformer layer (trades FLOPs for HBM)
@@ -172,6 +176,9 @@ def init_s2st(key, cfg: S2STConfig) -> Dict[str, Params]:
     if cfg.use_hubert:
         from .hubert import HubertConfig, init_hubert
         hcfg = HubertConfig(encoder_embed_dim=cfg.hubert_hidden,
+                            encoder_layers=cfg.hubert_layers,
+                            encoder_ffn_embed_dim=cfg.hubert_ffn,
+                            encoder_attention_heads=cfg.hubert_heads,
                             dtype=cfg.dtype)
         params["hubert"] = init_hubert(next(keys), hcfg)
 
@@ -282,6 +289,9 @@ def encode(variables: Dict[str, Params], cfg: S2STConfig,
         # (s2st_transformer.py:245-252: eval() + no_grad + detach)
         from .hubert import HubertConfig, extract_features
         hcfg = HubertConfig(encoder_embed_dim=cfg.hubert_hidden,
+                            encoder_layers=cfg.hubert_layers,
+                            encoder_ffn_embed_dim=cfg.hubert_ffn,
+                            encoder_attention_heads=cfg.hubert_heads,
                             dtype=cfg.dtype)
         hub = jax.lax.stop_gradient(variables["params"]["hubert"])
         src_feats, src_lengths = extract_features(

@@ -53,6 +53,10 @@ def add_task_args(parser: argparse.ArgumentParser):
     p.add_argument("--max-target-positions", type=int, default=2400)
     p.add_argument("--use-hubert", type=_str2bool, default=False)
     p.add_argument("--load-pretrained-hubert-from", default=None)
+    p.add_argument("--hubert-hidden", type=int, default=768)
+    p.add_argument("--hubert-layers", type=int, default=12)
+    p.add_argument("--hubert-ffn", type=int, default=3072)
+    p.add_argument("--hubert-heads", type=int, default=12)
     p.add_argument("--load-pretrained-encoder-from", default=None)
     p.add_argument("--load-pretrained-decoder-from", default=None)
     p.add_argument("--speaker-to-id", default=None,
@@ -402,6 +406,10 @@ def build_model_config(args, src_vocab_size: int, tgt_vocab_size: int,
         max_source_positions=args.max_source_positions,
         max_target_positions=args.max_target_positions,
         use_hubert=args.use_hubert,
+        hubert_hidden=getattr(args, "hubert_hidden", 768),
+        hubert_layers=getattr(args, "hubert_layers", 12),
+        hubert_ffn=getattr(args, "hubert_ffn", 3072),
+        hubert_heads=getattr(args, "hubert_heads", 12),
         dtype=dtype,
         remat=getattr(args, "checkpoint_activations", False),
     )

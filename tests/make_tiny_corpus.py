@@ -23,10 +23,12 @@ def write_dict(path: Path, words):
 def make_tiny_corpus(root: Path, n_train: int = 12, n_dev: int = 4,
                      n_test: int = 4, n_feat: int = 8, n_mel: int = 8,
                      seed: int = 0, sample_rate: int = 16000,
-                     n_fft: int = 128, hop: int = 64) -> Path:
+                     n_fft: int = 128, hop: int = 64,
+                     src_wav: bool = False) -> Path:
     """Creates <root>/{train,dev,test}.tsv + config.yaml + dicts + features.
     Feature dims are tiny (n_feat fbank bins, n_mel target mels) so CPU
-    tests stay fast. Returns root."""
+    tests stay fast. src_wav=True writes source WAVs instead of fbank
+    features (the use_hubert raw-audio input mode). Returns root."""
     root = Path(root)
     feat_dir = root / "features"
     feat_dir.mkdir(parents=True, exist_ok=True)
@@ -45,14 +47,24 @@ def make_tiny_corpus(root: Path, n_train: int = 12, n_dev: int = 4,
             tgt_t = int(r.randint(16, 40))
             src = r.randn(src_t, n_feat).astype(np.float32)
             tgt = r.randn(tgt_t, n_mel).astype(np.float32)
-            np.save(feat_dir / f"{uid}_src.npy", src)
+            if src_wav:
+                from s2st_tpu.data.audio_utils import write_wav
+                wave = (0.2 * np.sin(
+                    2 * np.pi * (200 + 20 * i)
+                    * np.arange(src_t * 160) / sample_rate)
+                ).astype(np.float32)
+                write_wav(str(feat_dir / f"{uid}_src.wav"), wave,
+                          sample_rate)
+            else:
+                np.save(feat_dir / f"{uid}_src.npy", src)
             np.save(feat_dir / f"{uid}_tgt.npy", tgt)
             gcmvn_feats.append(tgt)
             ns = int(r.randint(2, 5))
             nt = int(r.randint(2, 5))
             rows.append({
                 "id": uid,
-                "src_audio": f"features/{uid}_src.npy",
+                "src_audio": (f"features/{uid}_src.wav" if src_wav
+                              else f"features/{uid}_src.npy"),
                 "tgt_audio": f"features/{uid}_tgt.npy",
                 "src_n_frames": src_t,
                 "tgt_n_frames": tgt_t,

@@ -177,7 +177,7 @@ def test_s2st_model_with_hubert_frontend():
     import s2st_tpu.models.hubert as hub
     orig = hub.HubertConfig
     try:
-        hub.HubertConfig = lambda encoder_embed_dim, dtype: CFG  # type: ignore
+        hub.HubertConfig = lambda **kw: CFG  # type: ignore
         variables = m.init_s2st(jax.random.PRNGKey(0), cfg)
         assert "hubert" in variables["params"]
         r = np.random.RandomState(0)
@@ -204,3 +204,35 @@ def test_s2st_model_with_hubert_frontend():
         assert enc_norm > 0.0
     finally:
         hub.HubertConfig = orig
+
+
+def test_hubert_cli_training_e2e(tmp_path):
+    """Raw-audio corpus -> use_hubert training through the full CLI
+    (collater_audio + frozen frontend path, s2st_transformer.py:239-256)."""
+    from tests.make_tiny_corpus import make_tiny_corpus
+    from s2st_tpu.cli.train import main as train_main
+    corpus = make_tiny_corpus(tmp_path / "corpus", src_wav=True)
+    rc = train_main([
+        str(corpus), "--save-dir", str(tmp_path / "ckpts"),
+        "--config-yaml", "config.yaml",
+        "--train-subset", "train", "--valid-subset", "dev",
+        "--arch", "s2st_transformer", "--use-hubert", "True",
+        "--hubert-hidden", "16", "--hubert-layers", "1",
+        "--hubert-ffn", "32", "--hubert-heads", "2",
+        "--encoder-layers", "1", "--encoder-embed-dim", "16",
+        "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+        "--decoder-layers", "1", "--decoder-embed-dim", "16",
+        "--decoder-ffn-embed-dim", "32", "--decoder-attention-heads", "2",
+        "--conv-channels", "16", "--middle-layers", "0",
+        "--prenet-dim", "8", "--prenet-layers", "1",
+        "--postnet-layers", "1", "--postnet-conv-dim", "8",
+        "--output-frame-dim", "8",
+        "--max-tokens", "16000", "--max-epoch", "1", "--max-update", "2",
+        "--optimizer", "adam", "--lr", "0.001",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "2",
+        "--clip-norm", "1.0", "--required-batch-size-multiple", "1",
+        "--max-source-positions", "16000", "--max-target-positions", "128",
+        "--disable-validation",
+    ])
+    assert rc == 0
+    assert (tmp_path / "ckpts" / "checkpoint_last.npz").is_file()
