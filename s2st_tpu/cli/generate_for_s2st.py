@@ -69,7 +69,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         assert which in v["params"], \
             f"{path} has no {which}; train with the matching ce-weight"
         ens_vars.append(v)
-    variables = ens_vars[0]
 
     bs_cfg = BeamConfig(beam=args.beam,
                         max_len=min(200, model_cfg.max_target_positions),

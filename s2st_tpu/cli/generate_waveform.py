@@ -14,7 +14,6 @@ only slices valid lengths and writes files.
 
 from __future__ import annotations
 
-import ast
 import logging
 import sys
 from pathlib import Path

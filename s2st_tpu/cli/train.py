@@ -38,7 +38,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ..logging_utils import ProgressLogger
     from ..parallel.mesh import make_mesh
     from ..train import checkpoint as ckpt
-    from ..train.losses import s2st_loss
     from ..train.optim import build_optimizer, build_schedule
     from ..train.trainer import Trainer, create_train_state
     from ..data.iterators import GroupedIterator
@@ -155,8 +154,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # EMA (trainer.py:924-936 parity) + diagnostics (SURVEY §5)
     from ..train.ema import EMAConfig, ema_step, init_ema
-    from ..utils.diagnostics import (HeartbeatWatchdog, profile,
-                                     report_nonfinite)
+    from ..utils.diagnostics import HeartbeatWatchdog, report_nonfinite
     ema_params = None
     ema_cfg = None
     if args.store_ema:
