@@ -171,6 +171,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     best_val = None
     epoch = start_epoch
     stop = False
+    lr_scale = 1.0  # reduce_lr_on_plateau multiplier (host-driven)
 
     from ..data.iterators import BufferedIterator
 
@@ -199,7 +200,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             # steps pipeline without a host round trip
             want_metrics = ((i + 1) % args.log_interval == 0)
             state, metrics = trainer.train_step(state, microbatches, step_rng,
-                                                fetch_metrics=want_metrics)
+                                                fetch_metrics=want_metrics,
+                                                lr_scale=lr_scale)
             num_updates += 1
             _steps_since_log += 1
             watchdog.beat()
@@ -259,13 +261,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                 if better:
                     best_val = val_metric
                     patience_left = args.patience
-                elif args.patience > 0:
-                    patience_left -= 1
-                    if patience_left <= 0:
-                        logger.info(
-                            f"early stop: no improvement in "
-                            f"{args.patience} validations")
-                        stop = True
+                else:
+                    if args.lr_scheduler in ("reduce_lr_on_plateau",
+                                             "reduce_on_plateau"):
+                        lr_scale *= args.lr_shrink
+                        logger.info(f"plateau: lr_scale -> {lr_scale:.2e}")
+                    if args.patience > 0:
+                        patience_left -= 1
+                        if patience_left <= 0:
+                            logger.info(
+                                f"early stop: no improvement in "
+                                f"{args.patience} validations")
+                            stop = True
 
         if mgr is not None and epoch % args.save_interval == 0:
             mgr.save(state, epoch, val_metric=val_metric,

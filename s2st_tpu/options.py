@@ -151,6 +151,8 @@ def add_optimization_args(parser: argparse.ArgumentParser):
     p.add_argument("--lr-scheduler", default="inverse_sqrt")
     p.add_argument("--warmup-updates", type=int, default=4000)
     p.add_argument("--warmup-init-lr", type=float, default=-1.0)
+    p.add_argument("--lr-shrink", type=float, default=0.1,
+                   help="reduce_lr_on_plateau shrink factor")
     p.add_argument("--clip-norm", type=float, default=0.0)
     p.add_argument("--max-update", type=int, default=0)
     p.add_argument("--max-epoch", type=int, default=0)

@@ -99,6 +99,8 @@ def _register_schedules():
         "step": step_schedule,
         "triangular": triangular_schedule,
         "pass_through": pass_through_schedule,
+        "reduce_lr_on_plateau": reduce_on_plateau_schedule,
+        "reduce_on_plateau": reduce_on_plateau_schedule,
     })
 
 
@@ -125,6 +127,14 @@ def triangular_schedule(lr: float, warmup_updates: int = 0,
 
 def pass_through_schedule(lr: float, **kw) -> Callable:
     return lambda num_updates: lr
+
+
+def reduce_on_plateau_schedule(lr: float, warmup_updates: int = 0) -> Callable:
+    """Base schedule is fixed(+warmup); the plateau shrink itself is
+    host-driven via Trainer.train_step(lr_scale=...) — the compiled step
+    takes the multiplier as an input (optim/lr_scheduler/
+    reduce_lr_on_plateau.py parity)."""
+    return fixed_schedule(lr, warmup_updates)
 
 
 def build_schedule(name: str, lr: float, **kw) -> Callable:

@@ -90,7 +90,8 @@ class Trainer:
         opt_sh = self._opt_shardings(state, var_sh["params"], rep)
         self._opt_sh = opt_sh
 
-        def apply_grads(params, opt_state, step, grads, sample_size):
+        def apply_grads(params, opt_state, step, grads, sample_size,
+                        lr_scale=1.0):
             """normalize -> clip -> optimizer -> skip-on-nonfinite
             (shared by the fused and accumulated paths)."""
             scale = 1.0 / jnp.maximum(sample_size.astype(jnp.float32), 1.0)
@@ -100,7 +101,8 @@ class Trainer:
             if clip_norm > 0:
                 factor = jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
                 grads = jax.tree_util.tree_map(lambda g: g * factor, grads)
-            lr = lr_schedule(step + 1)
+            # lr_scale: host-driven multiplier (reduce_on_plateau shrink)
+            lr = lr_schedule(step + 1) * lr_scale
             updates, new_opt = tx.update(grads, opt_state, params)
             updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
             new_params = optax.apply_updates(params, updates)
@@ -110,7 +112,7 @@ class Trainer:
                 (new_params, new_opt), (params, opt_state))
             return new_params, new_opt, step + ok.astype(jnp.int32), gnorm, lr
 
-        def fused_fn(params, stats, opt_state, step, batch, rng):
+        def fused_fn(params, stats, opt_state, step, batch, rng, lr_scale):
             """grad + apply in ONE compiled program (update_freq == 1 fast
             path): a single dispatch and zero intermediate host traffic —
             essential when device dispatch has real latency (remote TPU)."""
@@ -122,7 +124,7 @@ class Trainer:
                 lf, has_aux=True)(params)
             ss = extras["sample_size"]
             new_params, new_opt, new_step, gnorm, lr = apply_grads(
-                params, opt_state, step, grads, ss)
+                params, opt_state, step, grads, ss, lr_scale)
             logging = dict(extras["logging"])
             logging["gnorm"] = gnorm
             logging["lr"] = lr
@@ -132,7 +134,7 @@ class Trainer:
         self._fused_step = jax.jit(
             fused_fn,
             in_shardings=(var_sh["params"], var_sh["stats"], opt_sh, rep,
-                          None, rep),
+                          None, rep, rep),
             out_shardings=(var_sh["params"], var_sh["stats"], opt_sh, rep,
                            rep),
             donate_argnums=(0, 2))
@@ -159,7 +161,7 @@ class Trainer:
         self._apply_step = jax.jit(
             apply_grads,
             in_shardings=(var_sh["params"], opt_sh, rep, var_sh["params"],
-                          rep),
+                          rep, rep),
             out_shardings=(var_sh["params"], opt_sh, rep, rep, rep),
             donate_argnums=(0, 1, 3))
 
@@ -208,7 +210,7 @@ class Trainer:
             step=jax.device_put(state.step, rep))
 
     def train_step(self, state: TrainState, microbatches, rng,
-                   fetch_metrics: bool = True
+                   fetch_metrics: bool = True, lr_scale: float = 1.0
                    ) -> Tuple[TrainState, Dict[str, Any]]:
         """One optimizer update over `microbatches` (list of host batch dicts,
         possibly different shapes — each shape compiles once).
@@ -227,7 +229,8 @@ class Trainer:
             batch = self._device_batch(microbatches[0])
             new_params, new_stats, new_opt, new_step, logging = \
                 self._fused_step(state.params, state.stats, state.opt_state,
-                                 state.step, batch, rng)
+                                 state.step, batch, rng,
+                                 jnp.float32(lr_scale))
             new_state = TrainState(params=new_params, stats=new_stats,
                                    opt_state=new_opt, step=new_step)
             if not fetch_metrics:
@@ -251,7 +254,8 @@ class Trainer:
             acc_logging = logging if acc_logging is None else \
                 jax.tree_util.tree_map(jnp.add, acc_logging, logging)
         new_params, new_opt, new_step, gnorm, lr = self._apply_step(
-            state.params, state.opt_state, state.step, acc_grads, sample_size)
+            state.params, state.opt_state, state.step, acc_grads, sample_size,
+            jnp.float32(lr_scale))
         new_state = TrainState(params=new_params, stats=stats,
                                opt_state=new_opt, step=new_step)
         host = jax.device_get({**acc_logging, "gnorm": gnorm, "lr": lr,

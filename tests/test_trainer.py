@@ -201,3 +201,18 @@ def test_resume_exact_continuation(small_cfg, tmp_path):
                                      jax.random.fold_in(rng, i))
         resumed.append(met["loss"])
     np.testing.assert_allclose(resumed, losses[2:], rtol=1e-6)
+
+
+def test_lr_scale_plateau_shrink(small_cfg):
+    """lr_scale input multiplies the applied lr (reduce_lr_on_plateau's
+    host-driven shrink)."""
+    mesh = make_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+    batch = make_batch(small_cfg, b=2, src_t=21, tgt_t=13, seed=7)
+    tr = _trainer(small_cfg, mesh)
+    s1 = _state(small_cfg, seed=1)
+    s1, met1 = tr.train_step(s1, [batch], jax.random.PRNGKey(0), lr_scale=1.0)
+    tr2 = _trainer(small_cfg, mesh)
+    s2 = _state(small_cfg, seed=1)
+    s2, met2 = tr2.train_step(s2, [batch], jax.random.PRNGKey(0),
+                              lr_scale=0.1)
+    assert abs(met2["lr"] - 0.1 * met1["lr"]) < 1e-9
