@@ -196,6 +196,27 @@ def hz_to_mel_htk(f):
     return 1127.0 * np.log(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
 
 
+def mel_to_hz_htk(m):
+    return 700.0 * (np.exp(np.asarray(m, np.float64) / 1127.0) - 1.0)
+
+
+def mel_filters_htk(sample_rate: int, n_fft: int, n_mels: int, f_min: float,
+                    f_max: float) -> np.ndarray:
+    """torchaudio melscale_fbanks(mel_scale='htk', norm=None) clone
+    (the torchaudio.transforms.MelSpectrogram DEFAULT — what the reference's
+    MFCC/MCD metric uses, tasks/s2s_translation.py:541-547) ->
+    (n_mels, 1 + n_fft//2), unit-peak triangles on the HTK mel scale."""
+    fft_freqs = np.linspace(0, sample_rate / 2, 1 + n_fft // 2)
+    mel_pts = np.linspace(hz_to_mel_htk(f_min), hz_to_mel_htk(f_max),
+                          n_mels + 2)
+    hz_pts = mel_to_hz_htk(mel_pts)
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    return np.maximum(0.0, np.minimum(lower, upper)).astype(np.float32)
+
+
 def kaldi_mel_banks(num_bins: int, window_length_padded: int, sample_rate: int,
                     low_freq: float = 20.0, high_freq: float = 0.0) -> np.ndarray:
     """Kaldi MelBanks (un-normalized triangles on HTK mel) -> (num_bins, padded/2)."""

@@ -37,6 +37,7 @@ NEG_INF = -1e9
 class BeamConfig:
     beam: int = 5
     max_len: int = 200
+    min_len: int = 1            # fairseq: EOS banned while step < min_len
     len_penalty: float = 1.0
     no_repeat_ngram_size: int = 0
 
@@ -94,8 +95,18 @@ def _ngram_ban_mask(tokens: jnp.ndarray, t, vocab: int, n: int) -> jnp.ndarray:
     match = match & valid & (t + 1 >= n)
     # banned token for match at j is tokens[j+m]
     nxt = jnp.roll(tokens, -m, axis=2)                 # tokens[j+m] at col j
-    onehot = jax.nn.one_hot(nxt, vocab, dtype=jnp.float32)  # (B,K,L,V)
-    banned = jnp.einsum("bkl,bklv->bkv", match.astype(jnp.float32), onehot)
+    if vocab <= 2048:
+        # small (phone-level) vocab: one-hot contraction stays cheap
+        onehot = jax.nn.one_hot(nxt, vocab, dtype=jnp.float32)  # (B,K,L,V)
+        banned = jnp.einsum("bkl,bklv->bkv",
+                            match.astype(jnp.float32), onehot)
+    else:
+        # large vocab: scatter-max of matched positions avoids the
+        # (B,K,L,V) one-hot blowup
+        bi = jnp.arange(b)[:, None, None]
+        ki = jnp.arange(k)[None, :, None]
+        banned = jnp.zeros((b, k, vocab), jnp.float32).at[
+            bi, ki, nxt].max(match.astype(jnp.float32))
     return jnp.where(banned > 0, NEG_INF, 0.0)
 
 
@@ -200,6 +211,9 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
                 - jnp.log(float(n_models))
         lprobs = lprobs.reshape(b, k, vocab)
         lprobs = lprobs.at[:, :, PAD].set(NEG_INF)  # never emit pad
+        # min_len (sequence_generator.py:365): no EOS before min_len tokens
+        lprobs = lprobs.at[:, :, EOS].add(
+            jnp.where(t < bs_cfg.min_len, NEG_INF, 0.0))
         if bs_cfg.no_repeat_ngram_size > 0:
             lprobs = lprobs + _ngram_ban_mask(
                 s["alive_tokens"], t, vocab, bs_cfg.no_repeat_ngram_size)
@@ -248,9 +262,26 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
 
     s = jax.lax.while_loop(cond, body, state)
 
-    # finalize leftover alive hypotheses (forced EOS at the end)
+    # finalize leftover alive hypotheses with a forced EOS whose
+    # log-probability IS scored (fairseq runs one extra step restricted to
+    # EOS at max_len, sequence_generator.py:375)
     t = s["step"]
-    norm = s["alive_scores"] / _length_penalty(t + 1, bs_cfg.len_penalty)
+    last = jax.lax.dynamic_slice_in_dim(
+        s["alive_tokens"].reshape(b * k, -1), t, 1, axis=1)
+    final_lps = []
+    for mi in range(n_models):
+        lp_m, _ = _aux_step(ps[mi], cfg, dim, n_layers, table, last, t,
+                            s["caches"][mi], cross_kvs_ens[mi],
+                            enc_pads_k[mi])
+        final_lps.append(lp_m)
+    if n_models == 1:
+        final_lp = final_lps[0]
+    else:
+        final_lp = jax.nn.logsumexp(jnp.stack(final_lps), axis=0) \
+            - jnp.log(float(n_models))
+    eos_lp = final_lp.reshape(b, k, vocab)[:, :, EOS]
+    norm = (s["alive_scores"] + eos_lp) / _length_penalty(
+        t + 1, bs_cfg.len_penalty)
     write = jax.nn.one_hot(t + 1, s["alive_tokens"].shape[2],
                            dtype=jnp.int32)[None, None, :]
     alive_tokens = (s["alive_tokens"] * (1 - write) + EOS * write)

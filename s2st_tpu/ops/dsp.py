@@ -138,7 +138,8 @@ def istft(mag: jnp.ndarray, phase: jnp.ndarray, n_fft: int, win_length: int,
           hop: int, compute_dtype=jnp.float32) -> jnp.ndarray:
     """Inverse STFT with window-sum-square correction
     (GriffinLim.inverse parity, vocoder.py:84-100). mag/phase: (B, F, T)
-    -> wave (B, hop*T) (center-trimmed).
+    -> wave (B, (T-1)*hop) center-trimmed (torch istft length convention;
+    a T-frame spectrogram reconstructs (T-1)*hop samples).
 
     Windowed inverse DFT as one MXU matmul + scatter-free overlap-add."""
     single = mag.ndim == 2
@@ -230,9 +231,13 @@ def mfcc(wave: jnp.ndarray, lengths: jnp.ndarray, sample_rate: int = 16000,
     frames = frame_signal(x, n_fft, hop) * hann_window(n_fft, n_fft)
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     power = spec.real ** 2 + spec.imag ** 2          # (B, T, F)
-    fb = mel_filters(sample_rate, n_fft, n_mels, 20.0, sample_rate / 2.0)
+    # torchaudio MelSpectrogram defaults: HTK mel scale, unnormalized
+    # triangles, f_max = sr/2 (melkwargs omit norm/mel_scale)
+    from ..data.audio_utils import mel_filters_htk
+    fb = mel_filters_htk(sample_rate, n_fft, n_mels, 20.0, sample_rate / 2.0)
     mel = jnp.einsum("mf,btf->btm", jnp.asarray(fb), power)
-    logmel = jnp.log(jnp.maximum(mel, 1e-6))
+    # torchaudio MFCC(log_mels=True): log(mel + 1e-6)
+    logmel = jnp.log(mel + 1e-6)
     out = jnp.einsum("mk,btm->btk", jnp.asarray(_dct_matrix(n_mfcc, n_mels)),
                      logmel)
     out_lengths = 1 + lengths // hop  # centered: T = 1 + floor(L/hop)

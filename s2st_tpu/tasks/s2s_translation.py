@@ -194,7 +194,8 @@ class S2STranslationTask:
             pred_lin = dsp.logmel_to_linear(out["feats"], pinv)
             pred_wave = dsp.griffin_lim(pred_lin, n_fft, win, hop, gl_iters,
                                         jax.random.fold_in(rng, 1))
-            pred_wlen = out["raw_out_lens"] * hop
+            # istft yields (T-1)*hop samples for T frames
+            pred_wlen = jnp.maximum(out["raw_out_lens"] - 1, 0) * hop
             # target: denormalized mel -> wave via the same vocoder path
             tgt = tgt_speech.astype(jnp.float32).reshape(
                 tgt_speech.shape[0], -1, model_cfg.output_frame_dim)
@@ -203,7 +204,8 @@ class S2STranslationTask:
             tgt_lin = dsp.logmel_to_linear(tgt, pinv)
             tgt_wave = dsp.griffin_lim(tgt_lin, n_fft, win, hop, gl_iters,
                                        jax.random.fold_in(rng, 2))
-            tgt_wlen = target_lengths * model_cfg.n_frames_per_step * hop
+            tgt_wlen = jnp.maximum(
+                target_lengths * model_cfg.n_frames_per_step - 1, 0) * hop
             sums = batch_mcd(pred_wave, pred_wlen, tgt_wave, tgt_wlen, sr)
             # first-utterance panels for tensorboard
             # (tasks/s2s_translation.py:266-310 audio/spectrogram logging)

@@ -16,10 +16,8 @@ mesh — XLA inserts the gradient psum; there is no explicit all-reduce here.
 
 from __future__ import annotations
 
-import logging
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,11 +25,8 @@ import numpy as np
 import optax
 
 from ..models import s2st_transformer as m
-from ..parallel.mesh import (batch_shardings, put_batch, replicated,
-                             variables_shardings)
+from ..parallel.mesh import put_batch, replicated, variables_shardings
 from .losses import LossConfig, s2st_loss
-
-logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -262,8 +257,9 @@ class Trainer:
                                "sample_size": sample_size})
         metrics = {k: float(v) for k, v in host.items()}
         n = len(microbatches)
-        for k in ("loss", "l1_loss", "mse_loss", "eos_loss", "attn_loss",
-                  "ctc_loss", "ctc_loss_tgt", "aux_asr_loss", "aux_st_loss"):
+        for k in ("loss", "nll_loss", "l1_loss", "mse_loss", "eos_loss",
+                  "attn_loss", "ctc_loss", "ctc_loss_tgt", "aux_asr_loss",
+                  "aux_st_loss"):
             if k in metrics:
                 metrics[k] /= n
         return new_state, metrics

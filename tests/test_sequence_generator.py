@@ -164,3 +164,18 @@ def test_ensemble_beam_search(tiny_cfg, tiny_variables, enc_state, rng):
     for b in range(tokens.shape[0]):
         for k in range(tokens.shape[1]):
             assert tokens[b, k, int(lengths[b, k])] == EOS
+
+
+def test_ngram_ban_mask_paths_agree():
+    """one-hot (small-vocab) and scatter (large-vocab) n-gram ban paths
+    produce identical masks."""
+    from s2st_tpu.generate.sequence_generator import _ngram_ban_mask
+    r = np.random.RandomState(0)
+    b, k, L = 2, 3, 16
+    tokens = jnp.asarray(r.randint(2, 9, size=(b, k, L)).astype(np.int32))
+    t = jnp.asarray(9)
+    small = np.asarray(_ngram_ban_mask(tokens, t, 9, 2))
+    # force the scatter path by padding vocab above the threshold; the
+    # first 9 columns must match
+    big = np.asarray(_ngram_ban_mask(tokens, t, 4096, 2))
+    np.testing.assert_array_equal(small, big[:, :, :9])
