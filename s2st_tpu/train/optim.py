@@ -101,6 +101,7 @@ def _register_schedules():
         "pass_through": pass_through_schedule,
         "reduce_lr_on_plateau": reduce_on_plateau_schedule,
         "reduce_on_plateau": reduce_on_plateau_schedule,
+        "manual": manual_schedule,
     })
 
 
@@ -127,6 +128,22 @@ def triangular_schedule(lr: float, warmup_updates: int = 0,
 
 def pass_through_schedule(lr: float, **kw) -> Callable:
     return lambda num_updates: lr
+
+
+def manual_schedule(lr: float, epoch2lr: dict = None,
+                    update2lr: dict = None) -> Callable:
+    """fairseq optim/lr_scheduler/manual_lr_scheduler.py parity: piecewise
+    lr by update count (jittable staircase over the sorted breakpoints)."""
+    import jax.numpy as jnp
+    points = sorted((update2lr or {}).items())
+
+    def sched(num_updates):
+        out = jnp.asarray(lr, jnp.float32)
+        for boundary, value in points:
+            out = jnp.where(num_updates >= boundary,
+                            jnp.asarray(value, jnp.float32), out)
+        return out
+    return sched
 
 
 def reduce_on_plateau_schedule(lr: float, warmup_updates: int = 0) -> Callable:
