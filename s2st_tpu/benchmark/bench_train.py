@@ -1,0 +1,154 @@
+"""Training-step benchmark at the recipe operating point.
+
+Measures the fused jitted train step (fwd + bwd + optimizer) of the flagship
+``s2st_transformer`` base arch with the FULL recipe loss (L1+MSE+EOS + CTC +
+aux ASR/ST CE, run_baseline.sh:44-64 flags: --max-tokens 40000,
+--n-frames-per-step 4, --fp16 -> bf16) on synthetic data shaped like Fisher
+(~12 s sources at 10 ms hop).
+
+Reports step time, target-frames/s and words-per-second analogue
+(sample_size/s, the reference's wps meter, fairseq/trainer.py:1407), plus an
+MFU estimate from XLA's own cost analysis over the device's peak BF16
+FLOP/s. Reference hook for the synthetic-task pattern:
+fairseq/benchmark/dummy_mt.py:17-119.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import numpy as np
+
+
+# peak dense BF16 FLOP/s per chip (public TPU specs); fallback key "peak"
+_PEAK_BF16 = (
+    ("v6", 918e12),     # Trillium
+    ("v5p", 459e12),
+    ("v5", 197e12),     # v5e / v5 lite
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+)
+
+
+def peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower().replace(" ", "")
+    for key, val in _PEAK_BF16:
+        if key in kind:
+            return val
+    return 197e12  # assume v5e-class if unknown
+
+
+def make_train_batch(b: int, src_t: int, tgt_packed: int, out_dim: int,
+                     n_txt: int, vocab: int, seed: int = 0) -> Dict:
+    """Random batch with the exact S2ST collater key layout."""
+    r = np.random.RandomState(seed)
+    tgt = r.randn(b, tgt_packed, out_dim).astype(np.float32)
+    prev = np.zeros_like(tgt)
+    prev[:, 1:] = tgt[:, :-1]
+    text = r.randint(4, vocab, size=(b, n_txt)).astype(np.int32)
+    text[:, -1] = 2
+    prev_text = np.full_like(text, 1)
+    prev_text[:, 0] = 2
+    prev_text[:, 1:] = text[:, :-1]
+    lens = np.full((b,), n_txt, np.int32)
+    return {
+        "src_speech": r.randn(b, src_t, 80).astype(np.float32),
+        "src_speech_lens": np.full((b,), src_t, np.int32),
+        "prev_output_tokens": prev,
+        "prev_src_text_tokens": prev_text,
+        "prev_tgt_text_tokens": prev_text.copy(),
+        "tgt_speech": tgt,
+        "target_lengths": np.full((b,), tgt_packed, np.int32),
+        "src_text": text, "src_text_len": lens,
+        "tgt_text": text.copy(), "tgt_text_len": lens.copy(),
+        "src_txt_ntokens": np.int32(lens.sum()),
+        "tgt_txt_ntokens": np.int32(lens.sum()),
+    }
+
+
+def run_train_bench(batch_size: int = 32, src_t: int = 1200,
+                    tgt_raw: int = 960, n_steps: int = 10,
+                    warmup_steps: int = 2,
+                    cfg_overrides: Dict = None) -> Dict[str, float]:
+    import jax
+    import jax.numpy as jnp
+    from ..models import s2st_transformer as m
+    from ..parallel.mesh import make_mesh
+    from ..train.losses import LossConfig
+    from ..train.optim import build_optimizer, inverse_sqrt_schedule
+    from ..train.trainer import Trainer, create_train_state
+
+    nfps = 4
+    cfg = m.S2STConfig(src_vocab_size=1000, tgt_vocab_size=1000,
+                       middle_layers=(6, 8), ctc=True, aux_asr=True,
+                       aux_st=True, n_frames_per_step=nfps,
+                       output_frame_dim=80, dtype=jnp.bfloat16)
+    if cfg_overrides:
+        cfg = cfg.replace(**cfg_overrides)
+    lcfg = LossConfig(ctc_weight=1.0, asr_ce_weight=1.0, st_ce_weight=1.0,
+                      label_smoothing=0.1, bce_pos_weight=5.0)
+    variables = m.init_s2st(jax.random.PRNGKey(0), cfg)
+    tx = build_optimizer("adam", betas=(0.9, 0.98))
+    schedule = inverse_sqrt_schedule(1e-3, warmup_updates=10000)
+    mesh = make_mesh()
+    trainer = Trainer(cfg, lcfg, tx, schedule, mesh, clip_norm=10.0)
+    state = trainer.place_state(create_train_state(variables, tx))
+
+    tgt_packed = tgt_raw // nfps
+    host_batch = make_train_batch(batch_size, src_t, tgt_packed,
+                                  80 * nfps, n_txt=32, vocab=1000)
+    rng = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    for i in range(warmup_steps):
+        state, _ = trainer.train_step(state, [host_batch],
+                                      jax.random.fold_in(rng, i),
+                                      fetch_metrics=False)
+    _ = int(jax.device_get(state.step))  # force completion
+
+    # FLOPs of the compiled fused step, from XLA's cost model (counts what
+    # actually executes, i.e. HFU-style; no hand-waved 6ND estimate)
+    flops_per_step = None
+    try:
+        cost = trainer._fused_step.lower(
+            state.params, state.stats, state.opt_state, state.step,
+            trainer._device_batch(host_batch), rng,
+            jnp.float32(1.0)).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        flops_per_step = None
+
+    # timed run: steps chain through state, so forcing the final step's
+    # scalar forces the whole sequence (block_until_ready can return early
+    # on tunneled backends; a data fetch cannot)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, _ = trainer.train_step(state, [host_batch],
+                                      jax.random.fold_in(rng, 100 + i),
+                                      fetch_metrics=False)
+    _ = int(jax.device_get(state.step))
+    dt = (time.perf_counter() - t0) / n_steps
+
+    tgt_frames = batch_size * tgt_raw          # raw mel frames per step
+    sample_size = batch_size * tgt_packed      # fairseq wps counts ntokens
+    out = {
+        "train_step_ms": round(dt * 1000.0, 2),
+        "train_wps": round(sample_size / dt, 1),
+        "train_tgt_frames_per_s": round(tgt_frames / dt, 1),
+        "train_batch": batch_size,
+    }
+    if flops_per_step:
+        dev = jax.devices()[0]
+        mfu = flops_per_step / dt / peak_flops(dev)
+        out["train_tflops_per_s"] = round(flops_per_step / dt / 1e12, 2)
+        out["train_mfu"] = round(mfu, 4)
+    return out
+
+
+if __name__ == "__main__":
+    import json
+    print(json.dumps(run_train_bench()))

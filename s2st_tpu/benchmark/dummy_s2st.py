@@ -58,6 +58,11 @@ class DummyS2STDataset:
             src_text=text, tgt_text=text.copy(), src_orig=None,
             speaker_id=None, tgt_text_orig="")
 
+    def collate_meta(self, indices):
+        n = len(list(indices))
+        return (self.src_t, self.tgt_t, self.n_txt, self.n_txt,
+                n * self.n_txt, n * self.n_txt)
+
     def collate(self, items, **kw):
         from ..data.s2st_dataset import S2STDataset
         ds = S2STDataset.__new__(S2STDataset)

@@ -44,10 +44,21 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if getattr(args, "multihost", False):
         # multi-host bring-up: replaces the reference's rendezvous +
-        # process-group machinery (distributed/utils.py:46-312) entirely
-        jax.distributed.initialize()
+        # process-group machinery (distributed/utils.py:46-312) entirely.
+        # On TPU pods initialize() auto-detects; elsewhere (e.g. the
+        # 2-process CPU test) the standard JAX_* env vars configure it.
+        import os
+        kw = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kw = dict(
+                coordinator_address=os.environ.get("JAX_COORDINATOR_ADDRESS"),
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+        jax.distributed.initialize(**kw)
         logger.info(f"multihost: process {jax.process_index()} of "
                     f"{jax.process_count()}")
+    data_rank, data_world = jax.process_index(), jax.process_count()
+    is_main = data_rank == 0  # checkpoint writes are rank-0 only
 
     task_cls = get_task(args.task)
     task = task_cls.setup_task(args)
@@ -69,7 +80,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     sched_kw = dict(warmup_updates=args.warmup_updates)
     if args.lr_scheduler == "inverse_sqrt":
         sched_kw["warmup_init_lr"] = warmup_init
-    schedule = build_schedule(args.lr_scheduler, lrs[0], **sched_kw)
+    manual_lr = None  # host fn(epoch, num_updates) -> lr, manual sched only
+    if args.lr_scheduler == "manual":
+        # manual schedule (manual_lr_scheduler.py parity): epoch/update
+        # breakpoints resolve HOST-side each step and reach the compiled
+        # step through the lr_scale input over a constant base schedule
+        from ..train.optim import manual_lr_host, parse_manual_lr_dict
+        manual_lr = manual_lr_host(
+            lrs[0], parse_manual_lr_dict(getattr(args, "epoch2lr", "{}")),
+            parse_manual_lr_dict(getattr(args, "update2lr", "{}")))
+        schedule = build_schedule("pass_through", lrs[0])
+    else:
+        schedule = build_schedule(args.lr_scheduler, lrs[0], **sched_kw)
     opt_kw = {}
     if args.optimizer == "adam":
         betas = eval(args.adam_betas) if isinstance(args.adam_betas, str) \
@@ -109,28 +131,55 @@ def main(argv: Optional[List[str]] = None) -> int:
     mgr = None
     start_epoch = 1
     itr_state = None
+    resume_meta: dict = {}
+    resumed = False
     if not args.no_save:
         mgr = ckpt.CheckpointManager(
             args.save_dir,
             best_checkpoint_metric=args.best_checkpoint_metric,
             maximize_best_checkpoint_metric=args.maximize_best_checkpoint_metric,
             keep_best_checkpoints=args.keep_best_checkpoints,
-            keep_last_epochs=args.keep_last_epochs)
-        last = mgr.last_checkpoint()
-        if last and not args.reset_optimizer:
-            state, meta = ckpt.restore_state(state, last)
-            start_epoch = int(meta.get("epoch", 0)) + 1
-            if not args.reset_dataloader:
-                itr_state = meta.get("iterator")
-            logger.info(f"resumed from {last} at step {int(state.step)}")
+            keep_last_epochs=args.keep_last_epochs,
+            keep_interval_updates=args.keep_interval_updates,
+            no_epoch_checkpoints=args.no_epoch_checkpoints)
+    # --restore-file: default name -> save_dir/checkpoint_last.npz; an
+    # explicit path/filename is honored as given, then under save_dir
+    # (checkpoint_utils.load_checkpoint:190-236 semantics)
+    restore_path = None
+    restore_name = getattr(args, "restore_file", "checkpoint_last.npz")
+    if restore_name and restore_name not in ("checkpoint_last.npz",
+                                             "checkpoint_last.pt"):
+        for cand in (Path(restore_name), Path(args.save_dir) / restore_name):
+            if cand.is_file():
+                restore_path = str(cand)
+                break
+        if restore_path is None:
+            logger.warning(f"--restore-file {restore_name} not found; "
+                           "starting fresh")
+    elif mgr is not None:
+        restore_path = mgr.last_checkpoint()
+    if restore_path:
+        # model weights are ALWAYS restored; --reset-optimizer only drops
+        # optimizer state/step (and restarts the epoch/iterator position),
+        # matching fairseq where a reset flag nukes extra_state but never
+        # skips the model load (trainer.py:440-530)
+        state, resume_meta = ckpt.restore_state(
+            state, restore_path, reset_optimizer=args.reset_optimizer)
+        resumed = True
+        start_epoch = int(resume_meta.get("epoch", 0)) + 1
+        if not args.reset_dataloader and not args.reset_optimizer:
+            itr_state = resume_meta.get("iterator")
+        logger.info(f"resumed from {restore_path} at step {int(state.step)}")
 
 
-    # data
-    shard_id, num_shards = 0, 1  # single-host; mesh shards within the batch
+    # data: every process forms the same global batches and collates its
+    # row slice; put_batch assembles the global array (multi-host data
+    # path — ShardedIterator + per-rank batches in the reference,
+    # fairseq/data/iterators.py:446-459)
     epoch_itr = task.get_batch_iterator(
         args.train_subset, max_tokens=args.max_tokens,
         max_sentences=args.batch_size, seed=args.seed,
-        num_shards=num_shards, shard_id=shard_id, shuffle=True)
+        shuffle=True, data_rank=data_rank, data_world=data_world)
     if itr_state:
         epoch_itr.load_state_dict(itr_state)
         start_epoch = epoch_itr.epoch
@@ -162,6 +211,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                             ema_start_update=args.ema_start_update,
                             ema_update_freq=args.ema_update_freq)
         ema_params = init_ema(state.params)
+        ema_path = Path(args.save_dir) / "checkpoint_last_ema.npz"
+        if resumed and not args.reset_optimizer and ema_path.is_file():
+            # restore the EMA shadow on resume (fairseq persists EMA inside
+            # the checkpoint, trainer.py:380-424; we keep a sibling npz)
+            with np.load(str(ema_path)) as z:
+                flat = {k: z[k] for k in z.files}
+            ema_params = ckpt.unflatten_into(ema_params, flat, "params::")
+            logger.info(f"restored EMA params from {ema_path}")
         _ema_step = jax.jit(lambda e, p, s: ema_step(ema_cfg, e, p, s))
     watchdog = HeartbeatWatchdog(args.heartbeat_timeout).start()
 
@@ -172,8 +229,60 @@ def main(argv: Optional[List[str]] = None) -> int:
     epoch = start_epoch
     stop = False
     lr_scale = 1.0  # reduce_lr_on_plateau multiplier (host-driven)
+    if resumed and not args.reset_optimizer:
+        # plateau/early-stop state survives restarts (fairseq persists
+        # scheduler state + `best` in checkpoints, trainer.py:380-424)
+        lr_scale = float(resume_meta.get("lr_scale", 1.0))
+        best_val = resume_meta.get("best_val", None)
+        if best_val is not None:
+            best_val = float(best_val)
+        patience_left = int(resume_meta.get("patience_left", args.patience))
 
     from ..data.iterators import BufferedIterator
+
+    # -- shared validate/save plumbing (mid-epoch + end-of-epoch) ----------
+    _st = {"best_val": best_val, "patience_left": patience_left,
+           "lr_scale": lr_scale, "stop": stop}
+
+    def handle_val_result(val_metric):
+        """Plateau shrink + early-stop patience (fairseq_cli/train.py:
+        208-233). Mutates _st; returns val_metric unchanged."""
+        if val_metric is None:
+            return None
+        better = (_st["best_val"] is None
+                  or (val_metric > _st["best_val"]
+                      if args.maximize_best_checkpoint_metric
+                      else val_metric < _st["best_val"]))
+        if better:
+            _st["best_val"] = val_metric
+            _st["patience_left"] = args.patience
+        else:
+            if args.lr_scheduler in ("reduce_lr_on_plateau",
+                                     "reduce_on_plateau"):
+                _st["lr_scale"] *= args.lr_shrink
+                logger.info(f"plateau: lr_scale -> {_st['lr_scale']:.2e}")
+            if args.patience > 0:
+                _st["patience_left"] -= 1
+                if _st["patience_left"] <= 0:
+                    logger.info(f"early stop: no improvement in "
+                                f"{args.patience} validations")
+                    _st["stop"] = True
+        return val_metric
+
+    def save_meta(itr_sd):
+        return {"iterator": itr_sd, "lr_scale": _st["lr_scale"],
+                "best_val": _st["best_val"],
+                "patience_left": _st["patience_left"]}
+
+    def save_ema():
+        if ema_params is not None:
+            from ..train.checkpoint import flatten_tree
+            # flatten gathers sharded leaves (collective) — all processes
+            # participate; only rank 0 writes
+            flat = flatten_tree(ema_params, "params::")
+            if is_main:
+                np.savez(str(Path(args.save_dir)
+                             / "checkpoint_last_ema.npz"), **flat)
 
     while not stop and epoch <= max_epoch:
         if args.profile and epoch == start_epoch:
@@ -181,6 +290,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             # parity, fairseq_cli/train.py:503-506)
             jax.profiler.start_trace("/tmp/s2st_tpu_profile")
         uf = update_freq[min(epoch - 1, len(update_freq) - 1)]
+        # batches already consumed this epoch (mid-epoch resume offset);
+        # captured BEFORE next_epoch_itr resets the iterator's own counter
+        batches_done = epoch_itr.iterations_in_epoch
         # background-thread prefetch: host __getitem__/collate overlaps the
         # device step (BufferedIterator parity)
         itr = GroupedIterator(
@@ -188,6 +300,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         inner_metrics: dict = {}
         metrics: dict = {}
         n_updates_epoch = 0
+        broke_mid_epoch = False
         import time as _time
         _tick = _time.perf_counter()
         _steps_since_log = 0
@@ -196,14 +309,20 @@ def main(argv: Optional[List[str]] = None) -> int:
             # per iteration (a device round trip each time)
             step_rng = jax.random.fold_in(
                 jax.random.fold_in(train_rng, epoch), num_updates)
+            if manual_lr is not None:
+                # manual schedule resolves host-side; base schedule is the
+                # constant lrs[0], so scale = manual/base
+                _st["lr_scale"] = (manual_lr(epoch, num_updates)
+                                   / max(lrs[0], 1e-30))
             # metrics stay on device between log points so consecutive
             # steps pipeline without a host round trip
             want_metrics = ((i + 1) % args.log_interval == 0)
             state, metrics = trainer.train_step(state, microbatches, step_rng,
                                                 fetch_metrics=want_metrics,
-                                                lr_scale=lr_scale)
+                                                lr_scale=_st["lr_scale"])
             num_updates += 1
             _steps_since_log += 1
+            batches_done += len(microbatches)
             watchdog.beat()
             if ema_params is not None:
                 ema_params = _ema_step(ema_params, state.params, state.step)
@@ -228,8 +347,29 @@ def main(argv: Optional[List[str]] = None) -> int:
                                  for k, v in metrics.items()},
                               "num_updates": num_updates},
                              tag="train_inner", step=num_updates)
-            if num_updates >= max_update:
+            # mid-epoch validate/save (--validate-interval-updates /
+            # --save-interval-updates; fairseq_cli/train.py:336-403)
+            mid_val = None
+            if (args.validate_interval_updates > 0
+                    and num_updates % args.validate_interval_updates == 0
+                    and not args.disable_validation
+                    and num_updates >= args.validate_after_updates):
+                mid_val = handle_val_result(
+                    validate(args, task, trainer, state, eval_fn, progress,
+                             train_rng))
+            if (mgr is not None and args.save_interval_updates > 0
+                    and num_updates % args.save_interval_updates == 0):
+                # iterator state counts CONSUMED batches (the iterator's own
+                # counter runs ahead because of the prefetch buffer)
+                itr_sd = {"epoch": epoch, "iterations_in_epoch": batches_done,
+                          "shuffle": True}
+                mgr.save(state, epoch, val_metric=mid_val,
+                         end_of_epoch=False, num_updates=num_updates,
+                         extra_meta=save_meta(itr_sd))
+                save_ema()
+            if num_updates >= max_update or _st["stop"]:
                 stop = True
+                broke_mid_epoch = True
                 break
 
         if args.profile and epoch == start_epoch:
@@ -251,37 +391,39 @@ def main(argv: Optional[List[str]] = None) -> int:
                        and epoch % args.validate_interval == 0
                        and num_updates >= args.validate_after_updates)
         if do_validate:
-            val_metric = validate(args, task, trainer, state, eval_fn,
-                                  progress, train_rng)
-            if val_metric is not None:
-                better = (best_val is None
-                          or (val_metric > best_val
-                              if args.maximize_best_checkpoint_metric
-                              else val_metric < best_val))
-                if better:
-                    best_val = val_metric
-                    patience_left = args.patience
-                else:
-                    if args.lr_scheduler in ("reduce_lr_on_plateau",
-                                             "reduce_on_plateau"):
-                        lr_scale *= args.lr_shrink
-                        logger.info(f"plateau: lr_scale -> {lr_scale:.2e}")
-                    if args.patience > 0:
-                        patience_left -= 1
-                        if patience_left <= 0:
-                            logger.info(
-                                f"early stop: no improvement in "
-                                f"{args.patience} validations")
-                            stop = True
+            val_metric = handle_val_result(
+                validate(args, task, trainer, state, eval_fn, progress,
+                         train_rng))
+        if _st["stop"]:
+            stop = True
 
-        if mgr is not None and epoch % args.save_interval == 0:
-            mgr.save(state, epoch, val_metric=val_metric,
-                     extra_meta={"iterator": epoch_itr.state_dict()})
-            if ema_params is not None:
-                from ..train.checkpoint import flatten_tree
-                flat = flatten_tree(jax.device_get(ema_params), "params::")
-                np.savez(str(Path(args.save_dir) / "checkpoint_last_ema.npz"),
-                         **flat)
+        if mgr is not None:
+            if broke_mid_epoch:
+                # stopped inside the epoch (max-update/early-stop): the
+                # iterator's own counter ran ahead via prefetch, so record
+                # the CONSUMED position for exact resume
+                itr_sd = {"epoch": epoch,
+                          "iterations_in_epoch": batches_done,
+                          "shuffle": True}
+                mgr.save(state, epoch, val_metric=val_metric,
+                         end_of_epoch=False,
+                         num_updates=(num_updates
+                                      if args.save_interval_updates > 0
+                                      else None),
+                         extra_meta=save_meta(itr_sd))
+                save_ema()
+            elif epoch % args.save_interval == 0:
+                mgr.save(state, epoch, val_metric=val_metric,
+                         extra_meta=save_meta(epoch_itr.state_dict()))
+                save_ema()
+        # --stop-min-lr: stop once the schedule decays below the floor
+        # (fairseq_cli/train.py epoch-loop condition)
+        if args.stop_min_lr > 0:
+            cur_lr = float(schedule(num_updates + 1)) * _st["lr_scale"]
+            if cur_lr < args.stop_min_lr:
+                logger.info(f"stopping: lr {cur_lr:.3e} < "
+                            f"--stop-min-lr {args.stop_min_lr:.3e}")
+                stop = True
         epoch += 1
 
     watchdog.stop()
@@ -296,7 +438,8 @@ def validate(args, task, trainer, state, eval_fn, progress, rng):
     import jax
     valid_itr = task.get_batch_iterator(
         args.valid_subset, max_tokens=args.max_tokens,
-        max_sentences=args.batch_size, seed=args.seed, shuffle=False)
+        max_sentences=args.batch_size, seed=args.seed, shuffle=False,
+        data_rank=jax.process_index(), data_world=jax.process_count())
     agg: dict = {}
     weights: dict = {}
     n = 0
@@ -317,7 +460,8 @@ def validate(args, task, trainer, state, eval_fn, progress, rng):
             host = jax.device_get({k: out[k] for k in mcd_sums})
             for k in mcd_sums:
                 mcd_sums[k] += float(host[k])
-            if n == 1 and progress._tb is not None:
+            if n == 1 and progress._tb is not None \
+                    and jax.process_count() == 1:
                 # audio/spectrogram/attention panels on the first batch
                 wl = int(jax.device_get(out["example_wave_len"]))
                 progress.log_audio(

@@ -94,11 +94,22 @@ class EpochBatchIterator:
                  shuffle: bool = True, snap_shapes: bool = True,
                  required_batch_size_multiple: int = 1,
                  skip_remainder_batch: bool = False,
-                 max_positions: Optional[int] = None):
+                 max_positions: Optional[int] = None,
+                 data_rank: int = 0, data_world: int = 1):
         """max_positions: drop samples whose source length exceeds it
         (--skip-invalid-size-inputs-valid-test + max-source-positions
-        filtering, fairseq_task.py:168-199 parity)."""
+        filtering, fairseq_task.py:168-199 parity).
+
+        data_rank/data_world: multi-host ROW sharding — every process forms
+        the same frozen global batches, then collates only rows
+        [data_rank::data_world] of each, padded to shapes computed from
+        global metadata (dataset.collate_meta) so all processes compile the
+        same program and ``put_batch`` can assemble one global array. This
+        replaces fairseq's every-Nth-batch ShardedIterator (iterators.py:
+        446-459), which cannot give shape-aligned per-process slices."""
         self.max_positions = max_positions
+        self.data_rank = data_rank
+        self.data_world = data_world
         self.dataset = dataset
         self.max_tokens = max_tokens
         self.max_sentences = max_sentences
@@ -172,6 +183,8 @@ class EpochBatchIterator:
         return self._itr
 
     def _collate(self, idxs: np.ndarray) -> Dict[str, Any]:
+        if self.data_world > 1:
+            return self._collate_row_shard(idxs)
         items = [self.dataset[int(i)] for i in idxs]
         kw = {}
         if self.snap_shapes:
@@ -186,6 +199,62 @@ class EpochBatchIterator:
                 pad_tgt_txt=snap_len(max(len(it.tgt_text) for it in items), 8),
             )
         return self.dataset.collate(items, **kw)
+
+    def _collate_row_shard(self, idxs: np.ndarray) -> Dict[str, Any]:
+        """Collate this process's rows of a global batch (see __init__)."""
+        rank, world = self.data_rank, self.data_world
+        local = [int(i) for i in idxs[rank::world]]
+        meta = None
+        if hasattr(self.dataset, "collate_meta"):
+            meta = self.dataset.collate_meta([int(i) for i in idxs])
+        if meta is None:
+            # no cheap metadata (raw-audio path): every process loads the
+            # whole batch, keeps its rows — correct, IO-redundant
+            items_all = [self.dataset[int(i)] for i in idxs]
+
+            def src_len(it):
+                a = it.src_speech if it.src_speech is not None else it.src_orig
+                return a.shape[0]
+            src_t = max(src_len(it) for it in items_all)
+            tgt_t = max(it.tgt_speech.shape[0] for it in items_all)
+            s_txt = max(len(it.src_text) for it in items_all)
+            t_txt = max(len(it.tgt_text) for it in items_all)
+            s_ntok = sum(len(it.src_text) for it in items_all)
+            t_ntok = sum(len(it.tgt_text) for it in items_all)
+            items = items_all[rank::world]
+        else:
+            src_t, tgt_t, s_txt, t_txt, s_ntok, t_ntok = meta
+            items = [self.dataset[i] for i in local]
+        # global padded batch divisible by world; every rank pads its slice
+        # to the same local size (padding rows carry zero lengths)
+        gb = snap_len(len(idxs), 8)
+        gb = -(-gb // world) * world
+        if not items:
+            # degenerate tiny batch: collate one row, then mask it out
+            items = [self.dataset[int(idxs[0])]]
+            mask_all = True
+        else:
+            mask_all = False
+        batch = self.dataset.collate(
+            items, pad_batch=gb // world,
+            pad_src_t=snap_len(src_t) if self.snap_shapes else src_t,
+            pad_tgt_t=snap_len(tgt_t) if self.snap_shapes else tgt_t,
+            pad_src_txt=snap_len(s_txt, 8) if self.snap_shapes else s_txt,
+            pad_tgt_txt=snap_len(t_txt, 8) if self.snap_shapes else t_txt)
+        if mask_all:
+            for k in ("src_speech", "tgt_speech", "prev_output_tokens"):
+                batch[k][:] = 0
+            for k in ("src_text", "tgt_text", "prev_src_text_tokens",
+                      "prev_tgt_text_tokens"):
+                batch[k][:] = 1  # PAD
+            for k in ("src_speech_lens", "target_lengths", "src_text_len",
+                      "tgt_text_len"):
+                batch[k][:] = 0
+        # CE-normalizer token counts must be GLOBAL (the compiled loss
+        # divides by them once over the assembled global batch)
+        batch["src_txt_ntokens"] = int(s_ntok)
+        batch["tgt_txt_ntokens"] = int(t_ntok)
+        return batch
 
     # -- checkpoint ---------------------------------------------------------
 

@@ -103,6 +103,25 @@ class S2STDataset:
     def src_frames(self, index: int) -> int:
         return int(self.src_n_frames[index])
 
+    def collate_meta(self, indices) -> Optional[tuple]:
+        """Cheap global pad metadata — (max_src_t, max_tgt_t_packed,
+        max_src_txt, max_tgt_txt, src_txt_ntokens, tgt_txt_ntokens) — from
+        the manifest only, no feature IO. Lets each process of a multi-host
+        run collate ONLY its own rows of a global batch to identical padded
+        shapes (the JAX analogue of fairseq's per-rank ShardedIterator,
+        iterators.py:446-459). None for the raw-audio/HuBERT input mode
+        (waveform lengths are not in the manifest)."""
+        if self.cfg.use_hubert:
+            return None
+        src_t = int(max(self.src_n_frames[i] for i in indices))
+        tgt_t = int(max(int(self.tgt_n_frames[i]) // self.n_frames_per_step
+                        for i in indices))
+        # encode_line is whitespace tokenization + eos (dictionary.py)
+        s_lens = [len(self.src_texts[i].split()) + 1 for i in indices]
+        t_lens = [len(self.tgt_texts[i].split()) + 1 for i in indices]
+        return (src_t, tgt_t, max(s_lens), max(t_lens),
+                int(sum(s_lens)), int(sum(t_lens)))
+
     def __getitem__(self, index: int) -> S2STItem:
         src_speech = None
         src_orig = None

@@ -193,6 +193,10 @@ class ProgressLogger:
             handler.setFormatter(logging.Formatter(
                 "%(asctime)s | %(levelname)s | %(name)s | %(message)s"))
             logging.getLogger().addHandler(handler)
+            # --log-file must capture progress lines even when the embedding
+            # process configured logging at WARNING (e.g. a test harness):
+            # force the package logger down to INFO
+            logging.getLogger("s2st_tpu").setLevel(logging.INFO)
 
     def _fmt(self, stats: Dict[str, Any], tag: str, step: int) -> str:
         stats = dict(stats)

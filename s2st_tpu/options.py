@@ -149,6 +149,11 @@ def add_optimization_args(parser: argparse.ArgumentParser):
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--lr", default="0.001")
     p.add_argument("--lr-scheduler", default="inverse_sqrt")
+    p.add_argument("--epoch2lr", default="{}",
+                   help='manual scheduler: epoch->lr dict, keys "5", "1,2" '
+                        'or "3-10" (manual_lr_scheduler.py parity)')
+    p.add_argument("--update2lr", default="{}",
+                   help="manual scheduler: update->lr dict, same key syntax")
     p.add_argument("--warmup-updates", type=int, default=4000)
     p.add_argument("--warmup-init-lr", type=float, default=-1.0)
     p.add_argument("--lr-shrink", type=float, default=0.1,
@@ -168,14 +173,21 @@ def add_checkpoint_args(parser: argparse.ArgumentParser):
     p.add_argument("--reset-optimizer", action="store_true")
     p.add_argument("--reset-dataloader", action="store_true")
     p.add_argument("--save-interval", type=int, default=1)
-    p.add_argument("--save-interval-updates", type=int, default=0)
+    p.add_argument("--save-interval-updates", type=int, default=0,
+                   help="also save every N updates (mid-epoch)")
+    p.add_argument("--keep-interval-updates", type=int, default=-1,
+                   help="keep the last N update checkpoints")
     p.add_argument("--keep-best-checkpoints", type=int, default=-1)
     p.add_argument("--keep-last-epochs", type=int, default=-1)
     p.add_argument("--no-save", action="store_true")
+    p.add_argument("--no-epoch-checkpoints", action="store_true",
+                   help="only store last/best checkpoints")
     p.add_argument("--best-checkpoint-metric", default="loss")
     p.add_argument("--maximize-best-checkpoint-metric", action="store_true")
     p.add_argument("--validate-after-updates", type=int, default=0)
     p.add_argument("--validate-interval", type=int, default=1)
+    p.add_argument("--validate-interval-updates", type=int, default=0,
+                   help="also validate every N updates (mid-epoch)")
     p.add_argument("--disable-validation", action="store_true")
     p.add_argument("--patience", type=int, default=-1)
 

@@ -136,10 +136,30 @@ def replicated(mesh: Mesh):
 def put_batch(batch, mesh: Mesh):
     """Device-put a host batch with batch-dim sharding.
 
-    One jax.device_put over the whole pytree — issuing one transfer per
-    leaf costs a full dispatch round trip each on remote-attached TPUs."""
+    Single-process: one jax.device_put over the whole pytree — issuing one
+    transfer per leaf costs a full dispatch round trip each on
+    remote-attached TPUs.
+
+    Multi-process: each process holds its ROW SLICE of the global batch
+    (iterators.py row sharding); the global jax.Array is assembled with
+    ``jax.make_array_from_process_local_data`` — the SPMD replacement for
+    the reference's per-rank independent batches + NCCL grad all-reduce
+    (fairseq/data/iterators.py:446-459 + trainer.py:823-827). Scalars
+    (identical on every process by construction) replicate."""
     clean = {k: v for k, v in batch.items()
              if not isinstance(v, (list, str, type(None)))}
-    shardings = {k: NamedSharding(mesh, batch_spec(np.asarray(v)))
-                 for k, v in clean.items()}
-    return jax.device_put(clean, shardings)
+    nproc = jax.process_count()
+    if nproc == 1:
+        shardings = {k: NamedSharding(mesh, batch_spec(np.asarray(v)))
+                     for k, v in clean.items()}
+        return jax.device_put(clean, shardings)
+    out = {}
+    for k, v in clean.items():
+        arr = np.asarray(v)
+        sh = NamedSharding(mesh, batch_spec(arr))
+        if arr.ndim == 0:
+            gshape = arr.shape
+        else:
+            gshape = (arr.shape[0] * nproc,) + arr.shape[1:]
+        out[k] = jax.make_array_from_process_local_data(sh, arr, gshape)
+    return out

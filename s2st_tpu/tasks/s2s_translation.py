@@ -74,7 +74,8 @@ class S2STranslationTask:
     def get_batch_iterator(self, split: str, max_tokens: int,
                            max_sentences: Optional[int] = None,
                            seed: int = 1, num_shards: int = 1,
-                           shard_id: int = 0, shuffle: bool = True
+                           shard_id: int = 0, shuffle: bool = True,
+                           data_rank: int = 0, data_world: int = 1
                            ) -> EpochBatchIterator:
         if split not in self.datasets:
             self.load_dataset(split)
@@ -87,7 +88,8 @@ class S2STranslationTask:
             shard_id=shard_id, shuffle=shuffle,
             required_batch_size_multiple=getattr(
                 self.args, "required_batch_size_multiple", 1),
-            max_positions=max_pos)
+            max_positions=max_pos,
+            data_rank=data_rank, data_world=data_world)
 
     # ------------------------------------------------------------------
     def build_model_config(self):
@@ -134,6 +136,7 @@ class S2STranslationTask:
                 decoder_layers=self.args.decoder_layers,
                 decoder_embed_dim=self.args.decoder_embed_dim)
             loss = functools.partial(L.s2t_loss, test_type=test_type)
+            loss.mean_keys = L.s2t_loss.mean_keys
             return cfg, functools.partial(s2t.init_s2t, cfg=cfg,
                                           vocab_size=vocab), loss
         from ..models import s2st_transformer as s2st_m

@@ -29,6 +29,16 @@ logger = logging.getLogger(__name__)
 _SEP = "::"
 
 
+def _host_array(x) -> np.ndarray:
+    """Fetch a leaf to host. Multi-host FSDP/TP arrays are not fully
+    addressable from one process — gather them (fairseq analogue: rank-0
+    consolidated state_dict, trainer.py:205-230)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
 def flatten_tree(tree, prefix="") -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
@@ -40,7 +50,7 @@ def flatten_tree(tree, prefix="") -> Dict[str, np.ndarray]:
                 parts.append(str(k.idx))
             else:
                 parts.append(str(k))
-        flat[prefix + _SEP.join(parts)] = np.asarray(leaf)
+        flat[prefix + _SEP.join(parts)] = _host_array(leaf)
     return flat
 
 
@@ -72,13 +82,18 @@ def unflatten_into(tree, flat: Dict[str, np.ndarray], prefix="",
 def save_checkpoint_file(path: str, state, extra_meta: Optional[Dict] = None):
     """state: TrainState-like with params/stats/opt_state/step."""
     flat = {}
-    flat.update(flatten_tree(jax.device_get(state.params), "params" + _SEP))
-    flat.update(flatten_tree(jax.device_get(state.stats), "stats" + _SEP))
-    flat.update(flatten_tree(jax.device_get(state.opt_state), "opt" + _SEP))
+    flat.update(flatten_tree(state.params, "params" + _SEP))
+    flat.update(flatten_tree(state.stats, "stats" + _SEP))
+    flat.update(flatten_tree(state.opt_state, "opt" + _SEP))
     meta = dict(extra_meta or {})
     meta["step"] = int(jax.device_get(state.step))
     flat["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    if jax.process_index() != 0:
+        # multi-host: the flatten above is a COLLECTIVE (process_allgather
+        # of sharded leaves) so every process reaches it; only rank 0
+        # touches the filesystem (fairseq trainer.py:205-212)
+        return
     tmp = path + ".tmp.npz"
     np.savez(tmp, **flat)
     os.replace(tmp, path)
@@ -166,6 +181,8 @@ class CheckpointManager:
     def __init__(self, save_dir: str, best_checkpoint_metric: str = "loss",
                  maximize_best_checkpoint_metric: bool = False,
                  keep_best_checkpoints: int = -1, keep_last_epochs: int = -1,
+                 keep_interval_updates: int = -1,
+                 no_epoch_checkpoints: bool = False,
                  no_save_optimizer_state: bool = False):
         self.save_dir = Path(save_dir)
         self.save_dir.mkdir(parents=True, exist_ok=True)
@@ -173,14 +190,18 @@ class CheckpointManager:
         self.maximize = maximize_best_checkpoint_metric
         self.keep_best = keep_best_checkpoints
         self.keep_last_epochs = keep_last_epochs
+        self.keep_interval_updates = keep_interval_updates
+        self.no_epoch_checkpoints = no_epoch_checkpoints
         self.best: Optional[float] = None
-        # probe writability up-front (checkpoint_utils.py:815 parity)
-        probe = self.save_dir / ".writability_probe"
-        probe.write_text("ok")
-        probe.unlink()
+        if jax.process_index() == 0:
+            # probe writability up-front (checkpoint_utils.py:815 parity)
+            probe = self.save_dir / ".writability_probe"
+            probe.write_text("ok")
+            probe.unlink()
 
     def save(self, state, epoch: int, val_metric: Optional[float] = None,
-             end_of_epoch: bool = True, extra_meta: Optional[Dict] = None):
+             end_of_epoch: bool = True, num_updates: Optional[int] = None,
+             extra_meta: Optional[Dict] = None):
         meta = dict(extra_meta or {})
         meta["epoch"] = epoch
         if val_metric is not None:
@@ -190,10 +211,17 @@ class CheckpointManager:
                 self.best = float(val_metric)
                 save_checkpoint_file(
                     str(self.save_dir / "checkpoint_best.npz"), state, meta)
-        if end_of_epoch:
+        if end_of_epoch and not self.no_epoch_checkpoints:
             save_checkpoint_file(
                 str(self.save_dir / f"checkpoint{epoch}.npz"), state, meta)
             self._gc_epochs()
+        if not end_of_epoch and num_updates is not None:
+            # mid-epoch update checkpoint (--save-interval-updates;
+            # checkpoint_utils.py:74-78 checkpoint_{epoch}_{updates}.pt)
+            save_checkpoint_file(
+                str(self.save_dir / f"checkpoint_{epoch}_{num_updates}.npz"),
+                state, meta)
+            self._gc_updates()
         if val_metric is not None and self.keep_best > 0:
             name = (f"checkpoint.best_{self.metric}_{val_metric:.3f}."
                     f"{int(jax.device_get(state.step))}.npz")
@@ -203,7 +231,7 @@ class CheckpointManager:
             str(self.save_dir / "checkpoint_last.npz"), state, meta)
 
     def _gc_epochs(self):
-        if self.keep_last_epochs <= 0:
+        if self.keep_last_epochs <= 0 or jax.process_index() != 0:
             return
         ckpts = []
         for p in self.save_dir.glob("checkpoint[0-9]*.npz"):
@@ -213,7 +241,20 @@ class CheckpointManager:
         for _, p in sorted(ckpts)[:-self.keep_last_epochs]:
             p.unlink()
 
+    def _gc_updates(self):
+        if self.keep_interval_updates <= 0 or jax.process_index() != 0:
+            return
+        ckpts = []
+        for p in self.save_dir.glob("checkpoint_[0-9]*_[0-9]*.npz"):
+            mt = re.fullmatch(r"checkpoint_(\d+)_(\d+)\.npz", p.name)
+            if mt:
+                ckpts.append((int(mt.group(2)), p))
+        for _, p in sorted(ckpts)[:-self.keep_interval_updates]:
+            p.unlink()
+
     def _gc_best(self):
+        if jax.process_index() != 0:
+            return
         pat = re.compile(
             rf"checkpoint\.best_{re.escape(self.metric)}_(-?[\d.]+)\.(\d+)\.npz")
         scored = []

@@ -262,3 +262,16 @@ def _composite_loss(net: Dict[str, Any], cfg: m.S2STConfig, lcfg: LossConfig,
     })
     return loss, {"new_stats": net["new_stats"], "logging": logging,
                   "sample_size": sample_size}
+
+
+# Which logging keys are per-microbatch MEANS (the trainer sums logging
+# across grad-accum microbatches, then divides these back; count-style keys
+# like ntokens/n_correct stay summed). Declared HERE, next to the dicts
+# that define the keys, so a new metric can't silently get the wrong
+# normalization in trainer.py.
+_COMPOSITE_MEAN_KEYS = ("loss", "l1_loss", "mse_loss", "eos_loss",
+                        "attn_loss", "ctc_loss", "ctc_loss_tgt",
+                        "aux_asr_loss", "aux_st_loss")
+s2st_loss.mean_keys = _COMPOSITE_MEAN_KEYS
+t2s_loss.mean_keys = _COMPOSITE_MEAN_KEYS
+s2t_loss.mean_keys = ("loss", "nll_loss")

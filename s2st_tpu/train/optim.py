@@ -133,7 +133,16 @@ def pass_through_schedule(lr: float, **kw) -> Callable:
 def manual_schedule(lr: float, epoch2lr: dict = None,
                     update2lr: dict = None) -> Callable:
     """fairseq optim/lr_scheduler/manual_lr_scheduler.py parity: piecewise
-    lr by update count (jittable staircase over the sorted breakpoints)."""
+    lr by update count (jittable staircase over the sorted breakpoints).
+
+    epoch2lr cannot be resolved inside a compiled update-indexed schedule
+    (epoch boundaries are data-dependent); the CLI drives it host-side via
+    ``manual_lr_host`` + the trainer's ``lr_scale`` input instead. Passing
+    epoch2lr here is therefore an error rather than a silent no-op."""
+    if epoch2lr:
+        raise ValueError(
+            "manual_schedule cannot apply epoch2lr on device; use "
+            "manual_lr_host(...) and drive lr_scale from the CLI")
     import jax.numpy as jnp
     points = sorted((update2lr or {}).items())
 
@@ -144,6 +153,52 @@ def manual_schedule(lr: float, epoch2lr: dict = None,
                             jnp.asarray(value, jnp.float32), out)
         return out
     return sched
+
+
+def parse_manual_lr_dict(s: str) -> dict:
+    """Parse the reference's --epoch2lr/--update2lr dict strings
+    (manual_lr_scheduler.py:34-53): keys may be "5", "1,2,3" (comma list)
+    or "3-10" (inclusive range); values are floats."""
+    import ast
+    raw = ast.literal_eval(str(s).replace(" ", ""))
+    if not isinstance(raw, dict):
+        raise ValueError("epoch2lr/update2lr must evaluate to a dict")
+    out: dict = {}
+    for key, val in raw.items():
+        key = str(key)
+        if "," in key:
+            for k in key.split(","):
+                out[int(k)] = float(val)
+        elif "-" in key:
+            start, end = key.split("-")
+            for k in range(int(start), int(end) + 1):
+                out[int(k)] = float(val)
+        else:
+            out[int(key)] = float(val)
+    return out
+
+
+def manual_lr_host(lr: float, epoch2lr: Optional[dict] = None,
+                   update2lr: Optional[dict] = None) -> Callable:
+    """Host-side manual LR (manual_lr_scheduler.py:81-111 semantics):
+    at each update the lr is update2lr[max key <= num_updates] if any such
+    key exists, else epoch2lr[max key <= epoch] if any, else the base lr.
+    Returns fn(epoch, num_updates) -> float; the CLI feeds it to the
+    compiled step through the ``lr_scale`` input."""
+    epoch2lr = epoch2lr or {}
+    update2lr = update2lr or {}
+    u_keys = sorted(update2lr)
+    e_keys = sorted(epoch2lr)
+
+    def fn(epoch: int, num_updates: int) -> float:
+        uk = [k for k in u_keys if k <= num_updates]
+        if uk:
+            return update2lr[uk[-1]]
+        ek = [k for k in e_keys if k <= epoch]
+        if ek:
+            return epoch2lr[ek[-1]]
+        return lr
+    return fn
 
 
 def reduce_on_plateau_schedule(lr: float, warmup_updates: int = 0) -> Callable:

@@ -176,17 +176,45 @@ class Trainer:
 
     def _opt_shardings(self, state: TrainState, param_sh, rep):
         """Sharding tree for the optimizer state: leaves that mirror a param
-        (mu/nu in Adam) inherit that param's sharding (identified by shape —
-        same layout stability, and fsdp memory savings carry over); scalars
-        and counters replicate."""
-        by_shape = {}
-        for p_leaf, sh in zip(jax.tree_util.tree_leaves(state.params),
-                              jax.tree_util.tree_leaves(param_sh)):
-            by_shape.setdefault(tuple(p_leaf.shape), sh)
+        (mu/nu in Adam) inherit that param's sharding, matched BY PATH — the
+        optimizer-state path ends with the full param path (e.g.
+        ``0/mu/encoder/layers_0/self_attn/q/w``), so the longest path suffix
+        that names a param decides. Shape matching would collide for
+        same-shaped params with different TP specs (a (D,D) column-parallel
+        q/w vs a row-parallel out/w) and silently reshard every step.
+        Scalars, counters, and factored-state leaves whose shape differs
+        from the param's (adafactor vr/vc) replicate."""
+        def _parts(path):
+            out = []
+            for k in path:
+                if hasattr(k, "key"):
+                    out.append(str(k.key))
+                elif hasattr(k, "name"):
+                    out.append(str(k.name))
+                elif hasattr(k, "idx"):
+                    out.append(str(k.idx))
+                else:
+                    out.append(str(k))
+            return out
 
-        def assign(leaf):
-            return by_shape.get(tuple(getattr(leaf, "shape", ())), rep)
-        return jax.tree_util.tree_map(assign, state.opt_state)
+        by_path = {}
+        shapes = {}
+        for (path, leaf), (_, sh) in zip(
+                jax.tree_util.tree_leaves_with_path(state.params),
+                jax.tree_util.tree_leaves_with_path(param_sh)):
+            key = tuple(_parts(path))
+            by_path[key] = sh
+            shapes[key] = tuple(leaf.shape)
+
+        def assign(path, leaf):
+            parts = _parts(path)
+            leaf_shape = tuple(getattr(leaf, "shape", ()))
+            for i in range(len(parts)):  # longest suffix first
+                key = tuple(parts[i:])
+                if key in by_path:
+                    return by_path[key] if shapes[key] == leaf_shape else rep
+            return rep
+        return jax.tree_util.tree_map_with_path(assign, state.opt_state)
 
     def place_state(self, state: TrainState) -> TrainState:
         """Device-put the state with the mesh shardings. Do this ONCE before
@@ -256,10 +284,11 @@ class Trainer:
         host = jax.device_get({**acc_logging, "gnorm": gnorm, "lr": lr,
                                "sample_size": sample_size})
         metrics = {k: float(v) for k, v in host.items()}
+        # mean-style metrics were summed across microbatches above; the loss
+        # function declares which of its logging keys are means (losses.py
+        # tags each loss fn with .mean_keys next to where the dict is built)
         n = len(microbatches)
-        for k in ("loss", "nll_loss", "l1_loss", "mse_loss", "eos_loss",
-                  "attn_loss", "ctc_loss", "ctc_loss_tgt", "aux_asr_loss",
-                  "aux_st_loss"):
+        for k in getattr(self.loss_fn, "mean_keys", ()):
             if k in metrics:
                 metrics[k] /= n
         return new_state, metrics
