@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import logging
 import sys
+from functools import partial
 from typing import List, Optional
 
 import numpy as np
@@ -33,7 +34,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     import jax
     import jax.numpy as jnp
     from ..registry import get_task
-    from ..generate.sequence_generator import BeamConfig, beam_search_aux
+    from ..generate.sequence_generator import (BeamConfig, beam_search_aux,
+                                               score_sequences)
     from ..models import s2st_transformer as m
     from ..scoring import build_scorer
     from ..train import checkpoint as ckpt
@@ -70,21 +72,50 @@ def main(argv: Optional[List[str]] = None) -> int:
             f"{path} has no {which}; train with the matching ce-weight"
         ens_vars.append(v)
 
+    # strategy precedence mirrors fairseq task.build_generator
+    # (fairseq/tasks/fairseq_task.py:339-463)
+    strategy = "beam"
+    if args.sampling:
+        strategy = "sampling"
+    elif args.diverse_beam_groups > 0:
+        strategy = "diverse_beam"
+    elif args.diversity_rate > -1.0:
+        strategy = "diverse_siblings"
     bs_cfg = BeamConfig(beam=args.beam,
                         max_len=min(200, model_cfg.max_target_positions),
+                        min_len=args.min_len,
                         len_penalty=args.lenpen,
-                        no_repeat_ngram_size=args.no_repeat_ngram_size)
+                        no_repeat_ngram_size=args.no_repeat_ngram_size,
+                        strategy=strategy,
+                        sampling_topk=args.sampling_topk,
+                        sampling_topp=args.sampling_topp,
+                        diversity_num_groups=max(args.diverse_beam_groups, 1),
+                        diversity_strength=args.diverse_beam_strength,
+                        diversity_rate=max(args.diversity_rate, 0.0))
+    nbest = min(args.nbest, args.beam)
 
-    @jax.jit
-    def infer(ens_vars, src_speech, src_speech_lens):
+    def _taps_pads(ens_vars, src_speech, src_speech_lens):
         taps, pads = [], []
         for v in ens_vars:
             enc = m.encode(v, model_cfg, src_speech, src_speech_lens)
             t = enc["out_middle_layers"]
             taps.append(t[0] if (use_asr or len(t) == 1) else t[1])
             pads.append(enc["encoder_padding_mask"])
+        return taps, pads
+
+    @partial(jax.jit, static_argnames=("has_prefix",))
+    def infer(ens_vars, src_speech, src_speech_lens, text, rng,
+              has_prefix=False):
+        taps, pads = _taps_pads(ens_vars, src_speech, src_speech_lens)
+        prefix = text[:, :args.prefix_size] if has_prefix else None
         return beam_search_aux(ens_vars, model_cfg, which, taps, pads,
-                               bs_cfg)
+                               bs_cfg, prefix_tokens=prefix, rng=rng)
+
+    @jax.jit
+    def score_ref(ens_vars, src_speech, src_speech_lens, text, text_len):
+        taps, pads = _taps_pads(ens_vars, src_speech, src_speech_lens)
+        return score_sequences(ens_vars, model_cfg, which, taps, pads,
+                               text, text_len)
 
     scorer = build_scorer(args)
     itr = task.get_batch_iterator(args.gen_subset,
@@ -96,13 +127,49 @@ def main(argv: Optional[List[str]] = None) -> int:
     import time
     t0 = time.perf_counter()
     gen_tokens = 0
+    text_key = "src_text" if use_asr else "tgt_text"
+    rng0 = jax.random.PRNGKey(getattr(args, "seed", 1) or 1)
+    n_batch = 0
     for batch in itr.next_epoch_itr(shuffle=False):
+        ids = np.asarray(batch["id"])
+        if args.score_reference:
+            # SequenceScorer mode (fairseq generate --score-reference)
+            out = score_ref(ens_vars, jnp.asarray(batch["src_speech"]),
+                            jnp.asarray(batch["src_speech_lens"]),
+                            jnp.asarray(batch[text_key]),
+                            jnp.asarray(batch[f"{text_key}_len"]))
+            pos = np.asarray(out["positional_scores"])
+            sc = np.asarray(out["score"])
+            lens = np.asarray(batch[f"{text_key}_len"])
+            toks = np.asarray(batch[text_key])
+            for row in range(len(ids)):
+                if ids[row] < 0:
+                    continue
+                idx = int(ids[row])
+                sample_id = dataset.ids[idx]
+                ref = (dataset.src_texts[idx] if use_asr
+                       else dataset.tgt_texts[idx])
+                n = int(lens[row])
+                hyp_ids = toks[row, :n]
+                hyp = tgt_dict.string(hyp_ids[hyp_ids != 2])
+                gen_tokens += n
+                print(f"S-{sample_id}\t{sample_id}")
+                print(f"T-{sample_id}\t{ref}")
+                print(f"H-{sample_id}\t{sc[row]:.4f}\t{hyp}")
+                print(f"P-{sample_id}\t" + " ".join(
+                    f"{x:.4f}" for x in pos[row, :n]))
+                scorer.add_string(ref, hyp)
+                n_done += 1
+            continue
         out = infer(ens_vars, jnp.asarray(batch["src_speech"]),
-                    jnp.asarray(batch["src_speech_lens"]))
+                    jnp.asarray(batch["src_speech_lens"]),
+                    jnp.asarray(batch[text_key]),
+                    jax.random.fold_in(rng0, n_batch),
+                    has_prefix=args.prefix_size > 0)
+        n_batch += 1
         tokens = np.asarray(out["tokens"])        # (B, K, L)
         lengths = np.asarray(out["lengths"])
         scores = np.asarray(out["scores"])
-        ids = np.asarray(batch["id"])
         for row in range(len(ids)):
             if ids[row] < 0:
                 continue
@@ -110,18 +177,20 @@ def main(argv: Optional[List[str]] = None) -> int:
             sample_id = dataset.ids[idx]
             ref = (dataset.src_texts[idx] if use_asr
                    else dataset.tgt_texts[idx])
-            # best hypothesis: tokens[1..len] with eos stripped
-            n = int(lengths[row, 0])
-            hyp_ids = tokens[row, 0, 1:1 + n]
-            hyp_ids = hyp_ids[hyp_ids != 2][:n]
-            hyp = tgt_dict.string(hyp_ids)
-            gen_tokens += n
             print(f"S-{sample_id}\t{sample_id}")
             print(f"T-{sample_id}\t{ref}")
-            print(f"H-{sample_id}\t{scores[row, 0]:.4f}\t{hyp}")
-            print(f"D-{sample_id}\t{scores[row, 0]:.4f}\t{hyp}")
-            scorer.add_string(ref, hyp)
-            n_done += 1
+            for j in range(nbest):
+                # hypothesis j: tokens[1..len] with eos stripped
+                n = int(lengths[row, j])
+                hyp_ids = tokens[row, j, 1:1 + n]
+                hyp_ids = hyp_ids[hyp_ids != 2][:n]
+                hyp = tgt_dict.string(hyp_ids)
+                print(f"H-{sample_id}\t{scores[row, j]:.4f}\t{hyp}")
+                print(f"D-{sample_id}\t{scores[row, j]:.4f}\t{hyp}")
+                if j == 0:
+                    gen_tokens += n
+                    scorer.add_string(ref, hyp)
+                    n_done += 1
     dt = time.perf_counter() - t0
     logger.info(f"Translated {n_done} sentences ({gen_tokens} tokens) in "
                 f"{dt:.1f}s ({n_done / max(dt, 1e-9):.2f} sentences/s, "

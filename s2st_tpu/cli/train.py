@@ -65,7 +65,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     model_cfg, init_fn, loss_fn = task.build_model_and_loss()
     loss_cfg = task.build_loss_config()
 
-    mesh = make_mesh(dp=args.dp_size, fsdp=args.fsdp_size, tp=args.tp_size)
+    mesh = make_mesh(dp=args.dp_size, fsdp=args.fsdp_size, tp=args.tp_size,
+                     pp=args.pp_size)
     logger.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
 
     # model + optimizer
@@ -100,7 +101,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                       weight_decay=args.weight_decay)
     tx = build_optimizer(args.optimizer, **opt_kw)
     trainer = Trainer(model_cfg, loss_cfg, tx, schedule, mesh,
-                      clip_norm=args.clip_norm, loss_fn=loss_fn)
+                      clip_norm=args.clip_norm, loss_fn=loss_fn,
+                      pp_chunks=args.pipeline_chunks)
     state = create_train_state(variables, tx)
 
     # frozen HuBERT frontend from a fairseq torch checkpoint

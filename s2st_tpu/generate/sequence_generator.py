@@ -40,6 +40,114 @@ class BeamConfig:
     min_len: int = 1            # fairseq: EOS banned while step < min_len
     len_penalty: float = 1.0
     no_repeat_ngram_size: int = 0
+    # --- strategy selection (fairseq/search.py:103-814) ---
+    # "beam" | "sampling" | "diverse_beam" | "diverse_siblings"
+    strategy: str = "beam"
+    sampling_topk: int = -1      # Sampling: keep top-k tokens (-1 = all)
+    sampling_topp: float = -1.0  # Sampling: nucleus mass (-1 = off)
+    diversity_num_groups: int = 2        # DiverseBeamSearch G
+    diversity_strength: float = 0.5      # DiverseBeamSearch penalty
+    diversity_rate: float = 0.0          # DiverseSiblingsSearch gamma
+    # LengthConstrainedBeamSearch (search.py:529-553): per-sentence
+    # min/max = a*src_len + b, enabled when any coefficient is set
+    min_len_a: float = 0.0
+    min_len_b: float = -1.0      # <0 -> disabled (scalar min_len applies)
+    max_len_a: float = 0.0
+    max_len_b: float = -1.0      # <0 -> disabled
+
+
+# ---------------------------------------------------------------------------
+# search strategies: each returns 2K candidates (scores, tokens, beams)
+# given lprobs (B, K, V) and cumulative alive scores (B, K).
+# fairseq parity: fairseq/search.py BeamSearch:103 / Sampling:620 /
+# DiverseBeamSearch:556 / DiverseSiblingsSearch:744.
+# ---------------------------------------------------------------------------
+
+def _step_beam(t, lprobs, alive_scores, k):
+    b, _, vocab = lprobs.shape
+    cand = alive_scores[:, :, None] + lprobs
+    top_scores, top_idx = jax.lax.top_k(cand.reshape(b, k * vocab), 2 * k)
+    return top_scores, top_idx % vocab, top_idx // vocab
+
+
+def _step_sampling(t, lprobs, alive_scores, k, rng, topk, topp):
+    """Sampling parity (search.py:620-742): at step 0 draw K i.i.d.
+    continuations from the first beam (with replacement); afterwards each
+    beam draws one. The sampled token's score is its ORIGINAL lprob; the
+    sampling distribution is the top-k/top-p truncated, renormalized one.
+    Pads to 2K candidates with NEG_INF so the pool logic stays uniform."""
+    b, _, vocab = lprobs.shape
+    src = jnp.where(t == 0, jnp.zeros((k,), jnp.int32), jnp.arange(k))
+    dist = jnp.take_along_axis(lprobs, src[None, :, None], axis=1)  # (B,K,V)
+    masked = dist
+    if topk > 0:
+        kth = jnp.sort(dist, axis=-1)[..., vocab - topk][..., None]
+        masked = jnp.where(dist < kth, NEG_INF, dist)
+    elif topp > 0:
+        # keep a sorted-desc word iff the probability mass strictly before it
+        # is < p (includes the first word that crosses p — search.py:649-663)
+        sorted_lp = jnp.sort(dist, axis=-1)[..., ::-1]
+        probs = jnp.exp(sorted_lp)
+        before = jnp.cumsum(probs, axis=-1) - probs
+        keep = before < topp
+        last = jnp.maximum(jnp.sum(keep, axis=-1, keepdims=True) - 1, 0)
+        cutoff = jnp.take_along_axis(sorted_lp, last, axis=-1)
+        masked = jnp.where(dist < cutoff, NEG_INF, dist)
+    keys = jax.random.split(jax.random.fold_in(rng, t), b)
+    tok = jax.vmap(lambda key, lp: jax.random.categorical(key, lp, axis=-1))(
+        keys, masked)                                           # (B, K)
+    tok_lp = jnp.take_along_axis(dist, tok[:, :, None], axis=-1)[:, :, 0]
+    prev = jnp.take_along_axis(alive_scores, src[None, :], axis=1)
+    scores = prev + tok_lp
+    beams = jnp.broadcast_to(src[None, :], (b, k))
+    neg = jnp.full((b, k), NEG_INF, jnp.float32)
+    zero = jnp.zeros((b, k), jnp.int32)
+    return (jnp.concatenate([scores, neg], 1),
+            jnp.concatenate([tok, zero], 1),
+            jnp.concatenate([beams, zero], 1))
+
+
+def _step_diverse_beam(t, lprobs, alive_scores, k, num_groups, strength):
+    """DiverseBeamSearch (Hamming diversity) parity (search.py:556-617):
+    beams are striped into G groups; group g's lprobs are penalized by
+    -strength * (count of tokens already chosen by groups < g this step).
+    The penalty stays in the returned scores, as in the reference."""
+    b, _, vocab = lprobs.shape
+    sub = k // num_groups
+    div = jnp.zeros((b, vocab), jnp.float32)
+    all_s, all_t, all_bm = [], [], []
+    for g in range(num_groups):
+        lp_g = lprobs[:, g::num_groups]
+        sc_g = alive_scores[:, g::num_groups]
+        eff = lp_g - strength * div[:, None, :] if g > 0 else lp_g
+        cand = sc_g[:, :, None] + eff
+        s_g, idx = jax.lax.top_k(cand.reshape(b, sub * vocab), 2 * sub)
+        tok = idx % vocab
+        beam = (idx // vocab) * num_groups + g
+        div = div.at[jnp.arange(b)[:, None], tok].add(1.0)
+        all_s.append(s_g)
+        all_t.append(tok)
+        all_bm.append(beam)
+    return (jnp.concatenate(all_s, 1), jnp.concatenate(all_t, 1),
+            jnp.concatenate(all_bm, 1))
+
+
+def _step_diverse_siblings(t, lprobs, alive_scores, k, rate):
+    """DiverseSiblingsSearch parity (search.py:744-814): per-beam top-2K over
+    the vocab, intra-sibling rank penalty gamma*rank subtracted (kept in the
+    score), then global top-2K. Step 0 falls back to plain beam search."""
+    b, _, vocab = lprobs.shape
+    k2 = 2 * k
+    cand = alive_scores[:, :, None] + lprobs                 # (B, K, V)
+    s, idx = jax.lax.top_k(cand, k2)                         # per-beam
+    s = s - (jnp.arange(1, k2 + 1, dtype=jnp.float32) * rate)[None, None, :]
+    top, fidx = jax.lax.top_k(s.reshape(b, k * k2), k2)
+    beams = fidx // k2
+    toks = jnp.take_along_axis(idx.reshape(b, k * k2), fidx, axis=1)
+    s0, t0_, b0 = _step_beam(t, lprobs, alive_scores, k)
+    first = t == 0
+    return (jnp.where(first, s0, top), jnp.where(first, t0_, toks),
+            jnp.where(first, b0, beams))
 
 
 def _aux_step(p, cfg: m.S2STConfig, dim: int, n_layers: int, table,
@@ -118,7 +226,8 @@ def _gather_beams(tree, beam_idx, b, k):
 
 def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
                     enc_tap: jnp.ndarray, enc_pad: jnp.ndarray,
-                    bs_cfg: BeamConfig) -> Dict[str, jnp.ndarray]:
+                    bs_cfg: BeamConfig, prefix_tokens=None,
+                    src_lengths=None, rng=None) -> Dict[str, jnp.ndarray]:
     """Beam-decode text from one aux decoder.
 
     which: "aux_asr_decoder" | "aux_st_decoder"; enc_tap (B, Ts, C) is the
@@ -129,6 +238,13 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
     Ensembles (EnsembleModel parity, sequence_generator.py:19): pass LISTS
     for `variables` and `enc_tap`/`enc_pad` — per-step log-probs are
     combined as log of the mean probability (logsumexp - log N).
+
+    prefix_tokens: optional (B, P) int32, PAD-padded — forced decode prefix
+    (fairseq sequence_generator._prefix_tokens: while t < P the prefix token
+    keeps its own lprob, everything else is banned).
+    src_lengths: (B,) int32, required when bs_cfg.min/max_len_a/b enable
+    LengthConstrainedBeamSearch per-sentence bounds.
+    rng: PRNGKey for strategy "sampling" (defaults to PRNGKey(0)).
     """
     ens_vars = variables if isinstance(variables, (list, tuple)) \
         else [variables]
@@ -166,8 +282,31 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
 
     tokens0 = jnp.full((b, k, max_len + 2), PAD, jnp.int32)
     tokens0 = tokens0.at[:, :, 0].set(EOS)                 # bos = eos
-    alive_scores0 = jnp.tile(
-        jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32)[None], (b, 1))
+    # step-0 semantics: fairseq's search.step uses only the first beam at
+    # step 0 — emulated by starting every other beam at NEG_INF. Diverse
+    # beam search needs the first beam of EACH group live (beams 0..G-1).
+    n_live0 = (bs_cfg.diversity_num_groups
+               if bs_cfg.strategy == "diverse_beam" else 1)
+    if bs_cfg.strategy == "diverse_beam" and k % n_live0 != 0:
+        raise ValueError("diverse_beam requires beam %% num_groups == 0")
+    alive_scores0 = jnp.tile(jnp.asarray(
+        [0.0] * n_live0 + [NEG_INF] * (k - n_live0),
+        jnp.float32)[None], (b, 1))
+
+    if bs_cfg.strategy == "sampling" and rng is None:
+        rng = jax.random.PRNGKey(0)
+    # static-width prefix buffer for traced-step indexing
+    if prefix_tokens is not None:
+        prefix_tokens = jnp.asarray(prefix_tokens, jnp.int32)
+    min_lens = max_lens = None
+    if bs_cfg.min_len_b >= 0 or bs_cfg.max_len_b >= 0:
+        if src_lengths is None:
+            raise ValueError("length-constrained search needs src_lengths")
+        sl = jnp.asarray(src_lengths, jnp.float32)
+        if bs_cfg.min_len_b >= 0:
+            min_lens = bs_cfg.min_len_a * sl + bs_cfg.min_len_b
+        if bs_cfg.max_len_b >= 0:
+            max_lens = bs_cfg.max_len_a * sl + bs_cfg.max_len_b
     state = dict(
         step=jnp.zeros((), jnp.int32),
         alive_tokens=tokens0,
@@ -214,16 +353,52 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
         # min_len (sequence_generator.py:365): no EOS before min_len tokens
         lprobs = lprobs.at[:, :, EOS].add(
             jnp.where(t < bs_cfg.min_len, NEG_INF, 0.0))
+        if min_lens is not None:  # LengthConstrainedBeamSearch per-sentence
+            lprobs = lprobs.at[:, :, EOS].add(
+                jnp.where(t < min_lens, NEG_INF, 0.0)[:, None])
+        if max_lens is not None:
+            # force EOS once max length is reached (search.py:551-552 sets
+            # eos lprob to 0; every alive continuation is banned so the
+            # sentence stops there, like fairseq's beam-filled finalize)
+            at_max = (t >= max_lens)[:, None, None]
+            forced_eos = jnp.full_like(lprobs, NEG_INF).at[:, :, EOS].set(0.0)
+            lprobs = jnp.where(at_max, forced_eos, lprobs)
+        if prefix_tokens is not None:
+            # forced prefix (_prefix_tokens parity): the prefix token keeps
+            # its own lprob, every other token is banned
+            plen = prefix_tokens.shape[1]
+            ptok = jax.lax.dynamic_index_in_dim(
+                jnp.pad(prefix_tokens, ((0, 0), (0, 1)),
+                        constant_values=PAD), jnp.minimum(t, plen),
+                axis=1, keepdims=False)                     # (B,)
+            have = ptok != PAD
+            own = jnp.take_along_axis(
+                lprobs, ptok[:, None, None].repeat(k, 1), axis=2)  # (B,K,1)
+            forced = jnp.where(
+                jax.nn.one_hot(ptok, vocab, dtype=bool)[:, None, :],
+                own, NEG_INF)
+            lprobs = jnp.where(have[:, None, None], forced, lprobs)
         if bs_cfg.no_repeat_ngram_size > 0:
             lprobs = lprobs + _ngram_ban_mask(
                 s["alive_tokens"], t, vocab, bs_cfg.no_repeat_ngram_size)
-        cand = s["alive_scores"][:, :, None] + lprobs  # (B, K, V)
 
-        # top 2K candidates over K*V
-        flat = cand.reshape(b, k * vocab)
-        top_scores, top_idx = jax.lax.top_k(flat, 2 * k)  # (B, 2K)
-        beam_idx = top_idx // vocab
-        tok = top_idx % vocab
+        # strategy step -> 2K candidates (fairseq search.step parity)
+        if bs_cfg.strategy == "beam":
+            top_scores, tok, beam_idx = _step_beam(
+                t, lprobs, s["alive_scores"], k)
+        elif bs_cfg.strategy == "sampling":
+            top_scores, tok, beam_idx = _step_sampling(
+                t, lprobs, s["alive_scores"], k, rng,
+                bs_cfg.sampling_topk, bs_cfg.sampling_topp)
+        elif bs_cfg.strategy == "diverse_beam":
+            top_scores, tok, beam_idx = _step_diverse_beam(
+                t, lprobs, s["alive_scores"], k,
+                bs_cfg.diversity_num_groups, bs_cfg.diversity_strength)
+        elif bs_cfg.strategy == "diverse_siblings":
+            top_scores, tok, beam_idx = _step_diverse_siblings(
+                t, lprobs, s["alive_scores"], k, bs_cfg.diversity_rate)
+        else:
+            raise ValueError(f"unknown search strategy {bs_cfg.strategy!r}")
 
         # candidate token buffers
         cand_tokens = jnp.take_along_axis(
@@ -305,6 +480,51 @@ def greedy_decode_aux(variables, cfg: m.S2STConfig, which: str,
                           BeamConfig(beam=1, max_len=max_len))
     return {"tokens": out["tokens"][:, 0], "lengths": out["lengths"][:, 0],
             "scores": out["scores"][:, 0]}
+
+
+def score_sequences(variables, cfg: m.S2STConfig, which: str,
+                    enc_tap: jnp.ndarray, enc_pad: jnp.ndarray,
+                    tokens: jnp.ndarray, lengths: jnp.ndarray
+                    ) -> Dict[str, jnp.ndarray]:
+    """SequenceScorer parity (fairseq/sequence_scorer.py:12-155): teacher-
+    forced scoring of given target sequences under an aux text decoder.
+
+    tokens: (B, T) int32 gold targets ending in EOS, PAD-padded;
+    lengths: (B,) token counts incl. the final EOS. Ensembles average
+    PROBABILITIES then take the log (models>1 -> get_normalized_probs with
+    log_probs=False, :78-80), exactly like beam decoding.
+
+    Returns: positional_scores (B, T) fp32 (0 at pad), score (B,) = mean
+    lprob per token (avg_probs.sum / tgt_len, :117-121).
+    """
+    ens_vars = variables if isinstance(variables, (list, tuple)) \
+        else [variables]
+    ens_taps = enc_tap if isinstance(enc_tap, (list, tuple)) else [enc_tap]
+    ens_pads = enc_pad if isinstance(enc_pad, (list, tuple)) else [enc_pad]
+    dim = cfg.asr_decoder_embed_dim if which == "aux_asr_decoder" \
+        else cfg.st_decoder_embed_dim
+    n_layers = cfg.asr_decoder_layers if which == "aux_asr_decoder" \
+        else cfg.st_decoder_layers
+    b, tt = tokens.shape
+    # prev tokens: eos-front, pad-preserving (collater semantics)
+    prev = jnp.where(tokens == PAD, PAD,
+                     jnp.concatenate(
+                         [jnp.full((b, 1), EOS, tokens.dtype),
+                          tokens[:, :-1]], axis=1))
+    lps = []
+    for v, tap, pad_m in zip(ens_vars, ens_taps, ens_pads):
+        logits = m.aux_decode(v["params"][which], cfg, dim, n_layers,
+                              prev, tap, pad_m)
+        lps.append(jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
+    if len(lps) == 1:
+        lp = lps[0]
+    else:
+        lp = jax.nn.logsumexp(jnp.stack(lps), axis=0) - jnp.log(float(len(lps)))
+    pos = jnp.take_along_axis(lp, tokens[:, :, None], axis=2)[:, :, 0]
+    valid = jnp.arange(tt)[None, :] < lengths[:, None]
+    pos = jnp.where(valid, pos, 0.0)
+    score = pos.sum(axis=1) / jnp.maximum(lengths, 1).astype(jnp.float32)
+    return {"positional_scores": pos, "score": score}
 
 
 def ctc_argmax_decode(variables, cfg: m.S2STConfig, enc_tap0: jnp.ndarray,

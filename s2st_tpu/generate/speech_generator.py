@@ -28,7 +28,8 @@ from ..models import s2st_transformer as m
 from ..nn.attention import cross_attn_precompute, self_attn_cache_init
 from ..nn.core import embedding, layer_norm, linear
 from ..nn.tacotron import postnet, prenet
-from ..nn.transformer import (decoder_layer_step, position_at_step,
+from ..nn.transformer import (decoder_layer_step_fused,
+                              fuse_decoder_layer_params, position_at_step,
                               sinusoidal_table)
 
 
@@ -37,6 +38,9 @@ class GenerationConfig:
     max_iter: int = 1500               # decode steps at the packed frame rate
     eos_prob_threshold: float = 0.5
     prenet_dropout_at_inference: bool = True  # reference quirk (always-on)
+    collect_attn: bool = True  # accumulate the (B, T, Ts) alignment buffer
+    #   (needed for --dump-attentions / plots; skipping it saves one fp32
+    #   buffer rewrite per decode step on the serving path)
 
 
 def _decode_loop(variables, cfg: m.S2STConfig, gen_cfg: GenerationConfig,
@@ -52,13 +56,25 @@ def _decode_loop(variables, cfg: m.S2STConfig, gen_cfg: GenerationConfig,
     table = sinusoidal_table(cfg.max_target_positions + m.PAD + 1,
                              cfg.decoder_embed_dim, m.PAD)
 
+    # unrolled per-layer decode with fused qkv projections (done once,
+    # outside the loop; see nn.transformer.fuse_decoder_layer_params).
+    # Matmul weights are pre-cast to the compute dtype so the loop body
+    # reads bf16 from HBM instead of casting fp32 masters every step
+    # (layer-norm params stay fp32 — they are applied in fp32).
+    def _precast(lp):
+        return {k: (v if k.endswith("_ln") or k == "final_ln"
+                    else jax.tree_util.tree_map(
+                        lambda a: a.astype(cfg.dtype), v))
+                for k, v in lp.items()}
+    fused = tuple(_precast(fuse_decoder_layer_params(p[f"layer{i}"]))
+                  for i in range(cfg.decoder_layers))
     cross_kv = tuple(
         cross_attn_precompute(p[f"layer{i}"]["cross_attn"],
                               enc["encoder_out"], heads)
         for i in range(cfg.decoder_layers))
     caches = tuple(
         self_attn_cache_init(b, max_iter, heads, head_dim, cfg.dtype)
-        for i in range(cfg.decoder_layers))
+        for _ in range(cfg.decoder_layers))
 
     enc_pad = enc["encoder_padding_mask"]
     alignment_layer = cfg.decoder_layers - 1
@@ -74,9 +90,12 @@ def _decode_loop(variables, cfg: m.S2STConfig, gen_cfg: GenerationConfig,
         caches=caches,
         finished=jnp.zeros((b,), bool),
         out_lens=jnp.full((b,), max_iter, jnp.int32),
-        feats=jnp.zeros((b, max_iter, cfg.out_dim), jnp.float32),
+        # accumulated in the compute dtype (the decoder emits cfg.dtype;
+        # storing fp32 would only add HBM traffic), upcast after the loop
+        feats=jnp.zeros((b, max_iter, cfg.out_dim), cfg.dtype),
         eos_prob=jnp.zeros((b, max_iter), jnp.float32),
-        attn=jnp.zeros((b, max_iter, ts), jnp.float32),
+        attn=jnp.zeros((b, max_iter if gen_cfg.collect_attn else 1, ts),
+                       jnp.float32),
     )
 
     def cond(s):
@@ -95,11 +114,11 @@ def _decode_loop(variables, cfg: m.S2STConfig, gen_cfg: GenerationConfig,
         new_caches = []
         attn_w = None
         for i in range(cfg.decoder_layers):
-            x, c, w = decoder_layer_step(
-                p[f"layer{i}"], x, s["caches"][i], step, cross_kv[i],
-                enc_pad, heads, normalize_before=cfg.decoder_normalize_before,
+            x, c, w = decoder_layer_step_fused(
+                fused[i], x, s["caches"][i], step, cross_kv[i], enc_pad,
+                heads, normalize_before=cfg.decoder_normalize_before,
                 activation=cfg.activation_fn,
-                need_attn=(i == alignment_layer))
+                need_attn=(gen_cfg.collect_attn and i == alignment_layer))
             new_caches.append(c)
             if w is not None:
                 attn_w = jnp.mean(w, axis=1)[:, 0, :]  # (B, Ts) fp32
@@ -120,14 +139,16 @@ def _decode_loop(variables, cfg: m.S2STConfig, gen_cfg: GenerationConfig,
             finished=s["finished"] | cur_finished,
             out_lens=out_lens,
             feats=jax.lax.dynamic_update_slice(
-                s["feats"], feat.astype(jnp.float32), (0, step, 0)),
+                s["feats"], feat.astype(s["feats"].dtype), (0, step, 0)),
             eos_prob=s["eos_prob"].at[:, step].set(eos_p),
-            attn=jax.lax.dynamic_update_slice(
-                s["attn"], attn_w[:, None, :], (0, step, 0)),
+            attn=(jax.lax.dynamic_update_slice(
+                s["attn"], attn_w[:, None, :], (0, step, 0))
+                if gen_cfg.collect_attn else s["attn"]),
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    return final["feats"], final["eos_prob"], final["attn"], final["out_lens"]
+    return (final["feats"].astype(jnp.float32), final["eos_prob"],
+            final["attn"], final["out_lens"])
 
 
 def generate_features(variables, cfg: m.S2STConfig, gen_cfg: GenerationConfig,

@@ -278,11 +278,18 @@ def subsampled_length(cfg: S2STConfig, length):
 def encode(variables: Dict[str, Params], cfg: S2STConfig,
            src_feats: jnp.ndarray, src_lengths: jnp.ndarray,
            speaker: Optional[jnp.ndarray] = None,
-           rng: Optional[jax.Array] = None, deterministic: bool = True
+           rng: Optional[jax.Array] = None, deterministic: bool = True,
+           mesh=None, pp_chunks: int = 1, batch_axes=None
            ) -> Dict[str, Any]:
     """src_feats: (B, T, feat) already in compute dtype. Returns dict with
     encoder_out (B, T', C), encoder_padding_mask (B, T') True=pad,
-    out_middle_layers list, out_lengths (B,)."""
+    out_middle_layers list, out_lengths (B,).
+
+    mesh + pp_chunks: when the mesh has a "stage" axis of size > 1 the
+    transformer stack runs as a GPipe pipeline over it (tap-aware: the
+    middle-layer taps come from the pipeline's per-layer collection;
+    reference pipeline model: model_parallel/models/
+    pipeline_parallel_transformer/model.py)."""
     p = variables["params"]["encoder"]
     if cfg.use_hubert:
         # frozen HuBERT frontend: src_feats is the raw waveform (B, L)
@@ -325,10 +332,33 @@ def encode(variables: Dict[str, Params], cfg: S2STConfig,
     layer_fn = jax.checkpoint(run_layer) if cfg.remat else run_layer
 
     middle: List[jnp.ndarray] = []
-    for i in range(cfg.encoder_layers):
-        x = layer_fn(p[f"layer{i}"], x, padding_mask, rngs[i])
-        if i in cfg.middle_layers:
-            middle.append(x)
+    if mesh is not None and mesh.shape.get("stage", 1) > 1:
+        from ..parallel.pipeline import pipeline_apply, stack_layer_params
+        lp = {"p": stack_layer_params(
+            [p[f"layer{i}"] for i in range(cfg.encoder_layers)])}
+        if rng is not None:
+            lp["rng"] = jnp.stack([rngs[i]
+                                   for i in range(cfg.encoder_layers)])
+
+        def pp_layer(lp_i, h, pad):
+            # NOTE: per-layer dropout rng is shared across microbatches
+            # (masks repeat every mb rows); exact only at dropout == 0
+            return layer_fn(lp_i["p"], h, pad, lp_i.get("rng"))
+
+        res = pipeline_apply(pp_layer, lp, x, mesh, pp_chunks,
+                             batched_args=(padding_mask,),
+                             collect=bool(cfg.middle_layers),
+                             batch_axes=batch_axes)
+        if cfg.middle_layers:
+            x, ys = res
+            middle = [ys[i] for i in cfg.middle_layers]
+        else:
+            x = res
+    else:
+        for i in range(cfg.encoder_layers):
+            x = layer_fn(p[f"layer{i}"], x, padding_mask, rngs[i])
+            if i in cfg.middle_layers:
+                middle.append(x)
 
     if "final_ln" in p:
         x = layer_norm(p["final_ln"], x)
@@ -354,7 +384,8 @@ def decode(variables: Dict[str, Params], cfg: S2STConfig,
            encoder_out: Dict[str, Any],
            speaker: Optional[jnp.ndarray] = None,
            rng: Optional[jax.Array] = None, deterministic: bool = True,
-           train: bool = False) -> Dict[str, Any]:
+           train: bool = False,
+           mesh=None, pp_chunks: int = 1, batch_axes=None) -> Dict[str, Any]:
     """Teacher-forced decode. prev_output: (B, Tt, out_dim) shifted targets.
 
     Returns dict: feat_out, post_feat_out (B, Tt, out_dim), eos_out (B, Tt, 1),
@@ -390,20 +421,59 @@ def decode(variables: Dict[str, Params], cfg: S2STConfig,
 
     attn = None
     middle_decoder: List[jnp.ndarray] = []
-    for i in range(cfg.decoder_layers):
-        x, w = decoder_layer(
-            p[f"layer{i}"], x, enc, enc_pad, mask, self_pad,
+    if mesh is not None and mesh.shape.get("stage", 1) > 1:
+        from ..parallel.pipeline import pipeline_apply, stack_layer_params
+        nl = cfg.decoder_layers
+        lp = {"p": stack_layer_params([p[f"layer{i}"] for i in range(nl)])}
+        if rng is not None:
+            lp["rng"] = jnp.stack([rngs[2 + i] for i in range(nl)])
+
+        def pp_layer(lp_i, h, e, ep, sp):
+            h2, _ = decoder_layer(
+                lp_i["p"], h, e, ep, causal_mask(h.shape[1]), sp,
+                cfg.decoder_attention_heads,
+                normalize_before=cfg.decoder_normalize_before,
+                activation=cfg.activation_fn, dropout_rate=cfg.dropout,
+                attn_dropout=cfg.attention_dropout,
+                act_dropout=cfg.activation_dropout,
+                rng=lp_i.get("rng"), deterministic=deterministic)
+            return h2
+
+        x_pre = x
+        x, ys = pipeline_apply(pp_layer, lp, x, mesh, pp_chunks,
+                               batched_args=(enc, enc_pad, self_pad),
+                               collect=True, batch_axes=batch_axes)
+        middle_decoder = [ys[i] for i in cfg.middle_layers_decoder]
+        # the guided-attention loss needs the alignment weights of the last
+        # layer; the pipeline only carries boundary activations, so the last
+        # layer is recomputed (replicated) with need_attn — same params, so
+        # gradients from the attention loss add correctly (1/L extra FLOPs)
+        last_in = ys[nl - 2] if nl >= 2 else x_pre
+        _, w = decoder_layer(
+            p[f"layer{nl - 1}"], last_in, enc, enc_pad, mask, self_pad,
             cfg.decoder_attention_heads,
             normalize_before=cfg.decoder_normalize_before,
             activation=cfg.activation_fn, dropout_rate=cfg.dropout,
             attn_dropout=cfg.attention_dropout,
             act_dropout=cfg.activation_dropout,
-            rng=rngs[2 + i], deterministic=deterministic,
-            need_attn=(i == alignment_layer))
-        if w is not None:
-            attn = jnp.mean(w, axis=1)  # (B, Tt, Ts) fp32
-        if i in cfg.middle_layers_decoder:
-            middle_decoder.append(x)
+            rng=rngs[2 + nl - 1], deterministic=deterministic,
+            need_attn=True)
+        attn = jnp.mean(w, axis=1)
+    else:
+        for i in range(cfg.decoder_layers):
+            x, w = decoder_layer(
+                p[f"layer{i}"], x, enc, enc_pad, mask, self_pad,
+                cfg.decoder_attention_heads,
+                normalize_before=cfg.decoder_normalize_before,
+                activation=cfg.activation_fn, dropout_rate=cfg.dropout,
+                attn_dropout=cfg.attention_dropout,
+                act_dropout=cfg.activation_dropout,
+                rng=rngs[2 + i], deterministic=deterministic,
+                need_attn=(i == alignment_layer))
+            if w is not None:
+                attn = jnp.mean(w, axis=1)  # (B, Tt, Ts) fp32
+            if i in cfg.middle_layers_decoder:
+                middle_decoder.append(x)
 
     if "final_ln" in p:
         x = layer_norm(p["final_ln"], x)
@@ -483,21 +553,28 @@ def ctc_logits(variables: Dict[str, Params], cfg: S2STConfig,
 
 def forward(variables: Dict[str, Params], cfg: S2STConfig, batch: Dict[str, Any],
             rng: Optional[jax.Array] = None, deterministic: bool = True,
-            train: bool = False) -> Dict[str, Any]:
+            train: bool = False,
+            mesh=None, pp_chunks: int = 1, batch_axes=None) -> Dict[str, Any]:
     """Training/teacher-forced forward over a collated batch.
 
     batch keys (see s2st_tpu.data.s2st_dataset.collate):
       src_speech (B,T,F), src_speech_lens (B,), prev_output_tokens (B,Tt,out_dim),
       target_lengths (B,), optional prev_src_text_tokens / prev_tgt_text_tokens
       (B,Ts_txt)/(B,Tt_txt), optional speaker (B,).
+
+    mesh/pp_chunks/batch_axes: pipeline-parallel execution of the encoder
+    and spectrogram-decoder stacks when the mesh has a "stage" axis > 1
+    (see encode/decode; aux decoders and heads run replicated).
     """
     r_enc, r_dec, r_asr, r_st = split_rngs(rng, 4)
     speaker = batch.get("speaker")
     enc = encode(variables, cfg, batch["src_speech"], batch["src_speech_lens"],
-                 speaker=speaker, rng=r_enc, deterministic=deterministic)
+                 speaker=speaker, rng=r_enc, deterministic=deterministic,
+                 mesh=mesh, pp_chunks=pp_chunks, batch_axes=batch_axes)
     dec = decode(variables, cfg, batch["prev_output_tokens"],
                  batch["target_lengths"], enc, speaker=speaker,
-                 rng=r_dec, deterministic=deterministic, train=train)
+                 rng=r_dec, deterministic=deterministic, train=train,
+                 mesh=mesh, pp_chunks=pp_chunks, batch_axes=batch_axes)
     out: Dict[str, Any] = {
         "feat_out": dec["feat_out"],
         "post_feat_out": dec["post_feat_out"],

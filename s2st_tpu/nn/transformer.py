@@ -16,8 +16,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .attention import (causal_mask, cross_attn_precompute, mha,
-                        mha_cross_step, mha_self_step, mha_init)
+from .attention import (_split_heads, attend, causal_mask,
+                        cross_attn_precompute, mha, mha_cross_step,
+                        mha_self_step, mha_init)
 from .core import (Params, dropout, get_activation, layer_norm,
                    layer_norm_init, linear, linear_init, split_rngs)
 
@@ -212,9 +213,135 @@ def decoder_layer_step(p: Params, x_step: jnp.ndarray, cache: Params,
     return x, cache, attn_w
 
 
+def fuse_decoder_layer_params(lp: Params) -> Params:
+    """Re-layout one decoder layer's params for the fused decode step: the
+    self-attention q/k/v projections become one (C, 3C) matmul.
+
+    TPU rationale: the AR decode step is latency-bound — ~40 tiny matmuls
+    per step at base size; the qkv fusion cuts 2 matmul dispatches per
+    layer. Numerics are identical: each fused output column is the same
+    dot product. Done once per generate() call, outside the decode loop.
+    """
+    sa = lp["self_attn"]
+    fused = {"w": jnp.concatenate(
+        [sa["q"]["w"], sa["k"]["w"], sa["v"]["w"]], axis=1)}
+    if "b" in sa["q"]:
+        fused["b"] = jnp.concatenate(
+            [sa["q"]["b"], sa["k"]["b"], sa["v"]["b"]])
+    return {
+        "qkv": fused,
+        "self_out": sa["out"],
+        "self_attn_ln": lp["self_attn_ln"],
+        "cross_q": lp["cross_attn"]["q"],
+        "cross_out": lp["cross_attn"]["out"],
+        "cross_attn_ln": lp["cross_attn_ln"],
+        "fc1": lp["fc1"], "fc2": lp["fc2"],
+        "final_ln": lp["final_ln"],
+    }
+
+
+def stack_decoder_layers(p: Params, num_layers: int) -> Params:
+    """Stacked (leading L axis) fused layer params for the scan path of
+    ``decoder_layers_step``."""
+    mapped = [fuse_decoder_layer_params(p[f"layer{i}"])
+              for i in range(num_layers)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *mapped)
+
+
+def decoder_layer_step_fused(lp: Params, x_step: jnp.ndarray, cache: Params,
+                             step: jnp.ndarray, cross_kv: Params,
+                             enc_padding_mask: Optional[jnp.ndarray],
+                             num_heads: int, *,
+                             normalize_before: bool = False,
+                             activation: str = "relu",
+                             need_attn: bool = False):
+    """One-token decode step with fused qkv params from
+    ``fuse_decoder_layer_params`` (eval only; no dropout). Same semantics as
+    ``decoder_layer_step`` with 2 fewer matmul dispatches.
+
+    cache: {"k","v"} (B, Tmax, H, D); cross_kv: precomputed encoder K/V.
+    Returns (x_step, new_cache, cross-attn weights (B, H, 1, Tk) | None).
+    """
+    act = get_activation(activation)
+    b, _, c = x_step.shape
+    head_dim = c // num_heads
+    scale = head_dim ** -0.5
+    max_len = cache["k"].shape[1]
+    invalid = jnp.broadcast_to(jnp.arange(max_len)[None, :] > step,
+                               (b, max_len))
+
+    residual = x_step
+    h = layer_norm(lp["self_attn_ln"], x_step) if normalize_before else x_step
+    q, k_new, v_new = jnp.split(linear(lp["qkv"], h), 3, axis=-1)
+    q = _split_heads(q * scale, num_heads)
+    k_all = jax.lax.dynamic_update_slice(
+        cache["k"], _split_heads(k_new, num_heads).astype(cache["k"].dtype),
+        (0, step, 0, 0))
+    v_all = jax.lax.dynamic_update_slice(
+        cache["v"], _split_heads(v_new, num_heads).astype(cache["v"].dtype),
+        (0, step, 0, 0))
+    out, _ = attend(q, k_all.astype(q.dtype), v_all.astype(q.dtype),
+                    key_padding_mask=invalid)
+    x = residual + linear(lp["self_out"], out.reshape(b, 1, c))
+    if not normalize_before:
+        x = layer_norm(lp["self_attn_ln"], x)
+
+    residual = x
+    h = layer_norm(lp["cross_attn_ln"], x) if normalize_before else x
+    q = _split_heads(linear(lp["cross_q"], h) * scale, num_heads)
+    out, w = attend(q, cross_kv["k"], cross_kv["v"],
+                    key_padding_mask=enc_padding_mask)
+    x = residual + linear(lp["cross_out"], out.reshape(b, 1, c))
+    if not normalize_before:
+        x = layer_norm(lp["cross_attn_ln"], x)
+
+    residual = x
+    h = layer_norm(lp["final_ln"], x) if normalize_before else x
+    x = residual + linear(lp["fc2"], act(linear(lp["fc1"], h)))
+    if not normalize_before:
+        x = layer_norm(lp["final_ln"], x)
+    return x, {"k": k_all, "v": v_all}, (w if need_attn else None)
+
+
+def decoder_layers_step(stacked: Params, x_step: jnp.ndarray, caches: Params,
+                        step: jnp.ndarray, cross_kv: Params,
+                        enc_padding_mask: Optional[jnp.ndarray],
+                        num_heads: int, *, normalize_before: bool = False,
+                        activation: str = "relu"):
+    """One decode step through ALL decoder layers via ``lax.scan`` over the
+    stacked params from ``stack_decoder_layers`` (eval only; no dropout).
+
+    NOTE: measured ~1.5x SLOWER than the unrolled per-layer loop on v5e for
+    the base arch (scan serializes work XLA would otherwise software-pipeline
+    across layers) — kept for compile-time-sensitive deep stacks; the
+    generators use the unrolled ``decoder_layer_step_fused``.
+
+    caches: {"k","v"} (L, B, Tmax, H, D); cross_kv: {"k","v"} (L, B, Ts, H, D).
+    Returns (x_step (B,1,C), new caches, last-layer cross-attn weights
+    head-averaged fp32 (B, Ts)) — the reference reads the alignment from the
+    final layer (fairseq/models/transformer/transformer_decoder.py
+    alignment_layer default).
+    """
+    b = x_step.shape[0]
+
+    def body(x, xs):
+        lp, ck, cv, xk, xv = xs
+        x, cache, w = decoder_layer_step_fused(
+            lp, x, {"k": ck, "v": cv}, step, {"k": xk, "v": xv},
+            enc_padding_mask, num_heads, normalize_before=normalize_before,
+            activation=activation, need_attn=True)
+        return x, (cache["k"], cache["v"], jnp.mean(w, axis=1)[:, 0, :])
+
+    xs = (stacked, caches["k"], caches["v"], cross_kv["k"], cross_kv["v"])
+    x, (new_k, new_v, attn_ws) = jax.lax.scan(body, x_step, xs)
+    return x, {"k": new_k, "v": new_v}, attn_ws[-1]
+
+
 __all__ = [
     "sinusoidal_table", "positions_for_lengths", "position_at_step",
     "encoder_layer_init", "encoder_layer",
     "decoder_layer_init", "decoder_layer", "decoder_layer_step",
+    "fuse_decoder_layer_params", "decoder_layer_step_fused",
+    "stack_decoder_layers", "decoder_layers_step",
     "causal_mask", "cross_attn_precompute",
 ]

@@ -212,6 +212,13 @@ def add_distributed_args(parser: argparse.ArgumentParser):
                    help="parameter-sharding axis size")
     p.add_argument("--tp-size", type=int, default=1,
                    help="tensor-parallel axis size")
+    p.add_argument("--pp-size", type=int, default=1,
+                   help="pipeline-parallel stage axis size (reference "
+                        "--pipeline-balance/-devices; GPipe over a stage "
+                        "mesh axis here)")
+    p.add_argument("--pipeline-chunks", type=int, default=1,
+                   help="pipeline microbatches per step (GPipe chunks; "
+                        "reference --pipeline-chunks)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (env-configured "
                         "coordinator) before building the mesh")
@@ -233,7 +240,29 @@ def add_generation_args(parser: argparse.ArgumentParser):
     p.add_argument("--output-sample-rate", type=int, default=16000)
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--lenpen", type=float, default=1.0)
+    p.add_argument("--min-len", type=int, default=1)
     p.add_argument("--no-repeat-ngram-size", type=int, default=0)
+    # search strategies (fairseq generation flags, dataclass/configs.py
+    # GenerationConfig / options.add_generation_args)
+    p.add_argument("--sampling", action="store_true",
+                   help="sample hypotheses instead of beam search")
+    p.add_argument("--sampling-topk", type=int, default=-1,
+                   help="sample from the top-K most likely tokens")
+    p.add_argument("--sampling-topp", type=float, default=-1.0,
+                   help="sample from the smallest token set with cumulative "
+                        "probability mass >= p")
+    p.add_argument("--diverse-beam-groups", type=int, default=-1,
+                   help="DiverseBeamSearch group count (-1 = off)")
+    p.add_argument("--diverse-beam-strength", type=float, default=0.5)
+    p.add_argument("--diversity-rate", type=float, default=-1.0,
+                   help="DiverseSiblingsSearch rate (-1 = off)")
+    p.add_argument("--prefix-size", type=int, default=0,
+                   help="initialize generation with this many target tokens")
+    p.add_argument("--score-reference", action="store_true",
+                   help="score the reference targets instead of decoding "
+                        "(SequenceScorer)")
+    p.add_argument("--nbest", type=int, default=1,
+                   help="number of hypotheses to output per sample")
     p.add_argument("--scoring", default="sacrebleu")
     p.add_argument("--wer-tokenizer", default="none")
     p.add_argument("--wer-lowercase", action="store_true")

@@ -24,15 +24,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(dp: Optional[int] = None, fsdp: int = 1, tp: int = 1,
-              devices=None) -> Mesh:
+              pp: int = 1, devices=None) -> Mesh:
+    """Axes: data (DP), fsdp (ZeRO), model (TP), stage (pipeline).
+
+    The stage axis is consumed by parallel.pipeline.pipeline_apply
+    (GPipe schedule; reference --pipeline-balance/-devices/-chunks,
+    fairseq/dataclass/configs.py:361-419)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        assert n % (fsdp * tp) == 0, (n, fsdp, tp)
-        dp = n // (fsdp * tp)
-    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
-    return Mesh(arr, ("data", "fsdp", "model"))
+        assert n % (fsdp * tp * pp) == 0, (n, fsdp, tp, pp)
+        dp = n // (fsdp * tp * pp)
+    assert dp * fsdp * tp * pp == n, \
+        f"mesh {dp}x{fsdp}x{tp}x{pp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, fsdp, tp, pp)
+    return Mesh(arr, ("data", "fsdp", "model", "stage"))
 
 
 # ---------------------------------------------------------------------------

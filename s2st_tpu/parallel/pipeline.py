@@ -41,13 +41,28 @@ def stack_layer_params(layer_params_list):
 
 def pipeline_apply(layer_fn: Callable, stacked_params, x: jnp.ndarray,
                    mesh: Mesh, n_micro: int, axis: str = "stage",
-                   static_args: Tuple = ()) -> jnp.ndarray:
+                   static_args: Tuple = (), batched_args: Tuple = (),
+                   collect: bool = False, batch_axes=None):
     """Run L stacked layers over the `axis` mesh dimension as a pipeline.
 
-    layer_fn(params_i, h, *static_args) -> h  applies ONE layer.
-    stacked_params: pytree with leading dim L (L % n_stages == 0).
-    x: (B, ...) batch; B % n_micro == 0. Returns layer-L output, identical
-    (up to fp reassociation) to sequentially applying all layers.
+    layer_fn(params_i, h, *batched_args_mb, *static_args) -> h applies ONE
+    layer. stacked_params: pytree with leading dim L (L % n_stages == 0).
+    x: (B, ...) batch; B % n_micro == 0.
+
+    batched_args: extra per-example operands (leading dim B) that every
+    layer needs unchanged — e.g. a padding mask. They are microbatched
+    like x and indexed per tick (replicated on every stage, no ppermute).
+    static_args: trace-time constants, closed over.
+
+    collect=False -> returns the layer-L output, identical (up to fp
+    reassociation) to sequentially applying all layers.
+    collect=True  -> returns (out, ys) where ys is (L, B, ...) — the output
+    of EVERY layer (the encoder's middle-layer taps are slices of this;
+    reference taps: s2st_transformer.py:195-237 out_middle_layers).
+
+    batch_axes: mesh axis name(s) the per-example dim of x/batched_args is
+    sharded over (e.g. ("data", "fsdp") inside the trainer) — composes PP
+    with DP/FSDP; None replicates the batch across the whole mesh.
     """
     n_stages = mesh.shape[axis]
     L = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
@@ -59,62 +74,81 @@ def pipeline_apply(layer_fn: Callable, stacked_params, x: jnp.ndarray,
 
     # microbatch axis up front: (M, mb, ...)
     xm = x.reshape((n_micro, mb) + x.shape[1:])
+    bm = jax.tree_util.tree_map(
+        lambda a: a.reshape((n_micro, mb) + a.shape[1:]),
+        tuple(batched_args))
 
     param_spec = jax.tree_util.tree_map(
         lambda leaf: P(axis), stacked_params)
 
-    def stage_body(params_local, xm_local):
+    def stage_body(params_local, xm_local, bm_local):
         """Runs on ONE stage. params_local: leading dim per_stage.
-        xm_local: full (M, mb, ...) — replicated input; only stage 0's
-        copy is consumed."""
+        xm_local/bm_local: full (M, mb, ...) — replicated; only the tick's
+        own microbatch slice is consumed."""
         sid = jax.lax.axis_index(axis)
 
-        def run_block(h):
+        def run_block(h, args_mb):
             def one(h, lp):
-                return layer_fn(lp, h, *static_args), None
-            h, _ = jax.lax.scan(one, h, params_local)
-            return h
+                h2 = layer_fn(lp, h, *args_mb, *static_args)
+                return h2, (h2 if collect else None)
+            h, ys = jax.lax.scan(one, h, params_local)
+            return h, ys
 
         n_ticks = n_micro + n_stages - 1
         zero = jnp.zeros_like(xm_local[0])
         outputs = jnp.zeros_like(xm_local)
+        ycol = (jnp.zeros((per_stage,) + xm_local.shape, xm_local.dtype)
+                if collect else jnp.zeros((), xm_local.dtype))
 
         def tick(carry, t):
-            recv, outputs = carry
+            recv, outputs, ycol = carry
             midx = t - sid                      # microbatch this stage runs
             active = (midx >= 0) & (midx < n_micro)
+            out_idx = jnp.clip(midx, 0, n_micro - 1)
             # stage 0 reads fresh input; others use what arrived last tick
             h_in = jnp.where(sid == 0,
                              xm_local[jnp.clip(t, 0, n_micro - 1)], recv)
-            h_out = run_block(h_in)
+            args_mb = jax.tree_util.tree_map(
+                lambda a: a[out_idx], bm_local)
+            h_out, ys = run_block(h_in, args_mb)
             h_out = jnp.where(active, h_out, zero)
             # pass to the next stage (ring; last stage's send is ignored)
             sent = jax.lax.ppermute(
                 h_out, axis,
                 [(i, (i + 1) % n_stages) for i in range(n_stages)])
             # last stage writes its finished microbatch
-            out_idx = jnp.clip(midx, 0, n_micro - 1)
             write = active & (sid == n_stages - 1)
             updated = jax.lax.dynamic_update_index_in_dim(
                 outputs, jnp.where(write, h_out, outputs[out_idx]),
                 out_idx, axis=0)
-            return (sent, updated), None
+            if collect:
+                prev = jax.lax.dynamic_index_in_dim(
+                    ycol, out_idx, axis=1, keepdims=False)
+                ycol = jax.lax.dynamic_update_index_in_dim(
+                    ycol, jnp.where(active, ys, prev), out_idx, axis=1)
+            return (sent, updated, ycol), None
 
-        (_, outputs), _ = jax.lax.scan(
-            tick, (zero, outputs), jnp.arange(n_ticks))
+        (_, outputs, ycol), _ = jax.lax.scan(
+            tick, (zero, outputs, ycol), jnp.arange(n_ticks))
         # every stage computed an `outputs`; only the last stage's is real —
         # broadcast it to all (psum of masked copies)
         mask = (sid == n_stages - 1).astype(outputs.dtype)
         outputs = jax.lax.psum(outputs * mask, axis)
-        return outputs
+        return outputs, ycol
 
+    xspec = P(None, batch_axes) if batch_axes else P()
+    yspec = P(axis, None, batch_axes) if batch_axes else P(axis)
+    out_specs = (xspec, yspec) if collect else (xspec, P())
+    kw = dict(mesh=mesh, in_specs=(param_spec, xspec, xspec),
+              out_specs=out_specs)
     try:
-        fn = shard_map(stage_body, mesh=mesh,
-                       in_specs=(param_spec, P()), out_specs=P(),
-                       check_vma=False)
+        fn = shard_map(stage_body, check_vma=False, **kw)
     except TypeError:  # older jax uses check_rep
-        fn = shard_map(stage_body, mesh=mesh,
-                       in_specs=(param_spec, P()), out_specs=P(),
-                       check_rep=False)
-    out = fn(stacked_params, xm)
-    return out.reshape((b,) + x.shape[1:])
+        fn = shard_map(stage_body, check_rep=False, **kw)
+    out, ycol = fn(stacked_params, xm, bm)
+    out = out.reshape((b,) + x.shape[1:])
+    if not collect:
+        return out
+    # ycol: (L, M, mb, ...) -> (L, B, ...)
+    ys = ycol.reshape((L, b) + x.shape[1:])
+    return out, ys

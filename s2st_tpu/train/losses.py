@@ -97,14 +97,21 @@ def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray,
 
 def s2st_loss(variables: Dict[str, Any], cfg: m.S2STConfig, lcfg: LossConfig,
               batch: Dict[str, Any], rng: Optional[jax.Array] = None,
-              train: bool = True) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+              train: bool = True, forward_fn=None
+              ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Returns (total loss fp32 scalar, extras).
 
     extras: {"new_stats", "logging": {per-term fp32 scalars}, "sample_size"}.
-    """
-    net = m.forward(variables, cfg, batch, rng=rng,
-                    deterministic=not train, train=train)
+
+    forward_fn: model forward override (the Trainer injects a pipeline-
+    parallel forward when the mesh has a stage axis)."""
+    fwd = forward_fn if forward_fn is not None else m.forward
+    net = fwd(variables, cfg, batch, rng=rng,
+              deterministic=not train, train=train)
     return _composite_loss(net, cfg, lcfg, batch)
+
+
+s2st_loss.supports_forward_fn = True
 
 
 def t2s_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,

@@ -57,7 +57,7 @@ class Trainer:
     def __init__(self, cfg: m.S2STConfig, lcfg: LossConfig,
                  tx: optax.GradientTransformation, lr_schedule: Callable,
                  mesh, clip_norm: float = 0.0,
-                 loss_fn: Callable = s2st_loss):
+                 loss_fn: Callable = s2st_loss, pp_chunks: int = 1):
         self.cfg = cfg
         self.lcfg = lcfg
         self.tx = tx
@@ -65,6 +65,18 @@ class Trainer:
         self.mesh = mesh
         self.clip_norm = clip_norm
         self.loss_fn = loss_fn
+        # pipeline parallelism: when the mesh has a stage axis, route the
+        # model forward through the GPipe path (tap-aware; parallel.pipeline)
+        if mesh is not None and mesh.shape.get("stage", 1) > 1:
+            if not getattr(loss_fn, "supports_forward_fn", False):
+                raise ValueError(
+                    f"pipeline parallelism is wired for losses with a "
+                    f"forward_fn hook (s2st_loss); got {loss_fn}")
+            import functools
+            fwd = functools.partial(m.forward, mesh=mesh,
+                                    pp_chunks=max(pp_chunks, 1),
+                                    batch_axes=("data", "fsdp"))
+            self.loss_fn = functools.partial(loss_fn, forward_fn=fwd)
         self._grad_step = None
         self._apply_step = None
         self._accum = None

@@ -226,3 +226,58 @@ def test_tensorboard_panels(corpus, tmp_path):
     assert events, "no tensorboard event files written"
     # the audio/image panels make events files much larger than scalars only
     assert sum(e.stat().st_size for e in events) > 5000
+
+
+def test_generate_for_s2st_strategies(corpus, tmp_path):
+    """New generation flags end-to-end: --sampling/--sampling-topk, --nbest,
+    and --score-reference (SequenceScorer P- lines) through the CLI."""
+    import contextlib
+    import io
+    from s2st_tpu.cli.train import main as train_main
+    from s2st_tpu.cli.generate_for_s2st import main as g4s_main
+    save_dir = tmp_path / "ckpts_strat"
+    rc = train_main(_train_args(
+        corpus, save_dir,
+        extra=["--asr-ce-weight", "0.3", "--st-ce-weight", "0.3",
+               "--label-smoothing", "0.1",
+               "--asr-decoder-layers", "1", "--asr-decoder-embed-dim", "16",
+               "--st-decoder-layers", "1", "--st-decoder-embed-dim", "16",
+               "--middle-layers", "0,1", "--max-epoch", "1"]))
+    assert rc == 0
+
+    common = [
+        str(corpus), "--config-yaml", "config.yaml",
+        "--gen-subset", "test", "--task", "s2s_translation",
+        "--path", str(save_dir / "checkpoint_last.npz"),
+        "--encoder-layers", "2", "--encoder-embed-dim", "16",
+        "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+        "--decoder-layers", "2", "--decoder-embed-dim", "16",
+        "--decoder-ffn-embed-dim", "32", "--decoder-attention-heads", "2",
+        "--conv-channels", "16", "--middle-layers", "0,1",
+        "--prenet-dim", "8", "--prenet-layers", "1",
+        "--postnet-layers", "1", "--postnet-conv-dim", "8",
+        "--output-frame-dim", "8",
+        "--asr-decoder-layers", "1", "--asr-decoder-embed-dim", "16",
+        "--st-decoder-layers", "1", "--st-decoder-embed-dim", "16",
+        "--max-tokens", "2000",
+        "--max-source-positions", "128", "--max-target-positions", "128",
+        "--required-batch-size-multiple", "1", "--scoring", "wer",
+        "--wer-lowercase",
+    ]
+    # sampling with top-k truncation + nbest output
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = g4s_main(common + ["--beam", "2", "--sampling",
+                                "--sampling-topk", "8", "--nbest", "2"])
+    out = buf.getvalue()
+    assert rc == 0
+    assert out.count("H-") >= 8  # 2 hypotheses per test utterance
+    # score-reference: P- positional-score lines, H- is the reference itself
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = g4s_main(common + ["--beam", "1", "--score-reference"])
+    out = buf.getvalue()
+    assert rc == 0
+    p_lines = [ln for ln in out.splitlines() if ln.startswith("P-")]
+    assert len(p_lines) >= 4
+    assert all(float(x) <= 0.0 for x in p_lines[0].split("\t")[1].split())

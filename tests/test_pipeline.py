@@ -84,3 +84,67 @@ def test_pipeline_transformer_encoder_layers(stage_mesh):
                          stage_mesh, n_micro=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_pipeline_gradients_match_sequential(stage_mesh):
+    """Gradients THROUGH the pipeline (scan+ppermute+psum) must equal the
+    sequential model's — the reference trains through torch Pipe
+    (model_parallel/models/pipeline_parallel_transformer/model.py)."""
+    r = np.random.RandomState(2)
+    L, B, D = 4, 8, 10
+    layers = [{"w": jnp.asarray(r.randn(D, D).astype(np.float32) * 0.3),
+               "b": jnp.asarray(r.randn(D).astype(np.float32) * 0.1)}
+              for _ in range(L)]
+    stacked = stack_layer_params(layers)
+    x = jnp.asarray(r.randn(B, D).astype(np.float32))
+    tgt = jnp.asarray(r.randn(B, D).astype(np.float32))
+
+    def layer_fn(p, h):
+        return jnp.tanh(h @ p["w"] + p["b"])
+
+    def loss_pp(sp):
+        out = pipeline_apply(layer_fn, sp, x, stage_mesh, n_micro=4)
+        return jnp.mean((out - tgt) ** 2)
+
+    def loss_seq(sp):
+        h = x
+        for i in range(L):
+            h = layer_fn(jax.tree_util.tree_map(lambda a: a[i], sp), h)
+        return jnp.mean((h - tgt) ** 2)
+
+    g_pp = jax.grad(loss_pp)(stacked)
+    g_seq = jax.grad(loss_seq)(stacked)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_pp),
+                     jax.tree_util.tree_leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_collect_and_batched_args(stage_mesh):
+    """collect=True returns every layer's output (the tap mechanism);
+    batched_args are microbatched alongside x (padding-mask pattern)."""
+    r = np.random.RandomState(3)
+    L, B, T, D = 4, 8, 5, 6
+    layers = [{"w": jnp.asarray(r.randn(D, D).astype(np.float32) * 0.4)}
+              for _ in range(L)]
+    x = jnp.asarray(r.randn(B, T, D).astype(np.float32))
+    mask = jnp.asarray(r.rand(B, T) > 0.3)
+
+    def layer_fn(p, h, m):
+        h = jnp.tanh(h @ p["w"])
+        return jnp.where(m[:, :, None], h, 0.0)
+
+    ref, taps = x, []
+    for p in layers:
+        ref = layer_fn(p, ref, mask)
+        taps.append(ref)
+
+    out, ys = pipeline_apply(layer_fn, stack_layer_params(layers), x,
+                             stage_mesh, n_micro=2, batched_args=(mask,),
+                             collect=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    assert ys.shape == (L, B, T, D)
+    for i in range(L):
+        np.testing.assert_allclose(np.asarray(ys[i]), np.asarray(taps[i]),
+                                   rtol=2e-5, atol=2e-5)
