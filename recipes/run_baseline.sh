@@ -34,6 +34,9 @@ st_ce_weight=${st_ce_weight:-1.0}
 use_hubert=${use_hubert:-False}
 hubert_path=${hubert_path:-}
 
+# kaldi-style CLI overrides: --stage 5 --stop-stage 7 ... (parse_options.sh)
+. "$(dirname "$0")/parse_options.sh"
+
 if [ "${stage}" -le 3 ] && [ "${stop_stage}" -ge 3 ]; then
   python -m s2st_tpu.cli.get_feature_manifest \
     --audio-manifest-root "${AUDIO_MANIFEST_ROOT}" \
@@ -85,12 +88,32 @@ if [ "${stage}" -le 7 ] && [ "${stop_stage}" -ge 7 ]; then
     --dump-target --results-path "${DUMP}"
 fi
 
-# stages 8-9 (ASR-BLEU of dumped waveforms via a wav2vec2 ASR + sacrebleu)
-# need the HF wav2vec2-large-960h-lv60-self checkpoint on disk:
-#   python -m s2st_tpu.cli.evaluate_s2s_bleu \
-#     --audio-manifest-file ${AUDIO_MANIFEST_ROOT}/${SPLIT}.audio_phone.tsv \
-#     --decode-save-path ${DUMP} --out-result-file ${DUMP}/decode.txt \
-#     --scoring sacrebleu
+if [ "${stage}" -le 8 ] && [ "${stop_stage}" -ge 8 ]; then
+  # ASR-BLEU of the dumped waveforms (reference stage 8): transcribe the
+  # *_pred.wav with the wav2vec2 CTC ASR, sacrebleu vs the manifest
+  # transcripts. Offline image: put the HF checkpoint on disk and point
+  # asr_model_path at it.
+  python -m s2st_tpu.cli.evaluate_s2s_bleu \
+    --audio-manifest-file "${AUDIO_MANIFEST_ROOT}/${SPLIT}.audio_phone.tsv" \
+    --decode-save-path "${DUMP}" \
+    --out-result-file "${DUMP}/decode.txt" \
+    --scoring sacrebleu \
+    ${asr_model_path:+--asr-model-path "${asr_model_path}"}
+fi
+
+if [ "${stage}" -le 9 ] && [ "${stop_stage}" -ge 9 ]; then
+  # multi-reference BLEU (reference stage 9): cut the prediction stream out
+  # of decode.txt and score against the N Fisher reference files
+  # (en.0.norm.lc.rm .. en.3.norm.lc.rm) placed under ${multi_ref_dir}
+  echo "Evaluate multi-references BLEU"
+  cut -f1 "${DUMP}/decode.txt" > "${DUMP}/decode.txt.prediction"
+  refs=()
+  for r in "${multi_ref_dir:-.}"/en.*.norm.lc.rm; do
+    [ -f "$r" ] && refs+=("$r")
+  done
+  python -m s2st_tpu.cli.score --scoring sacrebleu --ignore-case \
+    --sys "${DUMP}/decode.txt.prediction" --ref "${refs[@]}"
+fi
 
 if [ "${stage}" -le 10 ] && [ "${stop_stage}" -ge 10 ]; then
   python -m s2st_tpu.cli.generate_for_s2st "${FEATURE_MANIFEST_ROOT}" \

@@ -8,6 +8,9 @@ FEATURE_MANIFEST_ROOT=${FEATURE_MANIFEST_ROOT:?}
 SAVE_DIR=${SAVE_DIR:-checkpoints/s2st_mix}
 hubert_path=${hubert_path:?path to hubert_base_ls960.pt}
 
+# kaldi-style CLI overrides: --stage 5 --stop-stage 7 ... (parse_options.sh)
+. "$(dirname "$0")/parse_options.sh"
+
 # stage 1: ST pretraining with the HuBERT frontend
 python -m s2st_tpu.cli.train "${FEATURE_MANIFEST_ROOT}" \
   --save-dir "${SAVE_DIR}/st_pretrain" \

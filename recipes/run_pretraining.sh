@@ -7,6 +7,9 @@ set -euo pipefail
 
 FEATURE_MANIFEST_ROOT=${FEATURE_MANIFEST_ROOT:?}
 SAVE_DIR=${SAVE_DIR:-checkpoints/s2st_pretrain}
+
+# kaldi-style CLI overrides: --stage 5 --stop-stage 7 ... (parse_options.sh)
+. "$(dirname "$0")/parse_options.sh"
 common=(
   --config-yaml config.yaml --train-subset train --valid-subset dev
   --task s2s_translation --criterion s2st_loss --arch s2st_transformer

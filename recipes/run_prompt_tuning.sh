@@ -8,6 +8,9 @@ FEATURE_MANIFEST_ROOT=${FEATURE_MANIFEST_ROOT:?}
 SAVE_DIR=${SAVE_DIR:-checkpoints/s2st_prompt}
 pretrained=${pretrained:?path to pretrained s2st checkpoint_*.npz}
 
+# kaldi-style CLI overrides: --stage 5 --stop-stage 7 ... (parse_options.sh)
+. "$(dirname "$0")/parse_options.sh"
+
 python -m s2st_tpu.cli.train "${FEATURE_MANIFEST_ROOT}" \
   --save-dir "${SAVE_DIR}" \
   --config-yaml config.yaml --train-subset train --valid-subset dev \

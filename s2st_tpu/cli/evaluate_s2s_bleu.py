@@ -33,7 +33,62 @@ def normalize_text(s: str) -> str:
     return " ".join(s.lower().split())
 
 
-def main(argv=None) -> int:
+def build_hf_transcriber(model_path: str):
+    """transcriber(wave fp32 (T,), sr) -> text, backed by a HF wav2vec2 CTC
+    model (evalute_s2s_bleu.py:47-68)."""
+    import torch
+    from transformers import Wav2Vec2ForCTC, Wav2Vec2Processor
+    processor = Wav2Vec2Processor.from_pretrained(model_path)
+    model = Wav2Vec2ForCTC.from_pretrained(model_path).eval()
+
+    def transcribe(wave, sr):
+        inputs = processor(wave, sampling_rate=sr, return_tensors="pt",
+                           padding=True)
+        with torch.no_grad():
+            logits = model(inputs.input_values).logits
+        ids = torch.argmax(logits, dim=-1)
+        return processor.batch_decode(ids)[0]
+
+    return transcribe
+
+
+def evaluate(transcriber, audio_manifest_file: str, decode_save_path: str,
+             out_result_file: str, scoring: str = "sacrebleu",
+             reference_field: str = "tgt_text") -> str:
+    """Transcribe every <id>_pred.wav with `transcriber` and score against
+    the manifest transcripts. Returns the scorer result string; writes
+    "hyp\\tref\\tid" lines to out_result_file (decode.txt — stage 9 cuts
+    field 1 as the prediction stream)."""
+    from ..data.audio_utils import read_wav
+    from ..scoring import BleuScorer, WerScorer
+    refs = {}
+    with open(audio_manifest_file, encoding="utf-8") as f:
+        for row in csv.DictReader(f, delimiter="\t", quoting=csv.QUOTE_NONE):
+            refs[row["id"]] = row[reference_field]
+
+    wav_dir = Path(decode_save_path) / "wav"
+    out_path = Path(out_result_file)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    scorer = (WerScorer(lowercase=True, remove_punct=True)
+              if scoring == "wer" else BleuScorer(lowercase=True))
+    n = 0
+    with open(out_path, "w", encoding="utf-8") as out:
+        for wav_path in sorted(wav_dir.glob("*_pred.wav")):
+            uid = wav_path.name[: -len("_pred.wav")]
+            if uid not in refs:
+                logger.warning(f"no reference for {uid}; skipping")
+                continue
+            wave, sr = read_wav(str(wav_path))
+            hyp_n = normalize_text(transcriber(wave, sr))
+            ref_n = normalize_text(refs[uid])
+            out.write(f"{hyp_n}\t{ref_n}\t{uid}\n")
+            scorer.add_string(ref_n, hyp_n)
+            n += 1
+    logger.info(f"scored {n} utterances")
+    return scorer.result_string()
+
+
+def main(argv=None, transcriber=None) -> int:
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
     p = argparse.ArgumentParser("s2st_tpu evaluate_s2s_bleu")
     p.add_argument("--audio-manifest-file", required=True,
@@ -49,52 +104,20 @@ def main(argv=None) -> int:
     p.add_argument("--reference-field", default="tgt_text")
     args = p.parse_args(argv)
 
-    try:
-        import torch
-        from transformers import (Wav2Vec2ForCTC, Wav2Vec2Processor)
-        processor = Wav2Vec2Processor.from_pretrained(args.asr_model_path)
-        model = Wav2Vec2ForCTC.from_pretrained(args.asr_model_path).eval()
-    except Exception as e:
-        logger.error(
-            f"cannot load ASR model '{args.asr_model_path}': {e}\n"
-            "This environment has no network egress; download the model "
-            "elsewhere and pass --asr-model-path /path/to/dir")
-        return 2
-
-    from ..data.audio_utils import read_wav
-    refs = {}
-    with open(args.audio_manifest_file, encoding="utf-8") as f:
-        for row in csv.DictReader(f, delimiter="\t", quoting=csv.QUOTE_NONE):
-            refs[row["id"]] = row[args.reference_field]
-
-    wav_dir = Path(args.decode_save_path) / "wav"
-    out_path = Path(args.out_result_file)
-    out_path.parent.mkdir(parents=True, exist_ok=True)
-
-    from ..scoring import BleuScorer, WerScorer
-    scorer = (WerScorer(lowercase=True, remove_punct=True)
-              if args.scoring == "wer" else BleuScorer(lowercase=True))
-    n = 0
-    with open(out_path, "w", encoding="utf-8") as out:
-        for wav_path in sorted(wav_dir.glob("*_pred.wav")):
-            uid = wav_path.name[: -len("_pred.wav")]
-            if uid not in refs:
-                logger.warning(f"no reference for {uid}; skipping")
-                continue
-            wave, sr = read_wav(str(wav_path))
-            inputs = processor(wave, sampling_rate=sr, return_tensors="pt",
-                               padding=True)
-            with torch.no_grad():
-                logits = model(inputs.input_values).logits
-            ids = torch.argmax(logits, dim=-1)
-            hyp = processor.batch_decode(ids)[0]
-            hyp_n = normalize_text(hyp)
-            ref_n = normalize_text(refs[uid])
-            out.write(f"{hyp_n}\t{ref_n}\t{uid}\n")
-            scorer.add_string(ref_n, hyp_n)
-            n += 1
-    logger.info(f"scored {n} utterances")
-    print(scorer.result_string())
+    if transcriber is None:
+        try:
+            transcriber = build_hf_transcriber(args.asr_model_path)
+        except Exception as e:
+            logger.error(
+                f"cannot load ASR model '{args.asr_model_path}': {e}\n"
+                "This environment has no network egress; download the model "
+                "elsewhere and pass --asr-model-path /path/to/dir")
+            return 2
+    result = evaluate(transcriber, args.audio_manifest_file,
+                      args.decode_save_path, args.out_result_file,
+                      scoring=args.scoring,
+                      reference_field=args.reference_field)
+    print(result)
     return 0
 
 

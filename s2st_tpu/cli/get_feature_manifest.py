@@ -62,6 +62,23 @@ def main(argv=None) -> int:
     p.add_argument("--f-min", type=float, default=20.0)
     p.add_argument("--f-max", type=float, default=8000.0)
     p.add_argument("--src-n-mels", type=int, default=80)
+    # 8k variant (get_feature_manifest_8k.py): resample SOURCE audio before
+    # fbank; feature/stats names get an _8k suffix
+    p.add_argument("--src-sample-rate", type=int, default=0,
+                   help="resample source audio to this rate before fbank "
+                        "(0 = keep native; 8000 = the _8k recipe variant)")
+    # parallel extraction (get_feature_manifest_parallel.py rebuilt as
+    # proper worker-pool + sharding flags instead of hardcoded 2000-row
+    # slices per --processor)
+    p.add_argument("--num-workers", type=int, default=1,
+                   help="multiprocessing workers for feature extraction")
+    p.add_argument("--num-shards", type=int, default=1,
+                   help="split extraction across N independent jobs")
+    p.add_argument("--shard-index", type=int, default=0)
+    p.add_argument("--only-extract-audio-feature", action="store_true",
+                   help="extract this shard's .npy features and exit "
+                        "(a final run without the flag zips + writes "
+                        "manifests)")
     args = p.parse_args(argv)
 
     from ..data import audio_utils as au
@@ -77,37 +94,62 @@ def main(argv=None) -> int:
             samples.append(e)
     logger.info(f"{len(samples)} samples across {args.splits}")
 
-    src_name, tgt_name = "src_logmelspec80", "tgt_logmelspec80"
+    suffix = "_8k" if args.src_sample_rate == 8000 else ""
+    src_name, tgt_name = f"src_logmelspec80{suffix}", "tgt_logmelspec80"
     src_zip = out_root / f"{src_name}.zip"
     tgt_zip = out_root / f"{tgt_name}.zip"
-    src_gcmvn = out_root / "src_gcmvn_stats.npz"
+    src_gcmvn = out_root / f"src_gcmvn_stats{suffix}.npz"
     tgt_gcmvn = out_root / "tgt_gcmvn_stats.npz"
     n_frames: dict = {}
+
+    def extract_one(s):
+        sid = s["id"]
+        src_wave, src_sr = au.read_wav(s["src_audio"])
+        if args.src_sample_rate and src_sr != args.src_sample_rate:
+            # 8k recipe variant (get_feature_manifest_8k.py:81-85)
+            src_wave = au.resample(src_wave, src_sr, args.src_sample_rate)
+            src_sr = args.src_sample_rate
+        # kaldi-style fbank on the source (data_utils.py:73-99; the
+        # reference feeds 16-bit-scaled waveforms into kaldi fbank)
+        src_feat = au.kaldi_fbank(src_wave * (2 ** 15), sample_rate=src_sr,
+                                  num_mel_bins=args.src_n_mels)
+        np.save(src_dir / f"{sid}.npy", src_feat.astype(np.float32))
+
+        tgt_wave, tgt_sr = au.read_wav(s["tgt_audio"])
+        if tgt_sr != args.sample_rate:
+            tgt_wave = au.resample(tgt_wave, tgt_sr, args.sample_rate)
+        tgt_feat = au.extract_logmel_spectrogram(
+            tgt_wave, args.sample_rate, n_fft=args.n_fft,
+            win_length=args.win_length, hop_length=args.hop_length,
+            n_mels=args.n_mels, f_min=args.f_min, f_max=args.f_max)
+        np.save(tgt_dir / f"{sid}.npy", tgt_feat.astype(np.float32))
+        return sid, src_feat.shape[0], tgt_feat.shape[0]
 
     if not (src_zip.exists() and tgt_zip.exists()):
         src_dir = out_root / src_name
         tgt_dir = out_root / tgt_name
         src_dir.mkdir(exist_ok=True)
         tgt_dir.mkdir(exist_ok=True)
-        logger.info("extracting features...")
-        for s in samples:
-            sid = s["id"]
-            src_wave, src_sr = au.read_wav(s["src_audio"])
-            # kaldi-style fbank on the source (data_utils.py:73-99; the
-            # reference feeds 16-bit-scaled waveforms into kaldi fbank)
-            src_feat = au.kaldi_fbank(src_wave * (2 ** 15), sample_rate=src_sr,
-                                      num_mel_bins=args.src_n_mels)
-            np.save(src_dir / f"{sid}.npy", src_feat.astype(np.float32))
-
-            tgt_wave, tgt_sr = au.read_wav(s["tgt_audio"])
-            if tgt_sr != args.sample_rate:
-                tgt_wave = au.resample(tgt_wave, tgt_sr, args.sample_rate)
-            tgt_feat = au.extract_logmel_spectrogram(
-                tgt_wave, args.sample_rate, n_fft=args.n_fft,
-                win_length=args.win_length, hop_length=args.hop_length,
-                n_mels=args.n_mels, f_min=args.f_min, f_max=args.f_max)
-            np.save(tgt_dir / f"{sid}.npy", tgt_feat.astype(np.float32))
-            n_frames[sid] = (src_feat.shape[0], tgt_feat.shape[0])
+        todo = samples[args.shard_index::args.num_shards] \
+            if args.num_shards > 1 else samples
+        # skip features already produced by earlier sharded jobs
+        todo = [s for s in todo
+                if not (src_dir / f"{s['id']}.npy").exists()
+                or not (tgt_dir / f"{s['id']}.npy").exists()]
+        logger.info(f"extracting features for {len(todo)} samples...")
+        if args.num_workers > 1 and todo:
+            from multiprocessing import get_context
+            with get_context("fork").Pool(args.num_workers) as pool:
+                for sid, a, b in pool.imap_unordered(extract_one, todo, 16):
+                    n_frames[sid] = (a, b)
+        else:
+            for s in todo:
+                sid, a, b = extract_one(s)
+                n_frames[sid] = (a, b)
+        if args.only_extract_audio_feature:
+            logger.info("shard feature extraction done "
+                        "(--only-extract-audio-feature)")
+            return 0
 
         logger.info("computing global CMVN...")
         for d, npz in ((src_dir, src_gcmvn), (tgt_dir, tgt_gcmvn)):

@@ -99,6 +99,29 @@ def corpus_bleu_counts(refs: List[List[str]], hyps: List[List[str]],
     return match, total, ref_len, hyp_len
 
 
+def corpus_bleu_counts_multi(refs_per_hyp: List[List[List[str]]],
+                             hyps: List[List[str]], max_n: int = 4):
+    """Multi-reference clipped counts (run_baseline.sh stage 9 scores the
+    prediction against 4 Fisher references with sacrebleu): n-gram clip is
+    the MAX count over the references, brevity-penalty reference length is
+    the CLOSEST reference length (standard BLEU / sacrebleu semantics)."""
+    match = [0] * max_n
+    total = [0] * max_n
+    ref_len = hyp_len = 0
+    for refs, hyp in zip(refs_per_hyp, hyps):
+        hyp_len += len(hyp)
+        ref_len += min((abs(len(r) - len(hyp)), len(r)) for r in refs)[1]
+        for n in range(1, max_n + 1):
+            h = _ngrams(hyp, n)
+            clip: Counter = Counter()
+            for r in refs:
+                for g, c in _ngrams(r, n).items():
+                    clip[g] = max(clip[g], c)
+            total[n - 1] += max(len(hyp) - n + 1, 0)
+            match[n - 1] += sum(min(c, clip[g]) for g, c in h.items())
+    return match, total, ref_len, hyp_len
+
+
 def bleu_from_counts(match, total, ref_len, hyp_len, smooth: bool = False
                      ) -> float:
     logs = 0.0

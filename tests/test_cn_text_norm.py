@@ -1,0 +1,83 @@
+# -*- coding: utf-8 -*-
+"""Chinese NSW normalization parity: every expected string below is the
+ACTUAL output of the reference normalizer
+(examples/s2s_trans/preprocessing/cn_tn.py) run over the input — captured
+once, vendored as goldens so the test is hermetic."""
+
+from s2st_tpu.preprocessing.cn_text_norm import (int_to_hanzi, main,
+                                                 normalize, normalize_line,
+                                                 number_to_hanzi,
+                                                 read_verbatim)
+
+GOLDEN = [
+    ("固话：0595-23865596或23880880。",
+     "固话 零五九五二三八六五五九六或二三八八零八八零 "),
+    ("手机：+86 19859213959或15659451527。",
+     "手机 八六一九八五九二一三九五九或一五六五九四五一五二七 "),
+    ("分数：32477/76391。", "分数 七万六千三百九十一分之三万两千四百七十七 "),
+    ("百分数：80.03%。", "百分数 百分之八十点零三 "),
+    ("编号：31520181154418。", "编号 三一五二零一八一一五四四一八 "),
+    ("纯数：2983.07克或12345.60米。", "纯数 二九八三 零七克或一二三四五 六十米 "),
+    ("日期：1999年2月20日或09年3月15号。",
+     "日期 一九九九年二月二十日或零九年三月十五号 "),
+    ("金钱：12块5，34.5元，20.1万", "金钱 十二块五 三十四点五元 二十点一万"),
+    ("特殊：O2O或B2C。", "特殊 O2O或B2C "),
+    ("3456万吨", "三千四百五十六万吨"),
+    ("2938个", "两千九百三十八个"),
+    ("938", "九百三十八"),
+    ("今天吃了115个小笼包231个馒头", "今天吃了一百一十五个小笼包两百三十一个馒头"),
+    ("有62％的概率", "有百分之六十二的概率"),
+    ("价格是13.5元", "价格是十三点五元"),
+    ("他考了100分", "他考了一百分"),
+    ("12月31日", "十二月三十一日"),
+    ("2008年8月8日", "二零零八年八月八日"),
+    ("电话13912345678打不通", "电话一三九一二三四五六七八打不通"),
+    ("第3个人有45.5%的把握", "第三个人有百分之四十五点五的把握"),
+]
+
+
+def test_golden_lines_match_reference():
+    for raw, expected in GOLDEN:
+        got = normalize_line(raw)
+        assert got == expected, f"{raw!r}: {got!r} != {expected!r}"
+
+
+def test_cardinals():
+    assert int_to_hanzi("938") == "九百三十八"
+    assert int_to_hanzi("2938") == "两千九百三十八"
+    assert int_to_hanzi("115") == "一百一十五"
+    assert int_to_hanzi("231") == "两百三十一"
+    assert int_to_hanzi("32477") == "三万两千四百七十七"
+    assert int_to_hanzi("76391") == "七万六千三百九十一"
+    assert int_to_hanzi("12") == "十二"
+    assert int_to_hanzi("10") == "十"
+    assert int_to_hanzi("100") == "一百"
+    assert int_to_hanzi("1200") == "一千两百"
+    assert int_to_hanzi("1005") == "一千零五"
+    assert int_to_hanzi("10000") == "一万"
+    assert int_to_hanzi("20000") == "两万"
+    assert int_to_hanzi("100000000") == "一亿"
+
+
+def test_decimals_and_verbatim():
+    assert number_to_hanzi("34.5") == "三十四点五"
+    assert number_to_hanzi("80.03") == "八十点零三"
+    assert number_to_hanzi("0.5") == "零点五"
+    assert read_verbatim("2019") == "二零一九"
+    assert read_verbatim("31520181154418") == "三一五二零一八一一五四四一八"
+
+
+def test_normalize_keeps_plain_text():
+    assert normalize("你好世界") == "你好世界"
+
+
+def test_cli_roundtrip(tmp_path):
+    src = tmp_path / "in.txt"
+    dst = tmp_path / "out.txt"
+    src.write_text("938\nutt1 2938个\n", encoding="utf-8")
+    assert main([str(src), str(dst)]) == 0
+    lines = dst.read_text(encoding="utf-8").splitlines()
+    assert lines[0] == "九百三十八"
+    assert main([str(src), str(dst), "--has_key"]) == 0
+    lines = dst.read_text(encoding="utf-8").splitlines()
+    assert lines[1] == "utt1\t两千九百三十八个"

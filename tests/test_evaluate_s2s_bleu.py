@@ -1,0 +1,101 @@
+"""ASR-BLEU evaluation pipeline (evalute_s2s_bleu.py parity) with a fake
+transcriber — interface-rot protection without the HF wav2vec2 checkpoint
+(unavailable offline) — plus the multi-reference BLEU scorer used by
+run_baseline.sh stage 9."""
+
+import csv
+
+import numpy as np
+import pytest
+
+from s2st_tpu.data.audio_utils import write_wav
+
+
+def _fake_dump(tmp_path, utts):
+    wav_dir = tmp_path / "dump" / "wav"
+    wav_dir.mkdir(parents=True)
+    for uid in utts:
+        write_wav(str(wav_dir / f"{uid}_pred.wav"),
+                  0.1 * np.ones(1600, np.float32), 16000)
+    man = tmp_path / "test.audio.tsv"
+    with open(man, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["id", "tgt_text"], delimiter="\t",
+                           quoting=csv.QUOTE_NONE)
+        w.writeheader()
+        for uid, text in utts.items():
+            w.writerow({"id": uid, "tgt_text": text})
+    return man, tmp_path / "dump"
+
+
+def test_evaluate_with_fake_transcriber(tmp_path, capsys):
+    from s2st_tpu.cli.evaluate_s2s_bleu import main as eval_main
+    utts = {"u0": "hello world", "u1": "good morning!"}
+    man, dump = _fake_dump(tmp_path, utts)
+    hyps = {"u0": "HELLO WORLD", "u1": "good morning"}
+
+    def fake_transcriber(wave, sr):
+        assert sr == 16000 and wave.shape[0] == 1600
+        fake_transcriber.calls.append(1)
+        return hyps[f"u{len(fake_transcriber.calls) - 1}"]
+
+    fake_transcriber.calls = []
+    rc = eval_main(["--audio-manifest-file", str(man),
+                    "--decode-save-path", str(dump),
+                    "--out-result-file", str(dump / "decode.txt"),
+                    "--scoring", "wer"],
+                   transcriber=fake_transcriber)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert len(fake_transcriber.calls) == 2
+    assert "WER: 0.00" in out  # normalization strips case + punctuation
+    lines = (dump / "decode.txt").read_text().splitlines()
+    assert len(lines) == 2
+    hyp, ref, uid = lines[0].split("\t")
+    assert uid == "u0" and hyp == ref == "hello world"
+
+
+def test_evaluate_missing_model_exits_2(tmp_path):
+    from s2st_tpu.cli.evaluate_s2s_bleu import main as eval_main
+    man, dump = _fake_dump(tmp_path, {"u0": "x"})
+    rc = eval_main(["--audio-manifest-file", str(man),
+                    "--decode-save-path", str(dump),
+                    "--out-result-file", str(dump / "decode.txt"),
+                    "--asr-model-path", str(tmp_path / "nonexistent")])
+    assert rc == 2
+
+
+def test_multi_reference_bleu(tmp_path, capsys):
+    """score CLI with several --ref files (stage 9: sacrebleu 4-ref)."""
+    from s2st_tpu.cli.score import main as score_main
+    (tmp_path / "sys.txt").write_text("the cat sat on the mat\n"
+                                      "a quick brown fox\n")
+    (tmp_path / "r0.txt").write_text("the cat sat on a mat\n"
+                                     "the quick brown fox\n")
+    (tmp_path / "r1.txt").write_text("the cat sat on the mat\n"
+                                     "a fast brown fox jumps\n")
+    rc = score_main(["--sys", str(tmp_path / "sys.txt"),
+                     "--ref", str(tmp_path / "r0.txt"),
+                     str(tmp_path / "r1.txt")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "BLEU" in out
+    # perfect hypothesis 1 is covered by r1 -> multi-ref BLEU must beat
+    # single-ref BLEU against r0
+    from s2st_tpu.scoring import (bleu_from_counts, corpus_bleu_counts,
+                                  corpus_bleu_counts_multi)
+    hyps = [l.split() for l in (tmp_path / "sys.txt").read_text().splitlines()]
+    r0 = [l.split() for l in (tmp_path / "r0.txt").read_text().splitlines()]
+    r1 = [l.split() for l in (tmp_path / "r1.txt").read_text().splitlines()]
+    single = bleu_from_counts(*corpus_bleu_counts(r0, hyps))
+    multi = bleu_from_counts(*corpus_bleu_counts_multi(
+        [[a, b] for a, b in zip(r0, r1)], hyps))
+    assert multi > single
+
+
+def test_multi_ref_perfect_match_is_100():
+    from s2st_tpu.scoring import bleu_from_counts, corpus_bleu_counts_multi
+    hyp = ["the cat sat on the mat".split()]
+    refs = [[["completely", "different", "words", "here", "now", "ok"],
+             "the cat sat on the mat".split()]]
+    score = bleu_from_counts(*corpus_bleu_counts_multi(refs, hyp))
+    assert abs(score - 100.0) < 1e-6

@@ -63,8 +63,8 @@ def test_pp_matches_dp_loss_trajectory(det_cfg):
 
 def test_pp_cli_flags(tmp_path):
     """--pp-size/--pipeline-chunks through the training CLI."""
-    if len(jax.devices()) < 4:
-        pytest.skip("needs 4 virtual devices")
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the 8-device virtual mesh")
     from s2st_tpu.cli.train import main as train_main
     from tests.make_tiny_corpus import make_tiny_corpus
     corpus = make_tiny_corpus(tmp_path / "corpus")
@@ -82,10 +82,10 @@ def test_pp_cli_flags(tmp_path):
         "--postnet-layers", "1", "--postnet-conv-dim", "8",
         "--output-frame-dim", "8",
         "--max-source-positions", "128", "--max-target-positions", "128",
-        "--max-tokens", "2000", "--required-batch-size-multiple", "4",
-        "--batch-size", "4",
+        "--max-tokens", "4000", "--required-batch-size-multiple", "8",
+        "--batch-size", "8",
         "--max-epoch", "1", "--lr", "0.001",
-        "--dp-size", "2", "--pp-size", "2", "--pipeline-chunks", "2",
+        "--dp-size", "4", "--pp-size", "2", "--pipeline-chunks", "2",
         "--disable-validation",
     ])
     assert rc == 0

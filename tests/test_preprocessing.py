@@ -101,3 +101,136 @@ def test_full_preprocess_then_train(tmp_path):
     ])
     assert rc == 0
     assert (tmp_path / "ckpts" / "checkpoint_last.npz").is_file()
+
+
+def test_feature_manifest_8k_and_sharded(tmp_path):
+    """--src-sample-rate 8000 (the _8k recipe variant) with sharded +
+    multi-worker extraction (get_feature_manifest_8k/_parallel parity)."""
+    from s2st_tpu.cli.get_feature_manifest import main as prep_main
+    root = _make_audio_manifests(tmp_path / "audio")
+    out = tmp_path / "feat8k"
+    common = ["--audio-manifest-root", str(root), "--output-root", str(out),
+              "--splits", "train", "dev", "tst",
+              "--src-sample-rate", "8000"]
+    # two sharded feature-extraction jobs, then the finalize pass
+    for shard in ("0", "1"):
+        rc = prep_main(common + ["--num-shards", "2", "--shard-index", shard,
+                                 "--only-extract-audio-feature"])
+        assert rc == 0
+    rc = prep_main(common + ["--num-workers", "2"])
+    assert rc == 0
+    assert (out / "src_logmelspec80_8k.zip").exists()
+    assert (out / "src_gcmvn_stats_8k.npz").exists()
+    rows = list(csv.DictReader(open(out / "train.tsv"), delimiter="\t",
+                               quoting=csv.QUOTE_NONE))
+    assert len(rows) == 4
+    # 8k fbank: 10ms hop at 8k halves nothing in frame count (time-based),
+    # but frames must be positive and features readable from the zip
+    from s2st_tpu.data.audio_utils import get_features_or_waveform
+    feat = get_features_or_waveform(rows[0]["src_audio"])
+    assert feat.shape[1] == 80 and feat.shape[0] == int(rows[0]["src_n_frames"])
+
+
+def test_filter_manifest_cli(tmp_path):
+    from s2st_tpu.preprocessing.filter_manifest import main as filt_main
+    from s2st_tpu.preprocessing.manifest_utils import load_tsv, save_tsv
+    rows = [{"id": f"u{i}", "src_audio": "a", "src_n_frames": str(100 * i),
+             "src_text": "s", "tgt_audio": "b", "tgt_n_frames": str(50 * i),
+             "tgt_text": "t", "speaker": "spk0"} for i in range(1, 6)]
+    man = tmp_path / "in.tsv"
+    save_tsv(rows, man)
+    ref = tmp_path / "ref.tsv"
+    save_tsv([{"id": "u1", "tgt_text": "orig one"},
+              {"id": "u2", "tgt_text": "orig two"},
+              {"id": "u4", "tgt_text": "orig four"}], ref)
+    bad = tmp_path / "bad.txt"
+    bad.write_text("u2, something\n")
+    out = tmp_path / "out.tsv"
+    rc = filt_main(["--manifest", str(man), "--output", str(out),
+                    "--reference-manifest", str(ref),
+                    "--exclude-ids", str(bad),
+                    "--max-tgt-frames", "150"])
+    assert rc == 0
+    got = load_tsv(out)
+    # u1 kept; u2 excluded by bad list; u3/u5 not in reference; u4 over cap
+    assert [r["id"] for r in got] == ["u1"]
+    assert got[0]["tgt_text_orig"] == "orig one"
+
+
+def test_split_and_concat_roundtrip(tmp_path):
+    from s2st_tpu.preprocessing.split_file import main as split_main
+    from s2st_tpu.preprocessing.manifest_utils import load_tsv, save_tsv
+    rows = [{"id": f"u{i}", "src_audio": "a", "src_n_frames": "1",
+             "src_text": "s", "tgt_audio": "b", "tgt_n_frames": "1",
+             "tgt_text": "t", "speaker": "spk"} for i in range(10)]
+    src = tmp_path / "train.tsv"
+    save_tsv(rows, src)
+    rc = split_main(["--type", "split", "--n", "3",
+                     "--input-file", str(src),
+                     "--output-path", str(tmp_path / "parts")])
+    assert rc == 0
+    parts = sorted((tmp_path / "parts").glob("train.audio.*.tsv"))
+    assert len(parts) == 3
+    sizes = [len(load_tsv(p)) for p in parts]
+    assert sum(sizes) == 10 and sizes[:2] == [3, 3]  # last takes remainder
+    rc = split_main(["--type", "concat", "--output-path", str(tmp_path),
+                     "--file-part"] + [str(p) for p in parts])
+    assert rc == 0
+    back = load_tsv(tmp_path / "train.audio_phone.tsv")
+    assert [r["id"] for r in back] == [r["id"] for r in rows]
+
+
+def test_g2p_chars_fallback(tmp_path):
+    from s2st_tpu.preprocessing.g2p import main as g2p_main
+    from s2st_tpu.preprocessing.manifest_utils import load_tsv, save_tsv
+    rows = [
+        {"id": "u0", "src_audio": "a", "src_n_frames": "1",
+         "src_text": "Dr. Smith reads 3 books", "tgt_audio": "b",
+         "tgt_n_frames": "1", "tgt_text": "他有3本书", "speaker": "s"},
+        {"id": "u1", "src_audio": "a", "src_n_frames": "1",
+         "src_text": "hello", "tgt_audio": "b", "tgt_n_frames": "1",
+         "tgt_text": "包含English字符", "speaker": "s"},
+    ]
+    src = tmp_path / "in.tsv"
+    save_tsv(rows, src)
+    out = tmp_path / "out.tsv"
+    rc = g2p_main(["--input-file", str(src), "--output-file", str(out),
+                   "--src-backend", "chars", "--tgt-backend", "chars"])
+    assert rc == 0
+    got = load_tsv(out)
+    assert len(got) == 1  # latin-in-tgt row dropped (g2p.py:45-48)
+    assert got[0]["src_text"] == "doctor smith reads 3 books"
+    assert got[0]["tgt_text"] == "他 有 三 本 书"
+
+
+def test_audio_manifest_builder(tmp_path):
+    from s2st_tpu.preprocessing.audio_manifest import main as am_main
+    from s2st_tpu.preprocessing.manifest_utils import load_tsv, save_tsv
+    sr = 16000
+    wavs = tmp_path / "wavs"
+    wavs.mkdir()
+    for name, n in (("a_src", 1600), ("a_tgt", 800),
+                    ("b_src", 3200), ("b_tgt", 1600)):
+        write_wav(str(wavs / f"{name}.wav"),
+                  np.zeros(n, np.float32), sr)
+    meta = tmp_path / "train.tsv"
+    save_tsv([
+        {"id": "a", "src_wav": "wavs/a_src.wav", "tgt_wav": "wavs/a_tgt.wav",
+         "src_text": "Mr. Jones", "tgt_text": "他买了200个苹果。",
+         "speaker": "sp1"},
+        {"id": "b", "src_wav": "wavs/b_src.wav", "tgt_wav": "wavs/b_tgt.wav",
+         "src_text": "two", "tgt_text": "二", "speaker": ""},
+        {"id": "c", "src_wav": "wavs/missing.wav", "tgt_wav": "wavs/a_tgt.wav",
+         "src_text": "x", "tgt_text": "x", "speaker": ""},
+    ], meta)
+    out = tmp_path / "manifests"
+    rc = am_main(["--metadata", f"train:{meta}", "--audio-root",
+                  str(tmp_path), "--output-root", str(out),
+                  "--src-lang", "en", "--tgt-lang", "zh"])
+    assert rc == 0
+    rows = load_tsv(out / "train.audio.tsv")
+    assert [r["id"] for r in rows] == ["a", "b"]  # missing wav skipped
+    assert rows[0]["src_n_frames"] == "1600"
+    assert rows[0]["src_text"] == "mister jones"
+    assert rows[0]["tgt_text"].startswith("他买了两百个苹果")
+    assert rows[1]["speaker"] == "spk0"
