@@ -13,7 +13,10 @@ Parity targets:
 
 The reference leans on soundfile/librosa/torchaudio; none are assumed here —
 WAV IO uses the stdlib and the DSP is re-derived in numpy (golden-tested in
-tests/test_audio.py). JAX on-device twins live in ``s2st_tpu.ops.dsp``.
+tests/test_dsp.py against the vendored tests/golden/dsp_goldens.npz, which
+an independent spec implementation generates — see
+tests/golden/gen_dsp_goldens.py). JAX on-device twins live in
+``s2st_tpu.ops.dsp``.
 """
 
 from __future__ import annotations

@@ -95,7 +95,8 @@ class EpochBatchIterator:
                  required_batch_size_multiple: int = 1,
                  skip_remainder_batch: bool = False,
                  max_positions: Optional[int] = None,
-                 data_rank: int = 0, data_world: int = 1):
+                 data_rank: int = 0, data_world: int = 1,
+                 num_workers: int = 0):
         """max_positions: drop samples whose source length exceeds it
         (--skip-invalid-size-inputs-valid-test + max-source-positions
         filtering, fairseq_task.py:168-199 parity).
@@ -106,7 +107,14 @@ class EpochBatchIterator:
         global metadata (dataset.collate_meta) so all processes compile the
         same program and ``put_batch`` can assemble one global array. This
         replaces fairseq's every-Nth-batch ShardedIterator (iterators.py:
-        446-459), which cannot give shape-aligned per-process slices."""
+        446-459), which cannot give shape-aligned per-process slices.
+
+        num_workers: collate worker threads (--num-workers; the reference's
+        DataLoader workers). Item loading is IO + numpy — both release the
+        GIL — so threads overlap wav/zip reads and fbank math across
+        batches while keeping in-order, deterministic delivery; <= 1 keeps
+        the synchronous path (BufferedIterator still overlaps one batch
+        with the device step)."""
         self.max_positions = max_positions
         self.data_rank = data_rank
         self.data_world = data_world
@@ -119,6 +127,7 @@ class EpochBatchIterator:
         self.shuffle = shuffle
         self.snap_shapes = snap_shapes
         self.required_batch_size_multiple = required_batch_size_multiple
+        self.num_workers = num_workers
         self.epoch = 1
         self.iterations_in_epoch = 0
         self._frozen_batches: Optional[List[np.ndarray]] = None
@@ -172,6 +181,28 @@ class EpochBatchIterator:
         batches = self._batches_for_epoch(self.epoch)
         start = offset or self.iterations_in_epoch
         self.iterations_in_epoch = start
+
+        if self.num_workers > 1:
+            def gen():
+                from concurrent.futures import ThreadPoolExecutor
+                depth = 2 * self.num_workers
+                nb = len(batches)
+                with ThreadPoolExecutor(self.num_workers) as ex:
+                    futs = {j: ex.submit(self._collate, batches[j])
+                            for j in range(start, min(start + depth, nb))}
+                    for i in range(start, nb):
+                        batch = futs.pop(i).result()
+                        if i + depth < nb:
+                            futs[i + depth] = ex.submit(
+                                self._collate, batches[i + depth])
+                        # consumed-position accounting stays exact for
+                        # mid-epoch checkpointing: i+1 batches delivered
+                        self.iterations_in_epoch = i + 1
+                        yield batch
+                self.iterations_in_epoch = 0
+                self.epoch += 1
+            self._itr = gen()
+            return self._itr
 
         def gen():
             for i in range(start, len(batches)):

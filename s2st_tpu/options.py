@@ -35,7 +35,9 @@ def add_common_args(parser: argparse.ArgumentParser):
                    help="mixed precision; maps to bfloat16 on TPU")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--config-yaml", default="config.yaml")
-    p.add_argument("--num-workers", type=int, default=1)  # accepted, unused
+    p.add_argument("--num-workers", type=int, default=1,
+                   help="collate worker threads (>1 overlaps wav/zip IO + "
+                        "fbank across batches; DataLoader workers parity)")
     p.add_argument("--max-tokens", type=int, default=40000)
     p.add_argument("--batch-size", "--max-sentences", type=int, default=None)
     p.add_argument("--skip-invalid-size-inputs-valid-test",

@@ -219,3 +219,38 @@ def test_max_positions_filtering():
     assert all(ds.src_frames(i) <= 20 for i in seen)
     n_valid = sum(1 for i in range(len(ds)) if ds.src_frames(i) <= 20)
     assert len(set(seen)) == n_valid
+
+
+def test_num_workers_same_batches_and_resume():
+    """--num-workers > 1: identical batch sequence to the synchronous path
+    and exact consumed-position accounting for mid-epoch resume (DataLoader
+    workers parity, fairseq/data/iterators.py:230-390)."""
+    ds = _FakeDataset()
+
+    def run(num_workers, offset=0):
+        it = EpochBatchIterator(ds, max_tokens=100, seed=3, shuffle=True,
+                                num_workers=num_workers)
+        out = []
+        for b in it.next_epoch_itr(shuffle=True, offset=offset):
+            out.append(np.asarray(b["id"]))
+        return out
+
+    seq0 = run(0)
+    seq4 = run(4)
+    assert len(seq0) == len(seq4)
+    for a, b in zip(seq0, seq4):
+        np.testing.assert_array_equal(a, b)
+
+    # mid-epoch consumed accounting with workers: stop after 1 batch,
+    # resume from the recorded position, sequences concatenate exactly
+    it = EpochBatchIterator(ds, max_tokens=100, seed=3, shuffle=True,
+                            num_workers=4)
+    gen = it.next_epoch_itr(shuffle=True)
+    first = np.asarray(next(gen)["id"])
+    consumed = it.iterations_in_epoch
+    assert consumed == 1
+    rest = run(4, offset=consumed)
+    np.testing.assert_array_equal(first, seq0[0])
+    assert len(rest) == len(seq0) - 1
+    for a, b in zip(rest, seq0[1:]):
+        np.testing.assert_array_equal(a, b)

@@ -48,28 +48,6 @@ def test_griffin_lim_reconstructs_tone():
     assert num / den < 0.25, num / den
 
 
-def test_mel_filters_match_torchaudio():
-    torchaudio = pytest.importorskip("torchaudio")
-    import torch
-    ours = au.mel_filters(SR, 1024, 80, 20.0, SR // 2)
-    ref = torchaudio.functional.melscale_fbanks(
-        n_freqs=513, f_min=20.0, f_max=SR / 2, n_mels=80, sample_rate=SR,
-        norm="slaney", mel_scale="slaney").numpy().T
-    np.testing.assert_allclose(ours, ref, atol=1e-5)
-
-
-def test_kaldi_fbank_matches_torchaudio_compliance():
-    torchaudio = pytest.importorskip("torchaudio")
-    import torch
-    wave = _tone(dur=0.2)
-    ours = au.kaldi_fbank(wave * (2 ** 15), sample_rate=SR, num_mel_bins=24)
-    ref = torchaudio.compliance.kaldi.fbank(
-        torch.tensor(wave[None] * (2 ** 15)), num_mel_bins=24,
-        sample_frequency=SR, dither=0.0).numpy()
-    assert ours.shape == ref.shape
-    np.testing.assert_allclose(ours, ref, atol=2e-3)
-
-
 def test_logmel_extraction_shapes():
     wave = _tone()
     lm = au.extract_logmel_spectrogram(
@@ -129,3 +107,54 @@ def test_zip_manifest_roundtrip(tmp_path):
         path = manifest[name]
         got = au.get_features_or_waveform(path)
         np.testing.assert_allclose(got, arr)
+
+
+# ---------------------------------------------------------------------------
+# hermetic goldens (tests/golden/dsp_goldens.npz): produced by an
+# INDEPENDENT spec implementation (tests/golden/gen_dsp_goldens.py) so the
+# parity evidence never skips — two separately-written implementations of
+# the Kaldi-fbank / slaney / HTK filterbank specs must agree
+# ---------------------------------------------------------------------------
+
+from pathlib import Path
+
+_GOLDEN = Path(__file__).parent / "golden" / "dsp_goldens.npz"
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    return np.load(_GOLDEN)
+
+
+def test_kaldi_fbank_matches_golden(goldens):
+    wave = goldens["wave"]
+    for bins, key in ((24, "kaldi_fbank24"), (80, "kaldi_fbank80")):
+        ours = au.kaldi_fbank(wave * (2 ** 15), sample_rate=SR,
+                              num_mel_bins=bins)
+        ref = goldens[key]
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_slaney_filterbank_matches_golden(goldens):
+    ours = au.mel_filters(SR, 1024, 80, 20.0, SR // 2)
+    np.testing.assert_allclose(ours, goldens["mel_slaney_80"], atol=1e-6)
+
+
+def test_htk_filterbank_matches_golden(goldens):
+    ours = au.mel_filters_htk(SR, 512, 23, 0.0, SR / 2.0)
+    np.testing.assert_allclose(ours, goldens["mel_htk_23"], atol=1e-6)
+
+
+def test_logmel_matches_frozen_regression(goldens):
+    """Frozen regression for the TTS-style target features: the tgt logmel
+    path has no independent spec twin, so its output on the golden wave is
+    pinned against drift (value checked at freeze time for plausibility)."""
+    wave = goldens["wave"]
+    lm = au.extract_logmel_spectrogram(
+        wave, SR, n_fft=1024, win_length=1024, hop_length=256, n_mels=80,
+        f_min=20.0, f_max=8000.0)
+    if "logmel80" in goldens.files:
+        np.testing.assert_allclose(lm, goldens["logmel80"], atol=1e-5)
+    else:  # first run after generator update: fail loudly
+        pytest.fail("regenerate dsp_goldens.npz with logmel80")
