@@ -87,6 +87,48 @@ def main():
         "vs_baseline": round(rtf / 10.0, 3),
     }
 
+    # B=1 single-utterance latency (serving tail-latency point; the
+    # headline B=64 measures throughput)
+    try:
+        src1 = src[:1]
+        lens1 = src_lens[:1]
+        f1 = jax.jit(e2e)
+        w, _ = f1(variables, src1, lens1, rng)
+        _ = float(w[0, 0])
+        rngs1 = [jax.random.fold_in(rng, 100 + i) for i in range(10)]
+        _ = [np.asarray(r_)[:1] for r_ in rngs1]
+        t0 = time.perf_counter()
+        outs = [f1(variables, src1, lens1, rngs1[i])[0] for i in range(10)]
+        _ = [float(o[0, 0]) for o in outs]
+        result["b1_latency_ms"] = round(
+            (time.perf_counter() - t0) / 10 * 1000.0, 2)
+    except Exception as e:
+        result["b1_latency_error"] = repr(e)[:200]
+
+    # HiFi-GAN vocoder path (random weights — no pretrained ckpt in the
+    # image; measures the compute path, not audio quality)
+    try:
+        from s2st_tpu.models import hifigan as hg
+        hcfg = hg.HiFiGANConfig()
+        hvars = hg.init_hifigan(jax.random.PRNGKey(2), hcfg)
+
+        def e2e_hifi(variables, hvars, src, src_lens):
+            out = generate_features(variables, cfg, gen_cfg, src, src_lens)
+            return (hg.synthesize(hvars, out["feats"], hcfg),
+                    out["raw_out_lens"])
+
+        fh = jax.jit(e2e_hifi)
+        w, _ = fh(variables, hvars, src, src_lens)
+        _ = float(w.reshape(-1)[0])
+        t0 = time.perf_counter()
+        outs = [fh(variables, hvars, src, src_lens)[0] for _ in range(5)]
+        _ = [float(o.reshape(-1)[0]) for o in outs]
+        dt_h = (time.perf_counter() - t0) / 5
+        hifi_seconds = w.shape[0] * w.shape[1] / SR
+        result["hifigan_rtf"] = round(hifi_seconds / dt_h, 1)
+    except Exception as e:
+        result["hifigan_error"] = repr(e)[:200]
+
     # training-side evidence (fused fwd+bwd+optimizer step, recipe operating
     # point: base arch + full CTC/aux loss, bf16, ~40k src frames/step);
     # reported alongside the headline — the reference is first a training

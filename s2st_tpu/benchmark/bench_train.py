@@ -72,8 +72,8 @@ def run_train_bench(batch_size: int = 32, src_t: int = 1200,
                     tgt_raw: int = 960, n_steps: int = 10,
                     warmup_steps: int = 2,
                     cfg_overrides: Dict = None,
-                    ctc_weight: float = 1.0, aux_weight: float = 1.0
-                    ) -> Dict[str, float]:
+                    ctc_weight: float = 1.0, aux_weight: float = 1.0,
+                    prng_impl: str = "rbg") -> Dict[str, float]:
     import jax
     import jax.numpy as jnp
     from ..models import s2st_transformer as m
@@ -103,7 +103,11 @@ def run_train_bench(batch_size: int = 32, src_t: int = 1200,
     tgt_packed = tgt_raw // nfps
     host_batch = make_train_batch(batch_size, src_t, tgt_packed,
                                   80 * nfps, n_txt=32, vocab=1000)
-    rng = jax.random.PRNGKey(1)
+    # typed key with the training CLI's default PRNG (--prng-impl rbg):
+    # threefry dropout masks alone cost ~94 ms/step at this operating
+    # point on v5e (167.6 vs 73.8 ms/step measured)
+    rng = jax.random.key(1, impl=prng_impl) if prng_impl \
+        else jax.random.PRNGKey(1)
 
     # pre-stage device batches: training runs with DevicePrefetcher keeping
     # transfers ahead of compute, so the steady-state step time is compute

@@ -110,6 +110,10 @@ def test_generate_waveform(corpus, tmp_path):
         "--max-source-positions", "128", "--max-target-positions", "128",
         "--required-batch-size-multiple", "1",
         "--spec-bwd-max-iter", "2",
+        # a 1-epoch tiny model may emit EOS at the very first step, whose
+        # Griffin-Lim inverse is 0 samples — force full-length decode so
+        # the PCM assertion is deterministic
+        "--eos-prob-threshold", "1.5",
         "--dump-waveforms", "--dump-features", "--dump-attentions",
         "--dump-eos-probs", "--dump-target",
         "--results-path", str(results),

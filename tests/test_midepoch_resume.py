@@ -196,3 +196,40 @@ def test_ema_restored_on_resume(corpus, tmp_path):
     for k in ea:
         np.testing.assert_allclose(ea[k], eb[k], rtol=1e-6, atol=1e-7,
                                    err_msg=k)
+
+
+def test_ema_checkpoint_is_evaluable(corpus, tmp_path):
+    """The EMA file is a complete eval checkpoint: params + stats, loadable
+    by generate_waveform --path (fairseq evaluate-with-EMA-weights parity,
+    fairseq/trainer.py:380-424)."""
+    from s2st_tpu.cli.train import main as train_main
+    from s2st_tpu.cli.generate_waveform import main as gw_main
+    save_dir = tmp_path / "ema_eval"
+    assert train_main(_args(corpus, save_dir,
+                            ["--max-epoch", "1", "--store-ema",
+                             "--ema-decay", "0.9"])) == 0
+    ema_path = save_dir / "checkpoint_last_ema.npz"
+    with np.load(str(ema_path)) as z:
+        keys = list(z.files)
+    assert any(k.startswith("params::") for k in keys)
+    assert any(k.startswith("stats::") for k in keys)
+    out_dir = tmp_path / "ema_dump"
+    rc = gw_main([
+        str(corpus), "--config-yaml", "config.yaml",
+        "--gen-subset", "test", "--task", "s2s_translation",
+        "--path", str(ema_path),
+        "--encoder-layers", "1", "--encoder-embed-dim", "16",
+        "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+        "--decoder-layers", "1", "--decoder-embed-dim", "16",
+        "--decoder-ffn-embed-dim", "32", "--decoder-attention-heads", "2",
+        "--conv-channels", "16", "--middle-layers", "0",
+        "--prenet-dim", "8", "--prenet-layers", "1",
+        "--postnet-layers", "1", "--postnet-conv-dim", "8",
+        "--output-frame-dim", "8", "--n-frames-per-step", "1",
+        "--max-tokens", "2000", "--max-iter", "8",
+        "--max-source-positions", "128", "--max-target-positions", "128",
+        "--required-batch-size-multiple", "1",
+        "--spec-bwd-max-iter", "2", "--dump-waveforms",
+        "--results-path", str(out_dir)])
+    assert rc == 0
+    assert list((out_dir / "wav").glob("*_pred.wav"))
