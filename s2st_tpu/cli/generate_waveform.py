@@ -115,7 +115,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     gen_cfg = GenerationConfig(
         max_iter=min(args.max_iter, model_cfg.max_target_positions //
                      max(model_cfg.n_frames_per_step, 1)),
-        eos_prob_threshold=args.eos_prob_threshold)
+        eos_prob_threshold=args.eos_prob_threshold,
+        kv_cache_dtype=getattr(args, "kv_cache_dtype", "bf16"))
 
     if is_t2s:
         # pseudo-label TTS mode (t2s_transformer: text in, spectrogram out —

@@ -41,6 +41,13 @@ class GenerationConfig:
     collect_attn: bool = True  # accumulate the (B, T, Ts) alignment buffer
     #   (needed for --dump-attentions / plots; skipping it saves one fp32
     #   buffer rewrite per decode step on the serving path)
+    kv_cache_dtype: str = "bf16"  # "int8": per-(token, head) absmax
+    #   quantization halves KV-cache MEMORY (long-utterance / big-batch
+    #   serving headroom). Measured on v5e it does NOT speed decoding up —
+    #   XLA's single-query attention is compute-bound (106 us/call at
+    #   B=64 T=150 ~ 186 GB/s, far under HBM bandwidth), and the naive
+    #   dequant materializes copies (2.4x slower end-to-end); custom
+    #   Pallas kernels also measured slower than XLA here (ROADMAP)
 
 
 def _decode_loop(variables, cfg: m.S2STConfig, gen_cfg: GenerationConfig,
@@ -68,13 +75,24 @@ def _decode_loop(variables, cfg: m.S2STConfig, gen_cfg: GenerationConfig,
                 for k, v in lp.items()}
     fused = tuple(_precast(fuse_decoder_layer_params(p[f"layer{i}"]))
                   for i in range(cfg.decoder_layers))
-    cross_kv = tuple(
-        cross_attn_precompute(p[f"layer{i}"]["cross_attn"],
-                              enc["encoder_out"], heads)
-        for i in range(cfg.decoder_layers))
-    caches = tuple(
-        self_attn_cache_init(b, max_iter, heads, head_dim, cfg.dtype)
-        for _ in range(cfg.decoder_layers))
+    if gen_cfg.kv_cache_dtype == "int8":
+        from ..nn.attention import (cross_attn_precompute_int8,
+                                    self_attn_cache_init_int8)
+        cross_kv = tuple(
+            cross_attn_precompute_int8(p[f"layer{i}"]["cross_attn"],
+                                       enc["encoder_out"], heads)
+            for i in range(cfg.decoder_layers))
+        caches = tuple(
+            self_attn_cache_init_int8(b, max_iter, heads, head_dim)
+            for _ in range(cfg.decoder_layers))
+    else:
+        cross_kv = tuple(
+            cross_attn_precompute(p[f"layer{i}"]["cross_attn"],
+                                  enc["encoder_out"], heads)
+            for i in range(cfg.decoder_layers))
+        caches = tuple(
+            self_attn_cache_init(b, max_iter, heads, head_dim, cfg.dtype)
+            for _ in range(cfg.decoder_layers))
 
     enc_pad = enc["encoder_padding_mask"]
     alignment_layer = cfg.decoder_layers - 1

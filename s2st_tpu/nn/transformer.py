@@ -17,8 +17,9 @@ import jax
 import jax.numpy as jnp
 
 from .attention import (_split_heads, attend, causal_mask,
-                        cross_attn_precompute, mha, mha_cross_step,
-                        mha_self_step, mha_init)
+                        cross_attn_precompute, dequantize_kv, mha,
+                        mha_cross_step, mha_self_step, mha_init,
+                        quantize_kv)
 from .core import (Params, dropout, get_activation, layer_norm,
                    layer_norm_init, linear, linear_init, split_rngs)
 
@@ -270,18 +271,39 @@ def decoder_layer_step_fused(lp: Params, x_step: jnp.ndarray, cache: Params,
     invalid = jnp.broadcast_to(jnp.arange(max_len)[None, :] > step,
                                (b, max_len))
 
+    int8_kv = "k_scale" in cache  # int8-quantized KV layout (see attention)
+
     residual = x_step
     h = layer_norm(lp["self_attn_ln"], x_step) if normalize_before else x_step
     q, k_new, v_new = jnp.split(linear(lp["qkv"], h), 3, axis=-1)
     q = _split_heads(q * scale, num_heads)
-    k_all = jax.lax.dynamic_update_slice(
-        cache["k"], _split_heads(k_new, num_heads).astype(cache["k"].dtype),
-        (0, step, 0, 0))
-    v_all = jax.lax.dynamic_update_slice(
-        cache["v"], _split_heads(v_new, num_heads).astype(cache["v"].dtype),
-        (0, step, 0, 0))
-    out, _ = attend(q, k_all.astype(q.dtype), v_all.astype(q.dtype),
-                    key_padding_mask=invalid)
+    k_new = _split_heads(k_new, num_heads)
+    v_new = _split_heads(v_new, num_heads)
+    if int8_kv:
+        kq, ks = quantize_kv(k_new)
+        vq, vs = quantize_kv(v_new)
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], kq,
+                                              (0, step, 0, 0)),
+            "k_scale": jax.lax.dynamic_update_slice(cache["k_scale"], ks,
+                                                    (0, step, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], vq,
+                                              (0, step, 0, 0)),
+            "v_scale": jax.lax.dynamic_update_slice(cache["v_scale"], vs,
+                                                    (0, step, 0, 0)),
+        }
+        k_all = dequantize_kv(new_cache["k"], new_cache["k_scale"], q.dtype)
+        v_all = dequantize_kv(new_cache["v"], new_cache["v_scale"], q.dtype)
+    else:
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], k_new.astype(cache["k"].dtype), (0, step, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], v_new.astype(cache["v"].dtype), (0, step, 0, 0)),
+        }
+        k_all = new_cache["k"].astype(q.dtype)
+        v_all = new_cache["v"].astype(q.dtype)
+    out, _ = attend(q, k_all, v_all, key_padding_mask=invalid)
     x = residual + linear(lp["self_out"], out.reshape(b, 1, c))
     if not normalize_before:
         x = layer_norm(lp["self_attn_ln"], x)
@@ -289,8 +311,12 @@ def decoder_layer_step_fused(lp: Params, x_step: jnp.ndarray, cache: Params,
     residual = x
     h = layer_norm(lp["cross_attn_ln"], x) if normalize_before else x
     q = _split_heads(linear(lp["cross_q"], h) * scale, num_heads)
-    out, w = attend(q, cross_kv["k"], cross_kv["v"],
-                    key_padding_mask=enc_padding_mask)
+    if "k_scale" in cross_kv:
+        ck = dequantize_kv(cross_kv["k"], cross_kv["k_scale"], q.dtype)
+        cv = dequantize_kv(cross_kv["v"], cross_kv["v_scale"], q.dtype)
+    else:
+        ck, cv = cross_kv["k"], cross_kv["v"]
+    out, w = attend(q, ck, cv, key_padding_mask=enc_padding_mask)
     x = residual + linear(lp["cross_out"], out.reshape(b, 1, c))
     if not normalize_before:
         x = layer_norm(lp["cross_attn_ln"], x)
@@ -300,7 +326,7 @@ def decoder_layer_step_fused(lp: Params, x_step: jnp.ndarray, cache: Params,
     x = residual + linear(lp["fc2"], act(linear(lp["fc1"], h)))
     if not normalize_before:
         x = layer_norm(lp["final_ln"], x)
-    return x, {"k": k_all, "v": v_all}, (w if need_attn else None)
+    return x, new_cache, (w if need_attn else None)
 
 
 def decoder_layers_step(stacked: Params, x_step: jnp.ndarray, caches: Params,

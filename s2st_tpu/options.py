@@ -240,6 +240,14 @@ def add_generation_args(parser: argparse.ArgumentParser):
     p.add_argument("--results-path", default=None)
     p.add_argument("--max-iter", type=int, default=1500)
     p.add_argument("--eos-prob-threshold", type=float, default=0.5)
+    p.add_argument("--kv-cache-dtype", default="bf16",
+                   choices=["bf16", "int8"],
+                   help="int8-quantize the decoder KV caches (per-token "
+                        "per-head absmax): halves KV cache MEMORY for "
+                        "long-utterance/large-batch serving; quality-"
+                        "tested. NOT a speed knob on v5e — XLA's decode "
+                        "attention is compute-bound, not bandwidth-bound "
+                        "(measured; see ROADMAP perf notes)")
     p.add_argument("--teacher-forcing", action="store_true")
     p.add_argument("--dump-waveforms", action="store_true")
     p.add_argument("--dump-features", action="store_true")

@@ -105,3 +105,28 @@ def test_gcmvn_denormalize(tiny_cfg, tiny_variables, tiny_batch):
     np.testing.assert_allclose(np.asarray(denorm["feats"]),
                                np.asarray(base["feats"]) * 3.0 + 2.0,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_int8_kv_cache_close_to_bf16(tiny_cfg, tiny_variables):
+    """kv_cache_dtype="int8" must track the full-precision decode closely:
+    same early frames within quantization tolerance and identical shapes
+    (serving bandwidth optimization; GenerationConfig.kv_cache_dtype)."""
+    from s2st_tpu.generate.speech_generator import (GenerationConfig,
+                                                    generate_features)
+    batch = make_batch(tiny_cfg, b=2, src_t=33, seed=4)
+    outs = {}
+    for dt in ("bf16", "int8"):
+        gen_cfg = GenerationConfig(max_iter=10, eos_prob_threshold=1.5,
+                                   prenet_dropout_at_inference=False,
+                                   kv_cache_dtype=dt)
+        outs[dt] = generate_features(
+            tiny_variables, tiny_cfg, gen_cfg,
+            batch["src_speech"], batch["src_speech_lens"])
+    a = np.asarray(outs["bf16"]["feats"], np.float32)
+    b = np.asarray(outs["int8"]["feats"], np.float32)
+    assert a.shape == b.shape
+    # AR drift compounds; require tight agreement on the first step and
+    # bounded relative error overall
+    np.testing.assert_allclose(b[:, :1], a[:, :1], atol=0.08, rtol=0.1)
+    rel = np.abs(b - a).mean() / (np.abs(a).mean() + 1e-6)
+    assert rel < 0.35, rel
