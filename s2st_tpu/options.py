@@ -318,6 +318,14 @@ def s2t_transformer_base(args):
     return args
 
 
+@register_arch("fastspeech2")
+def fastspeech2_base(args):
+    """Non-autoregressive TTS (fairseq/models/text_to_speech/
+    fastspeech2.py:351-375 base_architecture); the FS2-specific dims live
+    in models.fastspeech2.FS2Config defaults."""
+    return args
+
+
 @register_arch("s2t_transformer_hubert")
 def s2t_transformer_hubert(args):
     """s2t_transformer_me.py:82 — S2T with the frozen HuBERT frontend

@@ -127,6 +127,19 @@ class S2STranslationTask:
                 encoder_dropout=self.args.encoder_dropout,
                 encoder_transformer_layers=self.args.encoder_transformer_layers)
             return cfg, functools.partial(t2s.init_t2s, cfg=cfg), L.t2s_loss
+        if arch.startswith("fastspeech2"):
+            from ..models import fastspeech2 as fs2
+            cfg = fs2.FS2Config(
+                vocab_size=len(self.src_dict),
+                output_frame_dim=base.output_frame_dim,
+                n_frames_per_step=base.n_frames_per_step,
+                num_speakers=base.num_speakers,
+                ctc=base.ctc,
+                max_source_positions=base.max_source_positions,
+                max_target_positions=base.max_target_positions,
+                dtype=base.dtype)
+            return cfg, functools.partial(fs2.init_fs2, cfg=cfg), \
+                L.fastspeech2_loss
         if arch.startswith("s2t_transformer"):
             from ..models import s2t_transformer as s2t
             test_type = getattr(self.args, "test_type", "st")

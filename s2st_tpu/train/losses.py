@@ -282,3 +282,76 @@ _COMPOSITE_MEAN_KEYS = ("loss", "l1_loss", "mse_loss", "eos_loss",
 s2st_loss.mean_keys = _COMPOSITE_MEAN_KEYS
 t2s_loss.mean_keys = _COMPOSITE_MEAN_KEYS
 s2t_loss.mean_keys = ("loss", "nll_loss")
+
+
+def fastspeech2_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
+                     batch: Dict[str, Any], rng: Optional[jax.Array] = None,
+                     train: bool = True
+                     ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """FastSpeech2 criterion parity (fairseq/criterions/fastspeech2_loss.py):
+    L1 on mel (pre + post when a postnet exists), MSE on pitch/energy over
+    source positions, MSE on log(duration+1), optional CTC of the source
+    tokens against the mel-frame logits. cfg: models.fastspeech2.FS2Config.
+
+    batch keys: src_text (B,Ts) + src_text_len, tgt_speech (B,Tt,F) +
+    target_lengths, durations (B,Ts), pitches (B,Ts), energies (B,Ts),
+    optional speaker."""
+    from ..models import fastspeech2 as fs2
+    net = fs2.forward(
+        variables, cfg, batch["src_text"], batch["src_text_len"],
+        speaker=batch.get("speaker"),
+        durations=batch["durations"], pitches=batch["pitches"],
+        energies=batch["energies"],
+        max_out_len=batch["tgt_speech"].shape[1],
+        rng=rng, deterministic=not train, train=train)
+
+    b, tt, _ = batch["tgt_speech"].shape
+    ts = batch["src_text"].shape[1]
+    tgt_mask = lengths_to_mask(batch["target_lengths"], tt)[:, :, None]
+    src_mask = lengths_to_mask(batch["src_text_len"], ts)
+    feat = batch["tgt_speech"].astype(jnp.float32)
+
+    l1 = masked_mean(jnp.abs(net["feat_out"].astype(jnp.float32) - feat),
+                     tgt_mask)
+    if cfg.add_postnet:
+        l1 = l1 + masked_mean(
+            jnp.abs(net["post_feat_out"].astype(jnp.float32) - feat),
+            tgt_mask)
+    pitch = masked_mean(
+        (net["pitch_out"].astype(jnp.float32)
+         - batch["pitches"].astype(jnp.float32)) ** 2, src_mask)
+    energy = masked_mean(
+        (net["energy_out"].astype(jnp.float32)
+         - batch["energies"].astype(jnp.float32)) ** 2, src_mask)
+    log_dur = jnp.log(batch["durations"].astype(jnp.float32) + 1.0)
+    dur = masked_mean(
+        (net["log_dur_out"].astype(jnp.float32) - log_dur) ** 2, src_mask)
+
+    ctc = jnp.float32(0.0)
+    if lcfg.ctc_weight > 0.0 and "ctc_logits" in net:
+        logits = net["ctc_logits"].astype(jnp.float32)
+        logit_pad = (~lengths_to_mask(batch["target_lengths"], tt)
+                     ).astype(jnp.float32)
+        labels = jnp.where(src_mask, batch["src_text"], 0)
+        label_pad = (~src_mask).astype(jnp.float32)
+        per_ex = optax.ctc_loss(logits, logit_pad, labels, label_pad,
+                                blank_id=0)
+        per_ex = per_ex / jnp.maximum(
+            batch["src_text_len"].astype(jnp.float32), 1.0)
+        ctc = jnp.mean(per_ex) * lcfg.ctc_weight
+
+    loss = l1 + dur + pitch + energy + ctc
+    ntokens = jnp.sum(batch["target_lengths"])
+    sample_size = jnp.int32(b)   # fastspeech2_loss.py: nsentences
+    logging = {
+        "loss": loss, "l1_loss": l1, "dur_loss": dur, "pitch_loss": pitch,
+        "energy_loss": energy, "ctc_loss": ctc,
+        "ntokens": ntokens, "nsentences": jnp.int32(b),
+        "sample_size": sample_size,
+    }
+    return loss, {"new_stats": net["new_stats"], "logging": logging,
+                  "sample_size": sample_size}
+
+
+fastspeech2_loss.mean_keys = ("loss", "l1_loss", "dur_loss", "pitch_loss",
+                              "energy_loss", "ctc_loss")
