@@ -95,6 +95,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     task = get_task(args.task).setup_task(args)
     full_cfg, init_fn, _ = task.build_model_and_loss()
     is_t2s = args.arch.startswith("t2s_transformer")
+    is_fs2 = args.arch.startswith("fastspeech2")
     model_cfg = full_cfg.base if is_t2s else full_cfg
 
     # load checkpoint (ensemble: first path; averaging handled offline).
@@ -117,6 +118,31 @@ def main(argv: Optional[List[str]] = None) -> int:
                      max(model_cfg.n_frames_per_step, 1)),
         eos_prob_threshold=args.eos_prob_threshold,
         kv_cache_dtype=getattr(args, "kv_cache_dtype", "bf16"))
+
+    if is_fs2:
+        # non-autoregressive TTS: one forward pass, durations from the
+        # duration predictor (FastSpeech2 inference)
+        from ..models import fastspeech2 as fs2
+        fs2_max_out = min(args.max_iter, model_cfg.max_target_positions)
+
+        @jax.jit
+        def infer_fs2(variables, src_text, src_text_len):
+            out = fs2.forward(variables, model_cfg, src_text, src_text_len,
+                              max_out_len=fs2_max_out, deterministic=True,
+                              d_factor=args.duration_factor,
+                              min_duration=args.min_duration)
+            b = out["post_feat_out"].shape[0]
+            feats = out["post_feat_out"].astype(jnp.float32).reshape(
+                b, -1, model_cfg.output_frame_dim)
+            if gcmvn_mean is not None:
+                feats = feats * jnp.asarray(gcmvn_std) \
+                    + jnp.asarray(gcmvn_mean)
+            r_ = model_cfg.n_frames_per_step
+            return {"feats": feats,
+                    "raw_out_lens": out["out_lens"] * r_,
+                    "out_lens": out["out_lens"],
+                    "eos_prob": jnp.zeros(feats.shape[:2], jnp.float32),
+                    "attn": None}
 
     if is_t2s:
         # pseudo-label TTS mode (t2s_transformer: text in, spectrogram out —
@@ -156,7 +182,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     n_done = 0
     for bi, batch in enumerate(itr.next_epoch_itr(shuffle=False)):
         sub = jax.random.fold_in(rng, bi)
-        if is_t2s:
+        if is_fs2:
+            out = infer_fs2(variables, jnp.asarray(batch["src_text"]),
+                            jnp.asarray(batch["src_text_len"]))
+        elif is_t2s:
             out = infer_t2s(variables, jnp.asarray(batch["src_text"]), sub)
         elif args.teacher_forcing:
             db = {k: v for k, v in batch.items()

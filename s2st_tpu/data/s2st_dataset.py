@@ -45,6 +45,11 @@ class S2STItem:
     src_orig: Optional[np.ndarray] = None   # raw waveform for HuBERT
     speaker_id: Optional[int] = None
     tgt_text_orig: Optional[str] = None
+    # FastSpeech2 variance targets (reference TextToSpeechDataset extras:
+    # per-source-token duration/pitch/energy from the manifest)
+    duration: Optional[np.ndarray] = None   # (N,) int32
+    pitch: Optional[np.ndarray] = None      # (N,) float32
+    energy: Optional[np.ndarray] = None     # (N,) float32
 
 
 def _load_tsv(path: Path) -> List[Dict[str, str]]:
@@ -88,6 +93,15 @@ class S2STDataset:
         self.speakers = [s.get("speaker", "") for s in samples]
         self.src_orig_paths = [s.get("src_orig") for s in samples]
         self.tgt_text_orig = [s.get("tgt_text_orig") for s in samples]
+        # optional FastSpeech2 variance columns ("duration" space-separated
+        # ints; "pitch"/"energy" space-separated floats or .npy paths —
+        # fairseq/data/audio/text_to_speech_dataset.py manifest extras)
+        self.durations = [s.get("duration") for s in samples] \
+            if any(s.get("duration") for s in samples) else None
+        self.pitches = [s.get("pitch") for s in samples] \
+            if any(s.get("pitch") for s in samples) else None
+        self.energies = [s.get("energy") for s in samples] \
+            if any(s.get("energy") for s in samples) else None
 
         self.feature_transforms_src = CompositeAudioFeatureTransform.from_config_dict(
             cfg.get_feature_transforms_for_src(split, is_train_split), cfg.config)
@@ -149,11 +163,23 @@ class S2STDataset:
         speaker_id = None
         if self.speaker_to_id is not None:
             speaker_id = self.speaker_to_id.get(self.speakers[index], 0)
+
+        def _variance(col, dtype):
+            if col is None or not col[index]:
+                return None
+            v = col[index]
+            if v.endswith(".npy") or ":" in v:   # path or zip-slice
+                return np.asarray(get_features_or_waveform(v), dtype)
+            return np.asarray(v.split(), dtype)
+
         return S2STItem(index=index, src_speech=src_speech,
                         tgt_speech=tgt_speech, src_text=src_text,
                         tgt_text=tgt_text, src_orig=src_orig,
                         speaker_id=speaker_id,
-                        tgt_text_orig=self.tgt_text_orig[index])
+                        tgt_text_orig=self.tgt_text_orig[index],
+                        duration=_variance(self.durations, np.int32),
+                        pitch=_variance(self.pitches, np.float32),
+                        energy=_variance(self.energies, np.float32))
 
     # ------------------------------------------------------------------
     # collate to static shapes
@@ -252,6 +278,23 @@ class S2STDataset:
         }
         if self.speaker_to_id is not None:
             batch["speaker"] = speaker
+        if items[0].duration is not None:
+            # FastSpeech2 variance targets, padded per source token
+            # (reference TextToSpeechDataset collater extras). eos/pad
+            # positions get 0 (masked by src_text_len downstream).
+            durations = np.zeros((b, src_n), np.int32)
+            pitches = np.zeros((b, src_n), np.float32)
+            energies = np.zeros((b, src_n), np.float32)
+            for i, it in enumerate(items):
+                n = min(len(it.duration), src_n)
+                durations[i, :n] = it.duration[:n]
+                if it.pitch is not None:
+                    pitches[i, :len(it.pitch[:src_n])] = it.pitch[:src_n]
+                if it.energy is not None:
+                    energies[i, :len(it.energy[:src_n])] = it.energy[:src_n]
+            batch["durations"] = durations
+            batch["pitches"] = pitches
+            batch["energies"] = energies
         return batch
 
 

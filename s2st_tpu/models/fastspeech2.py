@@ -226,7 +226,7 @@ def forward(variables: Dict[str, Params], cfg: FS2Config,
             energies: Optional[jnp.ndarray] = None,
             max_out_len: Optional[int] = None,
             d_factor: float = 1.0, p_factor: float = 1.0,
-            e_factor: float = 1.0,
+            e_factor: float = 1.0, min_duration: int = 0,
             rng: Optional[jax.Array] = None, deterministic: bool = True,
             train: bool = False) -> Dict[str, Any]:
     """One NAR pass (fastspeech2.py:257-287). Teacher-forced when
@@ -268,6 +268,10 @@ def forward(variables: Dict[str, Params], cfg: FS2Config,
                                  rng=rngs[2], deterministic=deterministic)
     dur_out = jnp.clip(jnp.round((jnp.exp(log_dur_out) - 1.0) * d_factor),
                        0, None).astype(jnp.int32)
+    # min_duration: serving floor for free-running decode (an extension —
+    # an undertrained/out-of-domain duration predictor can collapse to 0
+    # frames; the reference emits empty audio in that case)
+    dur_out = jnp.maximum(dur_out, min_duration)
     dur_out = jnp.where(enc_pad, 0, dur_out)
 
     pitch_out = _var_predictor(p["pitch_pred"], x, cfg.var_pred_kernel_size,

@@ -240,6 +240,12 @@ def add_generation_args(parser: argparse.ArgumentParser):
     p.add_argument("--results-path", default=None)
     p.add_argument("--max-iter", type=int, default=1500)
     p.add_argument("--eos-prob-threshold", type=float, default=0.5)
+    p.add_argument("--duration-factor", type=float, default=1.0,
+                   help="FastSpeech2: scale predicted durations (d_factor)")
+    p.add_argument("--min-duration", type=int, default=0,
+                   help="FastSpeech2: floor for predicted per-token "
+                        "durations at inference (extension; 0 = reference "
+                        "behavior)")
     p.add_argument("--kv-cache-dtype", default="bf16",
                    choices=["bf16", "int8"],
                    help="int8-quantize the decoder KV caches (per-token "

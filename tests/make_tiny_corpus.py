@@ -24,7 +24,8 @@ def make_tiny_corpus(root: Path, n_train: int = 12, n_dev: int = 4,
                      n_test: int = 4, n_feat: int = 8, n_mel: int = 8,
                      seed: int = 0, sample_rate: int = 16000,
                      n_fft: int = 128, hop: int = 64,
-                     src_wav: bool = False) -> Path:
+                     src_wav: bool = False,
+                     variance_columns: bool = False) -> Path:
     """Creates <root>/{train,dev,test}.tsv + config.yaml + dicts + features.
     Feature dims are tiny (n_feat fbank bins, n_mel target mels) so CPU
     tests stay fast. src_wav=True writes source WAVs instead of fbank
@@ -61,7 +62,7 @@ def make_tiny_corpus(root: Path, n_train: int = 12, n_dev: int = 4,
             gcmvn_feats.append(tgt)
             ns = int(r.randint(2, 5))
             nt = int(r.randint(2, 5))
-            rows.append({
+            row = {
                 "id": uid,
                 "src_audio": (f"features/{uid}_src.wav" if src_wav
                               else f"features/{uid}_src.npy"),
@@ -71,7 +72,19 @@ def make_tiny_corpus(root: Path, n_train: int = 12, n_dev: int = 4,
                 "src_text": " ".join(r.choice(SRC_WORDS, ns)),
                 "tgt_text": " ".join(r.choice(TGT_WORDS, nt)),
                 "speaker": "spk0",
-            })
+            }
+            if variance_columns:
+                # FastSpeech2 extras: per-src-token durations summing to
+                # the target frame count, plus pitch/energy targets
+                n_tok = ns  # tokens excl. eos
+                dur = np.full((n_tok,), tgt_t // n_tok, np.int32)
+                dur[-1] += tgt_t - int(dur.sum())
+                row["duration"] = " ".join(str(int(d)) for d in dur)
+                row["pitch"] = " ".join(
+                    f"{x:.2f}" for x in r.rand(n_tok) * 300)
+                row["energy"] = " ".join(
+                    f"{x:.2f}" for x in r.rand(n_tok) * 3)
+            rows.append(row)
         with open(root / f"{split}.tsv", "w", newline="",
                   encoding="utf-8") as f:
             writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()),

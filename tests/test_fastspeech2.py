@@ -142,3 +142,45 @@ def test_forward_jits(cfg, variables):
     f = jax.jit(lambda v, s, l: fs2.forward(v, cfg, s, l, max_out_len=48))
     out = f(variables, batch["src_text"], batch["src_text_len"])
     assert out["feat_out"].shape[1] == 48
+
+
+def test_fastspeech2_cli_train_and_generate(tmp_path):
+    """Full FastSpeech2 path through the CLIs: tiny corpus with
+    duration/pitch/energy manifest columns -> train 1 epoch -> NAR
+    generate_waveform (duration-predictor lengths)."""
+    from s2st_tpu.cli.train import main as train_main
+    from s2st_tpu.cli.generate_waveform import main as gen_main
+    from tests.make_tiny_corpus import make_tiny_corpus
+    corpus = make_tiny_corpus(tmp_path / "corpus", variance_columns=True)
+    save_dir = tmp_path / "ckpt"
+    common = [
+        str(corpus), "--config-yaml", "config.yaml",
+        "--task", "s2s_translation", "--arch", "fastspeech2",
+        "--output-frame-dim", "8", "--n-frames-per-step", "1",
+        "--max-source-positions", "64", "--max-target-positions", "128",
+        "--max-tokens", "2000", "--required-batch-size-multiple", "1",
+    ]
+    rc = train_main(common + [
+        "--save-dir", str(save_dir),
+        "--train-subset", "train", "--valid-subset", "dev",
+        "--criterion", "fastspeech2",
+        "--optimizer", "adam", "--lr", "0.001",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "4",
+        "--clip-norm", "1.0", "--seed", "1", "--max-epoch", "1",
+        "--log-interval", "1", "--disable-validation"])
+    assert rc == 0
+    assert (save_dir / "checkpoint_last.npz").exists()
+
+    out_dir = tmp_path / "dump"
+    rc = gen_main(common + [
+        "--gen-subset", "test",
+        "--path", str(save_dir / "checkpoint_last.npz"),
+        "--max-iter", "64", "--spec-bwd-max-iter", "2",
+        # 1-epoch duration predictor rounds to 0 frames; the serving floor
+        # keeps the smoke deterministic
+        "--min-duration", "2",
+        "--dump-waveforms", "--dump-features",
+        "--results-path", str(out_dir)])
+    assert rc == 0
+    feats = list((out_dir / "feat").glob("*_pred.npy"))
+    assert feats, "no NAR features dumped"
