@@ -69,8 +69,8 @@ def make_train_batch(b: int, src_t: int, tgt_packed: int, out_dim: int,
 
 
 def run_train_bench(batch_size: int = 32, src_t: int = 1200,
-                    tgt_raw: int = 960, n_steps: int = 10,
-                    warmup_steps: int = 2,
+                    tgt_raw: int = 960, n_steps: int = 20,
+                    warmup_steps: int = 3,
                     cfg_overrides: Dict = None,
                     ctc_weight: float = 1.0, aux_weight: float = 1.0,
                     prng_impl: str = "rbg") -> Dict[str, float]:

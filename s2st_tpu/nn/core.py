@@ -186,10 +186,19 @@ def conv1d(p: Params, x: jnp.ndarray, stride: int = 1, padding: int = 0) -> jnp.
 
 def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array],
             deterministic: bool) -> jnp.ndarray:
+    """Inverted dropout with an 8-bit threshold mask: 4x fewer random bits
+    than bernoulli's fp32 uniforms (dropout mask generation dominates the
+    train step's RNG cost — see ROADMAP perf notes). The keep probability
+    is quantized to 1/256 and the rescale uses the QUANTIZED keep, so the
+    expectation stays exactly unbiased."""
     if deterministic or rate <= 0.0 or rng is None:
         return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
+    thresh = int(round(rate * 256.0))
+    if thresh <= 0:
+        return x
+    keep = (256 - thresh) / 256.0
+    bits = jax.random.bits(rng, x.shape, jnp.uint8)
+    mask = bits >= thresh                 # P(keep) = (256 - thresh)/256
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
