@@ -80,7 +80,7 @@ def _step_sampling(t, lprobs, alive_scores, k, rng, topk, topp):
     src = jnp.where(t == 0, jnp.zeros((k,), jnp.int32), jnp.arange(k))
     dist = jnp.take_along_axis(lprobs, src[None, :, None], axis=1)  # (B,K,V)
     masked = dist
-    if topk > 0:
+    if topk > 0 and topk < vocab:   # topk >= vocab keeps the full support
         kth = jnp.sort(dist, axis=-1)[..., vocab - topk][..., None]
         masked = jnp.where(dist < kth, NEG_INF, dist)
     elif topp > 0:

@@ -280,3 +280,15 @@ def test_strategies_jit(tiny_cfg, tiny_variables, enc_state):
         out = f(tiny_variables, enc_state["out_middle_layers"][0],
                 enc_state["encoder_padding_mask"], jax.random.PRNGKey(0))
         assert np.asarray(out["tokens"]).shape[:2] == (2, 2)
+
+
+def test_sampling_topk_larger_than_vocab(tiny_cfg, tiny_variables, enc_state):
+    """--sampling-topk larger than the vocabulary must behave like
+    unrestricted sampling instead of crashing (negative sort index)."""
+    cfg = BeamConfig(beam=2, max_len=6, strategy="sampling",
+                     sampling_topk=10_000)
+    out = beam_search_aux(tiny_variables, tiny_cfg, "aux_asr_decoder",
+                          enc_state["out_middle_layers"][0],
+                          enc_state["encoder_padding_mask"], cfg,
+                          rng=jax.random.PRNGKey(0))
+    assert np.asarray(out["tokens"]).shape[:2] == (2, 2)
