@@ -108,6 +108,25 @@ def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     return total[:, :out_len]
 
 
+def _frames_view(x: jnp.ndarray, off: int, n_frames: int, win: int,
+                 hop: int) -> jnp.ndarray:
+    """(B, L) -> (B, n_frames, win) overlapping frames starting at `off`.
+
+    When win % hop == 0 (every recipe shape: 800/200, 512/128) the frames
+    are g = win//hop contiguous hop-chunks, so framing is g slices of a
+    (B, n, hop) reshape + one concat — an XLA gather here costs ~100 ms at
+    the Griffin-Lim serving shape INDEPENDENT of batch size (index-bound),
+    which dominated the whole vocoder."""
+    if win % hop == 0:
+        g = win // hop
+        need = (n_frames + g - 1) * hop
+        chunks = x[..., off:off + need].reshape(x.shape[0], -1, hop)
+        return jnp.concatenate([chunks[:, c:c + n_frames]
+                                for c in range(g)], axis=-1)
+    idx = off + (np.arange(win)[None, :] + hop * np.arange(n_frames)[:, None])
+    return x[:, idx]
+
+
 def stft_mag_phase(wave: jnp.ndarray, n_fft: int, win_length: int, hop: int,
                    compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Centered magnitude/phase STFT. wave: (..., L) -> (..., F, T).
@@ -121,12 +140,11 @@ def stft_mag_phase(wave: jnp.ndarray, n_fft: int, win_length: int, hop: int,
                 mode="reflect")
     kern, off = _stft_kernel(n_fft, win_length)
     n_frames = (x.shape[-1] - n_fft) // hop + 1
-    # explicit frame gather + ONE MXU GEMM. A 1-input-channel strided conv
+    # explicit framing + ONE MXU GEMM. A 1-input-channel strided conv
     # lowers poorly on TPU (measured ~10x slower than this GEMM at the
-    # Griffin-Lim serving shape); the gather is a cheap memory pass.
-    idx = off + (np.arange(win_length)[None, :]
-                 + hop * np.arange(n_frames)[:, None])
-    frames = x[:, idx]                                       # (B, T, K')
+    # Griffin-Lim serving shape); see _frames_view for why the framing is
+    # slices, not a gather.
+    frames = _frames_view(x, off, n_frames, win_length, hop)  # (B, T, K')
     out = jnp.einsum("btk,kf->btf", frames.astype(compute_dtype),
                      jnp.asarray(kern[:, 0, :]).astype(compute_dtype),
                      preferred_element_type=jnp.float32)     # (B, T, 2F)
@@ -228,16 +246,14 @@ def griffin_lim(specgram: jnp.ndarray, n_fft: int, win_length: int, hop: int,
         return wave / jnp.asarray(wss, wave_dtype)
 
     win_len = kern_np.shape[0]
-    fidx = koff + (np.arange(win_len)[None, :]
-                   + hop * np.arange(t)[:, None])
     kern2d = jnp.asarray(kern_np[:, 0, :])
 
     def project(wave):
         """STFT of the (untrimmed) reconstruction -> (re, im) (B,T,F) —
-        frame gather + one MXU GEMM (see stft_mag_phase)."""
+        sliced framing + one MXU GEMM (see stft_mag_phase)."""
         inner = wave[..., pad:-pad]
         x = jnp.pad(inner, ((0, 0), (pad, pad)), mode="reflect")
-        frames = x[:, fidx]                                      # (B,T,K')
+        frames = _frames_view(x, koff, t, win_len, hop)          # (B,T,K')
         out = jnp.einsum("btk,kf->btf", frames.astype(compute_dtype),
                          kern2d.astype(compute_dtype),
                          preferred_element_type=jnp.float32)     # (B,T,2F)
