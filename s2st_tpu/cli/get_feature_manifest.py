@@ -138,9 +138,11 @@ def main(argv=None) -> int:
                 or not (tgt_dir / f"{s['id']}.npy").exists()]
         logger.info(f"extracting features for {len(todo)} samples...")
         if args.num_workers > 1 and todo:
-            from multiprocessing import get_context
-            with get_context("fork").Pool(args.num_workers) as pool:
-                for sid, a, b in pool.imap_unordered(extract_one, todo, 16):
+            # worker THREADS: wav decode + numpy fbank release the GIL, and
+            # a process Pool cannot pickle this closure anyway
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(args.num_workers) as ex:
+                for sid, a, b in ex.map(extract_one, todo):
                     n_frames[sid] = (a, b)
         else:
             for s in todo:

@@ -154,6 +154,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     # explicit path/filename is honored as given, then under save_dir
     # (checkpoint_utils.load_checkpoint:190-236 semantics)
     restore_path = None
+    restored_from_last = False
     restore_name = getattr(args, "restore_file", "checkpoint_last.npz")
     if restore_name and restore_name not in ("checkpoint_last.npz",
                                              "checkpoint_last.pt"):
@@ -166,6 +167,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                            "starting fresh")
     elif mgr is not None:
         restore_path = mgr.last_checkpoint()
+        restored_from_last = restore_path is not None
     if restore_path:
         # model weights are ALWAYS restored; --reset-optimizer only drops
         # optimizer state/step (and restarts the epoch/iterator position),
@@ -220,9 +222,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                             ema_update_freq=args.ema_update_freq)
         ema_params = init_ema(state.params)
         ema_path = Path(args.save_dir) / "checkpoint_last_ema.npz"
-        if resumed and not args.reset_optimizer and ema_path.is_file():
+        if (resumed and restored_from_last and not args.reset_optimizer
+                and ema_path.is_file()):
             # restore the EMA shadow on resume (fairseq persists EMA inside
-            # the checkpoint, trainer.py:380-424; we keep a sibling npz)
+            # the checkpoint, trainer.py:380-424; we keep a sibling npz).
+            # Only when resuming from checkpoint_last — the sibling file
+            # belongs to it; pairing it with an older --restore-file would
+            # blend future weights into the restored run. Otherwise the
+            # shadow re-seeds from the restored params.
             with np.load(str(ema_path)) as z:
                 flat = {k: z[k] for k in z.files}
             ema_params = ckpt.unflatten_into(ema_params, flat, "params::")

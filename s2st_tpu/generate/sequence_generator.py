@@ -111,7 +111,14 @@ def _step_diverse_beam(t, lprobs, alive_scores, k, num_groups, strength):
     """DiverseBeamSearch (Hamming diversity) parity (search.py:556-617):
     beams are striped into G groups; group g's lprobs are penalized by
     -strength * (count of tokens already chosen by groups < g this step).
-    The penalty stays in the returned scores, as in the reference."""
+    The penalty stays in the returned scores, as in the reference.
+
+    Candidates are INTERLEAVED across groups (fairseq's
+    torch.stack(..., dim=2).view) so that, combined with the caller's
+    order-preserving alive selection, beam slot j keeps belonging to group
+    j % G on the next step — selecting top-K by score instead would let
+    the unpenalized group 0 take over every slot and the group slicing
+    would penalize the wrong beams."""
     b, _, vocab = lprobs.shape
     sub = k // num_groups
     div = jnp.zeros((b, vocab), jnp.float32)
@@ -128,8 +135,11 @@ def _step_diverse_beam(t, lprobs, alive_scores, k, num_groups, strength):
         all_s.append(s_g)
         all_t.append(tok)
         all_bm.append(beam)
-    return (jnp.concatenate(all_s, 1), jnp.concatenate(all_t, 1),
-            jnp.concatenate(all_bm, 1))
+    # interleave: (c0_g0, c0_g1, ..., c0_g{G-1}, c1_g0, ...)
+    s = jnp.stack(all_s, axis=2).reshape(b, 2 * k)
+    tok = jnp.stack(all_t, axis=2).reshape(b, 2 * k)
+    bm = jnp.stack(all_bm, axis=2).reshape(b, 2 * k)
+    return s, tok, bm
 
 
 def _step_diverse_siblings(t, lprobs, alive_scores, k, rate):
@@ -144,6 +154,9 @@ def _step_diverse_siblings(t, lprobs, alive_scores, k, rate):
     top, fidx = jax.lax.top_k(s.reshape(b, k * k2), k2)
     beams = fidx // k2
     toks = jnp.take_along_axis(idx.reshape(b, k * k2), fidx, axis=1)
+    # both branches run every step under jit (the plain-beam fallback only
+    # matters at t == 0); the extra top-k over K*V is accepted for exact
+    # step-0 parity (search.py:773: unpenalized scores at the first step)
     s0, t0_, b0 = _step_beam(t, lprobs, alive_scores, k)
     first = t == 0
     return (jnp.where(first, s0, top), jnp.where(first, t0_, toks),
@@ -423,8 +436,18 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
         fin_flags = jnp.take_along_axis(all_fin_flags, fin_idx, 1)
 
         # ----- alive pool: top K non-eos -----
-        alive_cand = jnp.where(is_eos, NEG_INF, top_scores)
-        alive_top, alive_sel = jax.lax.top_k(alive_cand, k)  # over 2K
+        if bs_cfg.strategy == "diverse_beam":
+            # FIRST K non-eos in candidate order (not by score): keeps beam
+            # slot j owned by group j % G (see _step_diverse_beam)
+            pos = jnp.arange(2 * k, dtype=jnp.float32)[None, :]
+            order_key = jnp.where(is_eos, 2 * k + pos, pos)
+            _, alive_sel = jax.lax.top_k(-order_key, k)
+            alive_top = jnp.take_along_axis(top_scores, alive_sel, 1)
+            sel_eos = jnp.take_along_axis(is_eos, alive_sel, 1)
+            alive_top = jnp.where(sel_eos, NEG_INF, alive_top)
+        else:
+            alive_cand = jnp.where(is_eos, NEG_INF, top_scores)
+            alive_top, alive_sel = jax.lax.top_k(alive_cand, k)  # over 2K
         sel_beam = jnp.take_along_axis(beam_idx, alive_sel, 1)   # (B,K)
         alive_tokens = jnp.take_along_axis(
             cand_tokens, alive_sel[:, :, None], axis=1)

@@ -213,9 +213,12 @@ def length_regulator(x: jnp.ndarray, durations: jnp.ndarray,
 
 
 def _bucketize(x, vmin, vmax, n_bins):
-    """torch.bucketize against linspace(vmin, vmax, n_bins-1) boundaries."""
+    """torch.bucketize(right=False) against linspace(vmin, vmax, n_bins-1)
+    boundaries — side="left" so a value exactly on a boundary (e.g. the
+    very common pitch 0.0 == bins[0] when pitch_min=0) lands in the same
+    bin as in the reference."""
     bins = jnp.linspace(vmin, vmax, n_bins - 1)
-    return jnp.searchsorted(bins, x, side="right")
+    return jnp.searchsorted(bins, x, side="left")
 
 
 def forward(variables: Dict[str, Params], cfg: FS2Config,
@@ -293,6 +296,9 @@ def forward(variables: Dict[str, Params], cfg: FS2Config,
 
     x, out_lens = length_regulator(
         x, durations if durations is not None else dur_out, max_out)
+    # free-running durations can sum past the static buffer; keep the
+    # reported lengths consistent with the frames actually produced
+    out_lens = jnp.minimum(out_lens, max_out)
 
     dec_pad = lengths_to_padding_mask(out_lens, max_out)
     dec_table = sinusoidal_table(cfg.max_target_positions + PAD + 1,

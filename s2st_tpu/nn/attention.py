@@ -131,36 +131,6 @@ def self_attn_cache_init_int8(batch: int, max_len: int, num_heads: int,
     }
 
 
-def mha_self_step_int8(p: Params, cache: Params, x_step: jnp.ndarray,
-                       step: jnp.ndarray, num_heads: int
-                       ) -> Tuple[jnp.ndarray, Params]:
-    """``mha_self_step`` with an int8 KV cache (same signature contract)."""
-    b, _, c = x_step.shape
-    head_dim = c // num_heads
-    scale = head_dim ** -0.5
-    q = _split_heads(linear(p["q"], x_step) * scale, num_heads)
-    k_new = _split_heads(linear(p["k"], x_step), num_heads)
-    v_new = _split_heads(linear(p["v"], x_step), num_heads)
-    kq, ks = quantize_kv(k_new)
-    vq, vs = quantize_kv(v_new)
-    new_cache = {
-        "k": jax.lax.dynamic_update_slice(cache["k"], kq, (0, step, 0, 0)),
-        "k_scale": jax.lax.dynamic_update_slice(
-            cache["k_scale"], ks, (0, step, 0, 0)),
-        "v": jax.lax.dynamic_update_slice(cache["v"], vq, (0, step, 0, 0)),
-        "v_scale": jax.lax.dynamic_update_slice(
-            cache["v_scale"], vs, (0, step, 0, 0)),
-    }
-    max_len = new_cache["k"].shape[1]
-    invalid = jnp.broadcast_to(jnp.arange(max_len)[None, :] > step,
-                               (b, max_len))
-    k_all = dequantize_kv(new_cache["k"], new_cache["k_scale"], q.dtype)
-    v_all = dequantize_kv(new_cache["v"], new_cache["v_scale"], q.dtype)
-    out, _ = attend(q, k_all, v_all, key_padding_mask=invalid)
-    out = linear(p["out"], out.reshape(b, 1, c))
-    return out, new_cache
-
-
 def cross_attn_precompute_int8(p: Params, enc_out: jnp.ndarray,
                                num_heads: int) -> Params:
     """int8 twin of ``cross_attn_precompute`` — the encoder K/V dominate
@@ -171,19 +141,10 @@ def cross_attn_precompute_int8(p: Params, enc_out: jnp.ndarray,
     vq, vs = quantize_kv(v)
     return {"k": kq, "k_scale": ks, "v": vq, "v_scale": vs}
 
-
-def mha_cross_step_int8(p: Params, kv: Params, x_step: jnp.ndarray,
-                        enc_padding_mask: Optional[jnp.ndarray],
-                        num_heads: int, need_weights: bool = False):
-    b, tq, c = x_step.shape
-    head_dim = c // num_heads
-    scale = head_dim ** -0.5
-    q = _split_heads(linear(p["q"], x_step) * scale, num_heads)
-    k = dequantize_kv(kv["k"], kv["k_scale"], q.dtype)
-    v = dequantize_kv(kv["v"], kv["v_scale"], q.dtype)
-    out, w = attend(q, k, v, key_padding_mask=enc_padding_mask)
-    out = linear(p["out"], out.reshape(b, tq, c))
-    return out, (w if need_weights else None)
+# NOTE: the int8 per-step attention itself lives in
+# nn.transformer.decoder_layer_step_fused (the "k_scale" cache layout
+# selects it) — no separate mha_*_step_int8 twins, so there is exactly one
+# copy of the quantized step logic.
 
 
 def mha_self_step(p: Params, cache: Params, x_step: jnp.ndarray, step: jnp.ndarray,

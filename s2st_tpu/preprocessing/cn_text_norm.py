@@ -206,7 +206,11 @@ def normalize(raw_text: str) -> str:
     for m in _RE_LETTER2.findall(text):
         text = text.replace(m[0], m[1] + "2" + m[2], 1)
 
-    return text.lstrip("^").rstrip("$")
+    # exactly one sentinel was added on each side and no rewrite touches
+    # them (all replacements are digit-anchored), so strip exactly one char
+    # — lstrip/rstrip (what the reference does, cn_tn.py:728) would also
+    # delete user-authored leading '^' / trailing '$' characters
+    return text[1:-1]
 
 
 def strip_punctuation(text: str) -> str:

@@ -25,8 +25,18 @@ def save_tsv(rows: Iterable[Dict[str, str]], path,
         Path(path).write_text("")
         return
     cols = columns or list(rows[0].keys())
+
+    def scrub(v):
+        # TSV fields cannot carry tabs/newlines; QUOTE_NONE with
+        # quotechar=None writes everything else verbatim (quotes in
+        # transcripts would otherwise raise "need to escape" mid-run)
+        if isinstance(v, str) and any(c in v for c in "\t\n\r"):
+            return " ".join(v.split())
+        return v
+
     with open(path, "w", newline="", encoding="utf-8") as f:
         w = csv.DictWriter(f, fieldnames=cols, delimiter="\t",
-                           quoting=csv.QUOTE_NONE, extrasaction="ignore")
+                           quoting=csv.QUOTE_NONE, quotechar=None,
+                           extrasaction="ignore")
         w.writeheader()
-        w.writerows(rows)
+        w.writerows([{k: scrub(v) for k, v in r.items()} for r in rows])

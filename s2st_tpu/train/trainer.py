@@ -77,6 +77,9 @@ class Trainer:
                                     pp_chunks=max(pp_chunks, 1),
                                     batch_axes=("data", "fsdp"))
             self.loss_fn = functools.partial(loss_fn, forward_fn=fwd)
+            # partial() does not proxy attributes: without this, grad-accum
+            # would stop dividing mean-style metrics by the microbatch count
+            self.loss_fn.mean_keys = getattr(loss_fn, "mean_keys", ())
         self._grad_step = None
         self._apply_step = None
         self._accum = None

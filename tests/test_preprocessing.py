@@ -112,11 +112,11 @@ def test_feature_manifest_8k_and_sharded(tmp_path):
     common = ["--audio-manifest-root", str(root), "--output-root", str(out),
               "--splits", "train", "dev", "tst",
               "--src-sample-rate", "8000"]
-    # two sharded feature-extraction jobs, then the finalize pass
-    for shard in ("0", "1"):
-        rc = prep_main(common + ["--num-shards", "2", "--shard-index", shard,
-                                 "--only-extract-audio-feature"])
-        assert rc == 0
+    # one sharded feature-extraction job; the finalize pass must then
+    # extract the OTHER shard's features through the worker pool
+    rc = prep_main(common + ["--num-shards", "2", "--shard-index", "0",
+                             "--only-extract-audio-feature"])
+    assert rc == 0
     rc = prep_main(common + ["--num-workers", "2"])
     assert rc == 0
     assert (out / "src_logmelspec80_8k.zip").exists()

@@ -124,11 +124,12 @@ def test_diverse_beam_penalizes_repeats():
     s, tok, beam = _step_diverse_beam(jnp.int32(1), lp, alive, k,
                                       num_groups=2, strength=10.0)
     tok = np.asarray(tok).reshape(-1)
-    # group 0 (first 2 cands) picks 4 then 5 and both enter the diversity
-    # counts (fairseq scatter_adds ALL the group's candidates); group 1's
-    # top pick must avoid both
-    assert tok[0] == 4 and tok[1] == 5
-    assert tok[2] not in (4, 5)
+    # candidates are interleaved (c0_g0, c0_g1, c1_g0, c1_g1): group 0
+    # picks 4 then 5 and both enter the diversity counts (fairseq
+    # scatter_adds ALL the group's candidates); group 1's picks (odd
+    # positions) must avoid both
+    assert tok[0] == 4 and tok[2] == 5
+    assert tok[1] not in (4, 5) and tok[3] not in (4, 5)
 
 
 def test_diverse_siblings_matches_oracle():
@@ -292,3 +293,24 @@ def test_sampling_topk_larger_than_vocab(tiny_cfg, tiny_variables, enc_state):
                           enc_state["encoder_padding_mask"], cfg,
                           rng=jax.random.PRNGKey(0))
     assert np.asarray(out["tokens"]).shape[:2] == (2, 2)
+
+
+def test_diverse_beam_group_striping_preserved(tiny_cfg, tiny_variables,
+                                               enc_state):
+    """Beam slot j must stay owned by group j % G across steps: with a huge
+    diversity strength, adjacent slots (different groups) must start with
+    different tokens, while slot pairs 2 apart (same group) are merely
+    score-ordered."""
+    cfg = BeamConfig(beam=4, max_len=8, strategy="diverse_beam",
+                     diversity_num_groups=2, diversity_strength=1000.0)
+    out = beam_search_aux(tiny_variables, tiny_cfg, "aux_asr_decoder",
+                          enc_state["out_middle_layers"][0],
+                          enc_state["encoder_padding_mask"], cfg)
+    tokens = np.asarray(out["tokens"])
+    # the final pool is score-sorted, but with a huge penalty the two
+    # groups must contribute DIFFERENT continuations — at least G distinct
+    # first tokens among the K returned hypotheses (a striping regression
+    # collapses them all onto group 0's best path)
+    for bi in range(tokens.shape[0]):
+        firsts = tokens[bi, :, 1]
+        assert len(set(firsts.tolist())) >= 2, firsts
