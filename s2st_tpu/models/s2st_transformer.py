@@ -101,6 +101,12 @@ class S2STConfig:
     dropout: float = 0.1
     attention_dropout: float = 0.1
     activation_dropout: float = 0.01
+    # LayerDrop (fairseq/modules/layer_drop.py, arXiv 1909.11556): each
+    # encoder layer is skipped for the whole batch with this probability
+    # at train time. Under jit the layer still computes (static graph) and
+    # a select keeps/drops its output — same training semantics, no FLOP
+    # savings (TPU-native tradeoff).
+    encoder_layerdrop: float = 0.0
     activation_fn: str = "relu"
     no_scale_embedding: bool = False
     # positions
@@ -356,7 +362,14 @@ def encode(variables: Dict[str, Params], cfg: S2STConfig,
             x = res
     else:
         for i in range(cfg.encoder_layers):
-            x = layer_fn(p[f"layer{i}"], x, padding_mask, rngs[i])
+            y = layer_fn(p[f"layer{i}"], x, padding_mask, rngs[i])
+            if (cfg.encoder_layerdrop > 0.0 and not deterministic
+                    and rng is not None):
+                keep = jax.random.uniform(
+                    jax.random.fold_in(rng, 10_000 + i)
+                ) >= cfg.encoder_layerdrop
+                y = jnp.where(keep, y, x)
+            x = y
             if i in cfg.middle_layers:
                 middle.append(x)
 

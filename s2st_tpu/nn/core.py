@@ -184,15 +184,24 @@ def conv1d(p: Params, x: jnp.ndarray, stride: int = 1, padding: int = 0) -> jnp.
 # Dropout / activations / masks
 # ---------------------------------------------------------------------------
 
+# module switch (read at trace time): 8-bit threshold masks need 4x fewer
+# random bits than bernoulli's fp32 uniforms; flip to False to restore the
+# exact bernoulli stream
+DROPOUT_MASK_BITS = True
+
+
 def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array],
             deterministic: bool) -> jnp.ndarray:
-    """Inverted dropout with an 8-bit threshold mask: 4x fewer random bits
-    than bernoulli's fp32 uniforms (dropout mask generation dominates the
-    train step's RNG cost — see ROADMAP perf notes). The keep probability
-    is quantized to 1/256 and the rescale uses the QUANTIZED keep, so the
-    expectation stays exactly unbiased."""
+    """Inverted dropout. Default: 8-bit threshold mask — the keep
+    probability is quantized to 1/256 and the rescale uses the QUANTIZED
+    keep, so the expectation stays exactly unbiased (see ROADMAP perf
+    notes on RNG cost)."""
     if deterministic or rate <= 0.0 or rng is None:
         return x
+    if not DROPOUT_MASK_BITS:
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
     thresh = int(round(rate * 256.0))
     if thresh <= 0:
         return x

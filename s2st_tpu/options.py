@@ -117,6 +117,9 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument("--attention-dropout", type=float, default=0.1)
     p.add_argument("--activation-dropout", type=float, default=0.01)
+    p.add_argument("--encoder-layerdrop", type=float, default=0.0,
+                   help="LayerDrop probability per encoder layer "
+                        "(arXiv 1909.11556; select-based under jit)")
     p.add_argument("--activation-fn", default="relu")
     p.add_argument("--no-scale-embedding", action="store_true")
     p.add_argument("--checkpoint-activations", action="store_true",
@@ -476,6 +479,7 @@ def build_model_config(args, src_vocab_size: int, tgt_vocab_size: int,
         dropout=args.dropout,
         attention_dropout=args.attention_dropout,
         activation_dropout=args.activation_dropout,
+        encoder_layerdrop=getattr(args, "encoder_layerdrop", 0.0),
         activation_fn=args.activation_fn,
         no_scale_embedding=args.no_scale_embedding,
         max_source_positions=args.max_source_positions,

@@ -114,3 +114,35 @@ def test_no_aux_heads_config(rng):
     batch = make_batch(cfg, b=2, src_t=19, tgt_t=11)
     out = m.forward(variables, cfg, batch, deterministic=True)
     assert "ctc_logits" not in out and "asr_logits" not in out
+
+
+def test_encoder_layerdrop(tiny_cfg, tiny_variables, rng):
+    """LayerDrop (arXiv 1909.11556): with p=1 every encoder layer is a
+    no-op at train time; eval always runs all layers; p=0 matches the
+    baseline exactly."""
+    import jax
+    from s2st_tpu.models import s2st_transformer as m
+    from tests.conftest import make_batch
+    batch = make_batch(tiny_cfg, b=2, src_t=24, seed=11)
+    base = m.encode(tiny_variables, tiny_cfg, batch["src_speech"],
+                    batch["src_speech_lens"])
+    cfg_ld = tiny_cfg.replace(encoder_layerdrop=1.0, dropout=0.0,
+                              attention_dropout=0.0, activation_dropout=0.0)
+    cfg0 = tiny_cfg.replace(encoder_layerdrop=0.0, dropout=0.0,
+                            attention_dropout=0.0, activation_dropout=0.0)
+    key = jax.random.PRNGKey(3)
+    drop_all = m.encode(tiny_variables, cfg_ld, batch["src_speech"],
+                        batch["src_speech_lens"], rng=key,
+                        deterministic=False)
+    no_drop = m.encode(tiny_variables, cfg0, batch["src_speech"],
+                       batch["src_speech_lens"], rng=key,
+                       deterministic=False)
+    # p=1: transformer stack is identity (up to the final layer norm)
+    assert not np.allclose(np.asarray(drop_all["encoder_out"]),
+                           np.asarray(no_drop["encoder_out"]))
+    # eval ignores layerdrop entirely
+    ev = m.encode(tiny_variables, cfg_ld, batch["src_speech"],
+                  batch["src_speech_lens"], deterministic=True)
+    np.testing.assert_allclose(np.asarray(ev["encoder_out"]),
+                               np.asarray(base["encoder_out"]),
+                               rtol=1e-5, atol=1e-5)
