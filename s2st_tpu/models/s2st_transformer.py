@@ -349,7 +349,16 @@ def encode(variables: Dict[str, Params], cfg: S2STConfig,
         def pp_layer(lp_i, h, pad):
             # NOTE: per-layer dropout rng is shared across microbatches
             # (masks repeat every mb rows); exact only at dropout == 0
-            return layer_fn(lp_i["p"], h, pad, lp_i.get("rng"))
+            y = layer_fn(lp_i["p"], h, pad, lp_i.get("rng"))
+            if (cfg.encoder_layerdrop > 0.0 and not deterministic
+                    and "rng" in lp_i):
+                # whole-batch layer drop — the shared per-layer key makes
+                # the decision identical across microbatches, as it must be
+                keep = jax.random.uniform(
+                    jax.random.fold_in(lp_i["rng"], 10_000)
+                ) >= cfg.encoder_layerdrop
+                y = jnp.where(keep, y, h)
+            return y
 
         res = pipeline_apply(pp_layer, lp, x, mesh, pp_chunks,
                              batched_args=(padding_mask,),
