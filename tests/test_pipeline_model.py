@@ -90,3 +90,16 @@ def test_pp_cli_flags(tmp_path):
     ])
     assert rc == 0
     assert (tmp_path / "ckpt" / "checkpoint_last.npz").exists()
+
+
+def test_pp_composes_with_tp(det_cfg):
+    """tp2 x stage2: tensor-parallel sharded matmuls inside pipeline
+    stages — the remaining untested mesh-axis composition."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    devs = jax.devices()[:4]
+    losses = _run(make_mesh(dp=1, tp=2, pp=2, devices=devs), det_cfg,
+                  n_steps=2, pp_chunks=2)
+    ref = _run(make_mesh(devices=devs), det_cfg, n_steps=2)
+    assert np.isfinite(losses).all()
+    np.testing.assert_allclose(losses, ref, rtol=5e-4, atol=5e-4)
