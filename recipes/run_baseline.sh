@@ -33,6 +33,8 @@ asr_ce_weight=${asr_ce_weight:-1.0}
 st_ce_weight=${st_ce_weight:-1.0}
 use_hubert=${use_hubert:-False}
 hubert_path=${hubert_path:-}
+asr_model_path=${asr_model_path:-}     # stage 8: local HF wav2vec2 dir
+multi_ref_dir=${multi_ref_dir:-.}      # stage 9: en.N.norm.lc.rm files
 
 # kaldi-style CLI overrides: --stage 5 --stop-stage 7 ... (parse_options.sh)
 . "$(dirname "$0")/parse_options.sh"
@@ -108,11 +110,16 @@ if [ "${stage}" -le 9 ] && [ "${stop_stage}" -ge 9 ]; then
   echo "Evaluate multi-references BLEU"
   cut -f1 "${DUMP}/decode.txt" > "${DUMP}/decode.txt.prediction"
   refs=()
-  for r in "${multi_ref_dir:-.}"/en.*.norm.lc.rm; do
+  for r in "${multi_ref_dir}"/en.*.norm.lc.rm; do
     [ -f "$r" ] && refs+=("$r")
   done
-  python -m s2st_tpu.cli.score --scoring sacrebleu --ignore-case \
-    --sys "${DUMP}/decode.txt.prediction" --ref "${refs[@]}"
+  if [ "${#refs[@]}" -eq 0 ]; then
+    echo "stage 9: no ${multi_ref_dir}/en.*.norm.lc.rm reference files" \
+         "found — set multi_ref_dir; skipping multi-reference BLEU" >&2
+  else
+    python -m s2st_tpu.cli.score --scoring sacrebleu --ignore-case \
+      --sys "${DUMP}/decode.txt.prediction" --ref "${refs[@]}"
+  fi
 fi
 
 if [ "${stage}" -le 10 ] && [ "${stop_stage}" -ge 10 ]; then

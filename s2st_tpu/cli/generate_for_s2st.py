@@ -76,6 +76,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     # (fairseq/tasks/fairseq_task.py:339-463)
     strategy = "beam"
     if args.sampling:
+        if args.sampling_topk > 0 and args.sampling_topp > 0:
+            # fairseq asserts the same exclusivity
+            # (fairseq/tasks/fairseq_task.py build_generator)
+            raise ValueError(
+                "--sampling-topk and --sampling-topp are mutually exclusive")
         strategy = "sampling"
     elif args.diverse_beam_groups > 0:
         strategy = "diverse_beam"

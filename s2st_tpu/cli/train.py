@@ -176,8 +176,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         state, resume_meta = ckpt.restore_state(
             state, restore_path, reset_optimizer=args.reset_optimizer)
         resumed = True
-        start_epoch = int(resume_meta.get("epoch", 0)) + 1
-        if not args.reset_dataloader and not args.reset_optimizer:
+        if args.reset_dataloader:
+            # ONLY --reset-dataloader restarts the epoch/iterator position
+            # (fairseq: --reset-optimizer alone keeps extra_state's
+            # train_iterator, checkpoint_utils.load_checkpoint:190-236)
+            start_epoch = 1
+        else:
+            start_epoch = int(resume_meta.get("epoch", 0)) + 1
             itr_state = resume_meta.get("iterator")
         logger.info(f"resumed from {restore_path} at step {int(state.step)}")
 
@@ -303,6 +308,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                 np.savez(str(Path(args.save_dir)
                              / "checkpoint_last_ema.npz"), **flat)
 
+    last_validated = -1   # update count of the most recent validation —
+    # prevents the end-of-epoch validate from re-running (and double-
+    # shrinking plateau lr_scale / double-decrementing patience) when a
+    # mid-epoch validation already ran at this exact update
     while not stop and epoch <= max_epoch:
         if args.profile and epoch == start_epoch:
             # --profile: jax trace of the first epoch (torch.cuda.profiler
@@ -381,6 +390,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 mid_val = handle_val_result(
                     validate(args, task, trainer, state, eval_fn, progress,
                              train_rng))
+                last_validated = num_updates
             if (mgr is not None and args.save_interval_updates > 0
                     and num_updates % args.save_interval_updates == 0):
                 # iterator state counts CONSUMED batches (the iterator's own
@@ -413,11 +423,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         val_metric = None
         do_validate = (not args.disable_validation
                        and epoch % args.validate_interval == 0
-                       and num_updates >= args.validate_after_updates)
+                       and num_updates >= args.validate_after_updates
+                       and num_updates != last_validated)
         if do_validate:
             val_metric = handle_val_result(
                 validate(args, task, trainer, state, eval_fn, progress,
                          train_rng))
+            last_validated = num_updates
         if _st["stop"]:
             stop = True
 

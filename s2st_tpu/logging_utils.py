@@ -192,11 +192,19 @@ class ProgressLogger:
             handler = logging.FileHandler(log_file)
             handler.setFormatter(logging.Formatter(
                 "%(asctime)s | %(levelname)s | %(name)s | %(message)s"))
-            logging.getLogger().addHandler(handler)
+            root = logging.getLogger()
             # --log-file must capture progress lines even when the embedding
-            # process configured logging at WARNING (e.g. a test harness):
-            # force the package logger down to INFO
-            logging.getLogger("s2st_tpu").setLevel(logging.INFO)
+            # process configured logging at WARNING (e.g. a test harness).
+            # Lowering the package logger would also raise CONSOLE
+            # verbosity, so freeze pre-existing handlers at their current
+            # effective threshold first — the level change then only feeds
+            # the new file handler.
+            pkg = logging.getLogger("s2st_tpu")
+            for h in root.handlers:
+                if h.level == logging.NOTSET:
+                    h.setLevel(root.getEffectiveLevel())
+            root.addHandler(handler)
+            pkg.setLevel(logging.INFO)
 
     def _fmt(self, stats: Dict[str, Any], tag: str, step: int) -> str:
         stats = dict(stats)

@@ -120,6 +120,19 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--encoder-layerdrop", type=float, default=0.0,
                    help="LayerDrop probability per encoder layer "
                         "(arXiv 1909.11556; select-based under jit)")
+    # FastSpeech2 (fastspeech2.py:351-375 base_architecture)
+    p.add_argument("--fft-hidden-dim", type=int, default=1024)
+    p.add_argument("--fft-kernel-size", type=int, default=9)
+    p.add_argument("--var-pred-n-bins", type=int, default=256)
+    p.add_argument("--var-pred-hidden-dim", type=int, default=256)
+    p.add_argument("--var-pred-kernel-size", type=int, default=3)
+    p.add_argument("--var-pred-dropout", type=float, default=0.5)
+    p.add_argument("--pitch-min", type=float, default=0.0)
+    p.add_argument("--pitch-max", type=float, default=600.0)
+    p.add_argument("--energy-min", type=float, default=0.0)
+    p.add_argument("--energy-max", type=float, default=5.0)
+    p.add_argument("--add-postnet", action="store_true",
+                   help="FastSpeech2: refine mel with a postnet")
     p.add_argument("--activation-fn", default="relu")
     p.add_argument("--no-scale-embedding", action="store_true")
     p.add_argument("--checkpoint-activations", action="store_true",
@@ -330,8 +343,17 @@ def s2t_transformer_base(args):
 @register_arch("fastspeech2")
 def fastspeech2_base(args):
     """Non-autoregressive TTS (fairseq/models/text_to_speech/
-    fastspeech2.py:351-375 base_architecture); the FS2-specific dims live
-    in models.fastspeech2.FS2Config defaults."""
+    fastspeech2.py:351-375 base_architecture). Structural defaults differ
+    from the s2st transformer's; explicit CLI flags still win
+    (_two_pass's explicit-flag restore)."""
+    args.encoder_layers = 4
+    args.encoder_embed_dim = 256
+    args.encoder_attention_heads = 2
+    args.decoder_layers = 4
+    args.decoder_embed_dim = 256
+    args.decoder_attention_heads = 2
+    args.dropout = 0.2
+    args.attention_dropout = 0.0
     return args
 
 

@@ -179,7 +179,16 @@ _RE_LETTER2 = re.compile(r"(([a-zA-Z]+)二([a-zA-Z]+))")
 
 
 def normalize(raw_text: str) -> str:
-    """Rewrite every non-standard word in `raw_text` to spoken Chinese."""
+    """Rewrite every non-standard word in `raw_text` to spoken Chinese.
+
+    NOTE on replace semantics: rewrites use str.replace(match, ..., 1) —
+    value-based, not span-based — exactly like the reference
+    (cn_tn.py:625-706). When a matched digit string also occurs EARLIER
+    inside a longer number, the earlier occurrence is rewritten instead
+    (e.g. '有250以及2个' -> '有二五十以及二个' in BOTH implementations;
+    fuzz-verified over 4000 cases). Kept bug-compatible: downstream vocab/
+    text artifacts must match the reference's preprocessing byte-for-byte.
+    """
     text = "^" + raw_text + "$"   # sentinels so \D+ anchors at the edges
 
     for m in _RE_DATE.findall(text):
@@ -213,11 +222,13 @@ def normalize(raw_text: str) -> str:
     return text[1:-1]
 
 
+_PUNC_TABLE = str.maketrans(_PUNC + string.punctuation,
+                            " " * (len(_PUNC) + len(string.punctuation)))
+
+
 def strip_punctuation(text: str) -> str:
     """CJK + ASCII punctuation -> spaces (cn_tn.py main loop)."""
-    table = str.maketrans(_PUNC + string.punctuation,
-                          " " * (len(_PUNC) + len(string.punctuation)))
-    return text.translate(table)
+    return text.translate(_PUNC_TABLE)
 
 
 def normalize_line(line: str, has_key: bool = False, to_upper: bool = False,

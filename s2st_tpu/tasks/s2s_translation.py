@@ -129,10 +129,35 @@ class S2STranslationTask:
             return cfg, functools.partial(t2s.init_t2s, cfg=cfg), L.t2s_loss
         if arch.startswith("fastspeech2"):
             from ..models import fastspeech2 as fs2
+            a = self.args
             cfg = fs2.FS2Config(
                 vocab_size=len(self.src_dict),
                 output_frame_dim=base.output_frame_dim,
                 n_frames_per_step=base.n_frames_per_step,
+                encoder_layers=a.encoder_layers,
+                encoder_embed_dim=a.encoder_embed_dim,
+                encoder_attention_heads=a.encoder_attention_heads,
+                decoder_layers=a.decoder_layers,
+                decoder_embed_dim=a.decoder_embed_dim,
+                decoder_attention_heads=a.decoder_attention_heads,
+                fft_hidden_dim=getattr(a, "fft_hidden_dim", 1024),
+                fft_kernel_size=getattr(a, "fft_kernel_size", 9),
+                dropout=a.dropout,
+                attention_dropout=a.attention_dropout,
+                var_pred_n_bins=getattr(a, "var_pred_n_bins", 256),
+                var_pred_hidden_dim=getattr(a, "var_pred_hidden_dim", 256),
+                var_pred_kernel_size=getattr(a, "var_pred_kernel_size", 3),
+                var_pred_dropout=getattr(a, "var_pred_dropout", 0.5),
+                pitch_min=getattr(a, "pitch_min", 0.0),
+                pitch_max=getattr(a, "pitch_max", 600.0),
+                energy_min=getattr(a, "energy_min", 0.0),
+                energy_max=getattr(a, "energy_max", 5.0),
+                add_postnet=getattr(a, "add_postnet", False),
+                postnet_layers=a.postnet_layers,
+                postnet_conv_dim=a.postnet_conv_dim,
+                postnet_conv_kernel_size=a.postnet_conv_kernel_size,
+                postnet_dropout=a.postnet_dropout,
+                speaker_embed_dim=a.speaker_embed_dim,
                 num_speakers=base.num_speakers,
                 ctc=base.ctc,
                 max_source_positions=base.max_source_positions,

@@ -114,9 +114,10 @@ def restore_state(state, path: str, reset_optimizer: bool = False):
     params = unflatten_into(state.params, flat, "params" + _SEP)
     stats = unflatten_into(state.stats, flat, "stats" + _SEP, strict=False)
     if reset_optimizer:
+        # drop ONLY optimizer state/step; epoch/iterator meta survives —
+        # fairseq resets the dataloader with --reset-dataloader alone
+        # (checkpoint_utils.load_checkpoint:190-236), the caller decides
         opt_state, step = state.opt_state, state.step
-        meta = {k: v for k, v in meta.items()
-                if k not in ("epoch", "iterations_in_epoch")}
     else:
         opt_state = unflatten_into(state.opt_state, flat, "opt" + _SEP,
                                    strict=False)

@@ -148,15 +148,24 @@ def golden_input(dur=0.2, sr=SR):
 
 def main():
     wave = golden_input()
-    np.savez(
-        "tests/golden/dsp_goldens.npz",
+    arrays = dict(
         wave=wave,
         kaldi_fbank24=kaldi_fbank_spec(wave * (2 ** 15), SR, 24),
         kaldi_fbank80=kaldi_fbank_spec(wave * (2 ** 15), SR, 80),
         mel_slaney_80=slaney_filterbank_spec(SR, 1024, 80, 20.0, SR // 2),
         mel_htk_23=htk_filterbank_spec(SR, 512, 23, 0.0, SR / 2.0),
     )
-    print("wrote tests/golden/dsp_goldens.npz")
+    # logmel80 is a FROZEN REGRESSION tensor (no independent spec twin):
+    # regenerating re-freezes the CURRENT library output — only do that
+    # deliberately after reviewing an intentional numerics change
+    import sys
+    sys.path.insert(0, ".")
+    from s2st_tpu.data.audio_utils import extract_logmel_spectrogram
+    arrays["logmel80"] = extract_logmel_spectrogram(
+        wave, SR, n_fft=1024, win_length=1024, hop_length=256, n_mels=80,
+        f_min=20.0, f_max=8000.0).astype(np.float32)
+    np.savez("tests/golden/dsp_goldens.npz", **arrays)
+    print("wrote tests/golden/dsp_goldens.npz (incl. frozen logmel80)")
 
 
 if __name__ == "__main__":

@@ -81,3 +81,12 @@ def test_cli_roundtrip(tmp_path):
     assert main([str(src), str(dst), "--has_key"]) == 0
     lines = dst.read_text(encoding="utf-8").splitlines()
     assert lines[1] == "utt1\t两千九百三十八个"
+
+
+def test_replace_by_value_quirk_matches_reference():
+    """The reference rewrites matches with str.replace-by-value, so a
+    quantified number whose digits occur inside an earlier longer number
+    corrupts that earlier number. Verified identical to the reference's
+    runtime output — kept bug-compatible (see normalize() docstring)."""
+    assert normalize("有250以及2个") == "有二五十以及二个"
+    assert normalize("250个苹果2个梨") == "两百五十个苹果二个梨"
