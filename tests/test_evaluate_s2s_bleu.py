@@ -99,3 +99,24 @@ def test_multi_ref_perfect_match_is_100():
              "the cat sat on the mat".split()]]
     score = bleu_from_counts(*corpus_bleu_counts_multi(refs, hyp))
     assert abs(score - 100.0) < 1e-6
+
+
+def test_multi_ref_counts_match_sacrebleu():
+    """Our fallback multi-reference BLEU must agree with sacrebleu on
+    tokenized input (max-clip counts + closest-ref brevity length)."""
+    sacrebleu = pytest.importorskip("sacrebleu")
+    hyps = ["the cat sat on the mat today",
+            "a quick brown fox jumps over it",
+            "hello world again"]
+    r0 = ["the cat sat on a mat today",
+          "the quick brown fox leaps over it",
+          "hello there world"]
+    r1 = ["a cat sat on the mat",
+          "a fast brown fox jumps over it",
+          "hello world again and again"]
+    ref = sacrebleu.corpus_bleu(hyps, [r0, r1], tokenize="none").score
+    from s2st_tpu.scoring import bleu_from_counts, corpus_bleu_counts_multi
+    refs_per_hyp = [[a.split(), b.split()] for a, b in zip(r0, r1)]
+    ours = bleu_from_counts(*corpus_bleu_counts_multi(
+        refs_per_hyp, [h.split() for h in hyps]))
+    assert abs(ours - ref) < 0.2, (ours, ref)
