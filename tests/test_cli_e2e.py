@@ -53,8 +53,10 @@ def test_train_and_resume(corpus, tmp_path):
     assert (save_dir / "checkpoint_last.npz").is_file()
     assert (save_dir / "checkpoint1.npz").is_file()
     assert (save_dir / "checkpoint2.npz").is_file()
-    # resume: raise max epoch, training continues from epoch 3
-    rc = train_main(_train_args(corpus, save_dir) + ["--max-epoch", "3"])
+    # resume: raise max epoch, training continues from epoch 3 — with the
+    # worker-pool collate path enabled end-to-end (--num-workers)
+    rc = train_main(_train_args(corpus, save_dir)
+                    + ["--max-epoch", "3", "--num-workers", "4"])
     assert rc == 0
     assert (save_dir / "checkpoint3.npz").is_file()
 
