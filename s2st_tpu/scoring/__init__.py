@@ -46,15 +46,28 @@ def edit_distance(a: Sequence, b: Sequence) -> int:
 
 
 class WerScorer:
-    """--scoring wer (+ --wer-lowercase --wer-remove-punct parity)."""
+    """--scoring wer (+ --wer-tokenizer/--wer-lowercase/--wer-remove-punct;
+    fairseq/scoring/wer.py + scoring/tokenizer.py EvaluationTokenizer
+    parity — the 13a tokenizer comes from sacrebleu, with a plain-space
+    fallback when the lib is absent)."""
 
-    def __init__(self, lowercase: bool = False, remove_punct: bool = False):
+    def __init__(self, lowercase: bool = False, remove_punct: bool = False,
+                 tokenizer: str = "none"):
         self.lowercase = lowercase
         self.remove_punct = remove_punct
         self.distance = 0
         self.ref_length = 0
+        self._pre = None
+        if tokenizer == "13a":
+            try:
+                from sacrebleu.tokenizers.tokenizer_13a import Tokenizer13a
+                self._pre = Tokenizer13a()
+            except ImportError:
+                pass
 
     def _tok(self, s: str) -> List[str]:
+        if self._pre is not None:
+            s = self._pre(s)
         if self.lowercase:
             s = s.lower()
         if self.remove_punct:
@@ -174,7 +187,8 @@ def build_scorer(args):
     name = getattr(args, "scoring", "sacrebleu")
     if name == "wer":
         return WerScorer(lowercase=getattr(args, "wer_lowercase", False),
-                         remove_punct=getattr(args, "wer_remove_punct", False))
+                         remove_punct=getattr(args, "wer_remove_punct", False),
+                         tokenizer=getattr(args, "wer_tokenizer", "none"))
     if name in ("bleu", "sacrebleu"):
         return BleuScorer()
     raise ValueError(f"unknown scorer {name}")

@@ -53,3 +53,22 @@ def test_bleu_scorer_result_string():
     s.add_string("hello world how are you", "hello world how are you")
     assert s.score() > 99.0
     assert "BLEU" in s.result_string()
+
+
+def test_wer_13a_tokenizer():
+    """--wer-tokenizer 13a (recipe stage 10 flags): sacrebleu's 13a splits
+    punctuation into its own tokens, changing WER vs plain whitespace."""
+    pytest.importorskip("sacrebleu")
+    from s2st_tpu.scoring import WerScorer
+    plain = WerScorer()
+    tok13a = WerScorer(tokenizer="13a")
+    # identical up to a trailing comma: 13a isolates the comma into a
+    # separate (substitutable) token, whitespace sees one changed word
+    plain.add_string("hello world", "hello world,")
+    tok13a.add_string("hello world", "hello world,")
+    assert plain.score() == pytest.approx(50.0)    # 1 sub / 2 ref words
+    assert tok13a.score() == pytest.approx(50.0)   # 1 ins / 2 ref tokens
+    # but with --wer-remove-punct both agree at 0
+    both = WerScorer(tokenizer="13a", remove_punct=True)
+    both.add_string("hello world", "hello world,")
+    assert both.score() == 0.0
