@@ -189,6 +189,7 @@ def _to_torch_sample(batch):
         "prev_tgt_text_tokens": t(np.asarray(batch["prev_tgt_text_tokens"])).long(),
         "collated_audios_orig": None,
         "padding_mask": None,
+        "speaker": None,  # forward_torchscript reads it (s2st_transformer.py:270)
     }
     return {
         "id": torch.arange(b),
@@ -224,7 +225,11 @@ def setup(tmp_path_factory):
 
     from s2st_tpu.models.torch_import import load_fairseq_checkpoint
 
-    variables = load_fairseq_checkpoint(str(pt))
+    import jax
+    import jax.numpy as jnp
+
+    variables = jax.tree_util.tree_map(jnp.asarray,
+                                       load_fairseq_checkpoint(str(pt)))
     cfg = _our_cfg()
     batch = make_batch(cfg, b=3, src_t=37, tgt_t=23)
     # Source rows at full length: the reference's Conv1dSubsampler reads
@@ -391,6 +396,115 @@ def test_loss_term_parity(setup):
                       ("ctc_loss", 2e-3), ("loss", 2e-3)]:
         assert abs(ours[term] - logging_output[term]) <= tol, (
             term, ours[term], logging_output[term])
+
+
+def test_beam_search_parity_vs_reference_generator(setup):
+    """Full beam decode over the aux ST decoder: our jitted beam search
+    returns the same hypotheses (tokens exactly, scores <=1e-4) as the
+    reference's SequenceGenerator driven the way generate_for_s2st.py
+    drives it (decoder swap, fairseq_cli/generate_for_s2st.py:107-110)."""
+    import importlib
+
+    ref = setup["ref"]
+    model, batch = setup["model"], setup["batch"]
+    sg_mod = importlib.import_module("fairseq.sequence_generator")
+
+    spect_decoder = model.decoder
+    model.decoder = model.aux_st_decoder  # the reference CLI's trick
+    try:
+        gen = sg_mod.SequenceGenerator(
+            [model], setup["task"].target_dictionary, beam_size=4,
+            max_len_a=0, max_len_b=12, min_len=1, normalize_scores=True,
+            len_penalty=1.0, temperature=1.0)
+        s = _to_torch_sample(batch)
+        with torch.no_grad():
+            hypos = gen.generate([model], s)
+    finally:
+        model.decoder = spect_decoder
+
+    from s2st_tpu.generate.sequence_generator import (BeamConfig,
+                                                      beam_search_aux)
+    from s2st_tpu.models import s2st_transformer as m
+
+    enc = m.encode(setup["variables"], setup["cfg"], batch["src_speech"],
+                   batch["src_speech_lens"], deterministic=True)
+    out = beam_search_aux(setup["variables"], setup["cfg"],
+                          "aux_st_decoder",
+                          enc["out_middle_layers"][1],
+                          enc["encoder_padding_mask"],
+                          BeamConfig(beam=4, max_len=12))
+    tokens = np.asarray(out["tokens"])
+    lengths = np.asarray(out["lengths"])
+    scores = np.asarray(out["scores"])
+
+    for b in range(tokens.shape[0]):
+        for k in range(4):
+            ref_toks = hypos[b][k]["tokens"].numpy()  # ends with EOS
+            n = int(lengths[b, k])
+            ours_toks = tokens[b, k, 1:n + 1]  # drop leading bos-EOS
+            np.testing.assert_array_equal(ours_toks, ref_toks,
+                                          err_msg=f"hypo[{b}][{k}] tokens")
+            assert abs(scores[b, k] - float(hypos[b][k]["score"])) <= 1e-4, (
+                b, k, scores[b, k], float(hypos[b][k]["score"]))
+
+
+def test_hubert_extract_features_parity():
+    """Our HuBERT frontend == the reference fairseq HubertModel's
+    extract_features (fairseq/models/hubert/hubert.py:518) with weights
+    transferred through models.hubert.load_torch_hubert from a checkpoint
+    the reference code itself produced."""
+    ref = load_reference()
+    import dataclasses as dc
+    import importlib
+    import tempfile
+
+    hub_mod = importlib.import_module("fairseq.models.hubert.hubert")
+    task_mod = importlib.import_module("fairseq.tasks.hubert_pretraining")
+
+    torch.manual_seed(2)
+    conv_spec = "[(8, 10, 5), (16, 3, 2)]"
+    rcfg = hub_mod.HubertConfig()
+    rcfg.label_rate = 1600  # 16000 / (5*2)
+    rcfg.conv_feature_layers = conv_spec
+    rcfg.encoder_layers = 2
+    rcfg.encoder_embed_dim = 24  # != conv dim 16 -> exercises post_proj
+    rcfg.encoder_ffn_embed_dim = 48
+    rcfg.encoder_attention_heads = 2
+    rcfg.conv_pos = 8
+    rcfg.conv_pos_groups = 2
+    for f in ("dropout", "attention_dropout", "activation_dropout",
+              "encoder_layerdrop", "dropout_input", "dropout_features",
+              "mask_prob", "mask_channel_prob", "feature_grad_mult"):
+        setattr(rcfg, f, 0.0)
+    tcfg = task_mod.HubertPretrainingConfig()
+    tcfg.sample_rate = 16000
+    dictionary = _ref_dictionary(ref, 10)
+    model = hub_mod.HubertModel(rcfg, tcfg, [dictionary])
+    model.eval()
+
+    pt = tempfile.mktemp(suffix=".pt")
+    torch.save({"model": model.state_dict()}, pt)
+
+    from s2st_tpu.models.hubert import (HubertConfig, extract_features,
+                                        load_torch_hubert)
+
+    ours_cfg = HubertConfig(
+        conv_layers=((8, 10, 5), (16, 3, 2)), encoder_layers=2,
+        encoder_embed_dim=24, encoder_ffn_embed_dim=48,
+        encoder_attention_heads=2, conv_pos=8, conv_pos_groups=2,
+        layer_norm_first=False)
+    params, _ = load_torch_hubert(pt, cfg=ours_cfg)
+
+    rng = np.random.RandomState(7)
+    wav = rng.randn(2, 400).astype(np.float32)
+    with torch.no_grad():
+        feat_ref, _ = model.extract_features(torch.from_numpy(wav),
+                                             padding_mask=None, mask=False)
+    feats, lens = extract_features(params, ours_cfg, wav,
+                                   np.array([400, 400], np.int32))
+    assert feat_ref.shape[1] == int(np.asarray(lens)[0])
+    np.testing.assert_allclose(np.asarray(feats)[:, :feat_ref.shape[1]],
+                               feat_ref.numpy(), atol=1e-4)
 
 
 def test_aux_width_mutation_quirk_documented(setup):
