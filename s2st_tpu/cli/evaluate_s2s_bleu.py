@@ -61,10 +61,16 @@ def evaluate(transcriber, audio_manifest_file: str, decode_save_path: str,
     field 1 as the prediction stream)."""
     from ..data.audio_utils import read_wav
     from ..scoring import BleuScorer, WerScorer
-    refs = {}
+    # Iterate in MANIFEST ROW ORDER (not wav-glob order): stage 9 of
+    # run_baseline.sh line-pairs `cut -f1 decode.txt` against external
+    # en.N reference files, so decode.txt line order must match the
+    # manifest's, as in the reference (evalute_s2s_bleu.py:55-71). A
+    # missing wav still emits a (placeholder) line so later rows don't
+    # shift against the external reference streams.
+    rows = []
     with open(audio_manifest_file, encoding="utf-8") as f:
         for row in csv.DictReader(f, delimiter="\t", quoting=csv.QUOTE_NONE):
-            refs[row["id"]] = row[reference_field]
+            rows.append((row["id"], row[reference_field]))
 
     wav_dir = Path(decode_save_path) / "wav"
     out_path = Path(out_result_file)
@@ -73,18 +79,21 @@ def evaluate(transcriber, audio_manifest_file: str, decode_save_path: str,
               if scoring == "wer" else BleuScorer(lowercase=True))
     n = 0
     with open(out_path, "w", encoding="utf-8") as out:
-        for wav_path in sorted(wav_dir.glob("*_pred.wav")):
-            uid = wav_path.name[: -len("_pred.wav")]
-            if uid not in refs:
-                logger.warning(f"no reference for {uid}; skipping")
+        for uid, ref_text in rows:
+            wav_path = wav_dir / f"{uid}_pred.wav"
+            ref_n = normalize_text(ref_text)
+            if not wav_path.exists():
+                logger.warning(f"missing {wav_path.name}; emitting empty "
+                               "hypothesis to keep line alignment")
+                out.write(f"\t{ref_n}\t{uid}\n")
+                scorer.add_string(ref_n, "")
                 continue
             wave, sr = read_wav(str(wav_path))
             hyp_n = normalize_text(transcriber(wave, sr))
-            ref_n = normalize_text(refs[uid])
             out.write(f"{hyp_n}\t{ref_n}\t{uid}\n")
             scorer.add_string(ref_n, hyp_n)
             n += 1
-    logger.info(f"scored {n} utterances")
+    logger.info(f"scored {n} utterances ({len(rows) - n} missing)")
     return scorer.result_string()
 
 

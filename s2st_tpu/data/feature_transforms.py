@@ -42,9 +42,18 @@ class CompositeAudioFeatureTransform:
             transforms.append(cls_.from_config_dict(config.get(name, {})))
         return cls(transforms)
 
-    def __call__(self, x: np.ndarray) -> np.ndarray:
+    def __call__(self, x: np.ndarray,
+                 rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+        """rng: private per-item stream for stochastic transforms
+        (SpecAugment). When provided, augmentation draws are deterministic
+        functions of (seed, epoch, sample index) regardless of how many
+        collate workers interleave — unlike torch DataLoader workers
+        (advisor finding r2)."""
         for t in self.transforms:
-            x = t(x)
+            if rng is not None and getattr(t, "stochastic", False):
+                x = t(x, rng=rng)
+            else:
+                x = t(x)
         return x
 
 
@@ -105,6 +114,8 @@ class SpecAugment:
     (feature_transforms/specaugment.py parity; warp uses linear interpolation
     instead of cv2's affine resize)."""
 
+    stochastic = True  # accepts a per-item rng via __call__(x, rng=...)
+
     def __init__(self, time_warp_w=0, freq_mask_n=0, freq_mask_f=0,
                  time_mask_n=0, time_mask_t=0, time_mask_p=0.0,
                  mask_value=None, rng: Optional[np.random.RandomState] = None):
@@ -128,7 +139,9 @@ class SpecAugment:
             mask_value=config.get("mask_value", None),
         )
 
-    def __call__(self, spec: np.ndarray) -> np.ndarray:
+    def __call__(self, spec: np.ndarray,
+                 rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+        rng = rng if rng is not None else self.rng
         spec = spec.copy()
         num_frames, num_freqs = spec.shape
         mask_value = self.mask_value
@@ -140,8 +153,8 @@ class SpecAugment:
 
         w = self.time_warp_w
         if w > 0 and 2 * w < num_frames:
-            w0 = self.rng.randint(w, num_frames - w)
-            s = self.rng.randint(-w + 1, w)
+            w0 = rng.randint(w, num_frames - w)
+            s = rng.randint(-w + 1, w)
             src_pos = np.arange(num_frames, dtype=np.float64)
             # piecewise-linear warp moving w0 -> w0+s
             left = src_pos[:w0 + s + 1] * (w0 / max(w0 + s, 1))
@@ -154,8 +167,8 @@ class SpecAugment:
             spec = ((1 - frac) * spec[idx0] + frac * spec[idx1]).astype(np.float32)
 
         for _ in range(self.freq_mask_n):
-            f = self.rng.randint(0, self.freq_mask_f + 1)
-            f0 = self.rng.randint(0, max(num_freqs - f, 1))
+            f = rng.randint(0, self.freq_mask_f + 1)
+            f0 = rng.randint(0, max(num_freqs - f, 1))
             if f > 0:
                 spec[:, f0:f0 + f] = mask_value
 
@@ -163,8 +176,8 @@ class SpecAugment:
                     int(num_frames * self.time_mask_p) if self.time_mask_p > 0
                     else self.time_mask_t)
         for _ in range(self.time_mask_n):
-            t = self.rng.randint(0, max(max_t, 0) + 1)
-            t0 = self.rng.randint(0, max(num_frames - t, 1))
+            t = rng.randint(0, max(max_t, 0) + 1)
+            t0 = rng.randint(0, max(num_frames - t, 1))
             if t > 0:
                 spec[t0:t0 + t, :] = mask_value
         return spec

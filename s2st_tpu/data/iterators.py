@@ -213,10 +213,22 @@ class EpochBatchIterator:
         self._itr = gen()
         return self._itr
 
+    def _fetch_item(self, i: int):
+        """dataset[i], with a private augmentation RandomState derived from
+        (seed, epoch, index) when the dataset supports it — so SpecAugment
+        draws are identical for any --num-workers and across resume
+        (advisor finding r2: the thread pool must not trade determinism)."""
+        if getattr(self.dataset, "supports_item_rng", False):
+            rng = np.random.RandomState(
+                (self.seed * 1_000_003 + self.epoch * 8191 + int(i))
+                % (2 ** 32))
+            return self.dataset.__getitem__(int(i), rng=rng)
+        return self.dataset[int(i)]
+
     def _collate(self, idxs: np.ndarray) -> Dict[str, Any]:
         if self.data_world > 1:
             return self._collate_row_shard(idxs)
-        items = [self.dataset[int(i)] for i in idxs]
+        items = [self._fetch_item(int(i)) for i in idxs]
         kw = {}
         if self.snap_shapes:
             def src_len(it):
@@ -241,7 +253,7 @@ class EpochBatchIterator:
         if meta is None:
             # no cheap metadata (raw-audio path): every process loads the
             # whole batch, keeps its rows — correct, IO-redundant
-            items_all = [self.dataset[int(i)] for i in idxs]
+            items_all = [self._fetch_item(int(i)) for i in idxs]
 
             def src_len(it):
                 a = it.src_speech if it.src_speech is not None else it.src_orig
@@ -255,14 +267,14 @@ class EpochBatchIterator:
             items = items_all[rank::world]
         else:
             src_t, tgt_t, s_txt, t_txt, s_ntok, t_ntok = meta
-            items = [self.dataset[i] for i in local]
+            items = [self._fetch_item(i) for i in local]
         # global padded batch divisible by world; every rank pads its slice
         # to the same local size (padding rows carry zero lengths)
         gb = snap_len(len(idxs), 8)
         gb = -(-gb // world) * world
         if not items:
             # degenerate tiny batch: collate one row, then mask it out
-            items = [self.dataset[int(idxs[0])]]
+            items = [self._fetch_item(int(idxs[0]))]
             mask_all = True
         else:
             mask_all = False

@@ -136,7 +136,13 @@ class S2STDataset:
         return (src_t, tgt_t, max(s_lens), max(t_lens),
                 int(sum(s_lens)), int(sum(t_lens)))
 
-    def __getitem__(self, index: int) -> S2STItem:
+    # __getitem__ accepts a private per-item RandomState so stochastic
+    # transforms stay deterministic under parallel collate (iterators.py
+    # derives it from (seed, epoch, index); advisor finding r2)
+    supports_item_rng = True
+
+    def __getitem__(self, index: int,
+                    rng: Optional[np.random.RandomState] = None) -> S2STItem:
         src_speech = None
         src_orig = None
         if self.cfg.use_hubert:
@@ -147,12 +153,12 @@ class S2STDataset:
         else:
             src_speech = get_features_or_waveform(self.src_audio_paths[index])
             if self.feature_transforms_src is not None:
-                src_speech = self.feature_transforms_src(src_speech)
+                src_speech = self.feature_transforms_src(src_speech, rng=rng)
             src_speech = np.asarray(src_speech, np.float32)
 
         tgt_speech = get_features_or_waveform(self.tgt_audio_paths[index])
         if self.feature_transforms_tgt is not None:
-            tgt_speech = self.feature_transforms_tgt(tgt_speech)
+            tgt_speech = self.feature_transforms_tgt(tgt_speech, rng=rng)
         tgt_speech = pack_frames(np.asarray(tgt_speech, np.float32),
                                  self.n_frames_per_step)
 

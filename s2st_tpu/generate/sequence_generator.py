@@ -55,6 +55,14 @@ class BeamConfig:
     max_len_a: float = 0.0
     max_len_b: float = -1.0      # <0 -> disabled
 
+    def __post_init__(self):
+        # fairseq raises on --sampling-topk + --sampling-topp together
+        # (fairseq/search.py:626-628); enforce at config construction so
+        # programmatic callers get the same guard as the CLI.
+        if self.sampling_topk > 0 and self.sampling_topp > 0:
+            raise ValueError(
+                "sampling_topk and sampling_topp are mutually exclusive")
+
 
 # ---------------------------------------------------------------------------
 # search strategies: each returns 2K candidates (scores, tokens, beams)

@@ -192,19 +192,22 @@ class ProgressLogger:
             handler = logging.FileHandler(log_file)
             handler.setFormatter(logging.Formatter(
                 "%(asctime)s | %(levelname)s | %(name)s | %(message)s"))
-            root = logging.getLogger()
             # --log-file must capture progress lines even when the embedding
             # process configured logging at WARNING (e.g. a test harness).
-            # Lowering the package logger would also raise CONSOLE
-            # verbosity, so freeze pre-existing handlers at their current
-            # effective threshold first — the level change then only feeds
-            # the new file handler.
+            # Scope everything to the PACKAGE logger (advisor finding r2:
+            # never mutate foreign/root handlers): file handler at INFO on
+            # 's2st_tpu' with propagate=False, plus a console handler that
+            # keeps emitting at the process's previous effective threshold
+            # so console verbosity is unchanged.
             pkg = logging.getLogger("s2st_tpu")
-            for h in root.handlers:
-                if h.level == logging.NOTSET:
-                    h.setLevel(root.getEffectiveLevel())
-            root.addHandler(handler)
+            prev_level = pkg.getEffectiveLevel()
+            handler.setLevel(logging.INFO)
+            console = logging.StreamHandler()
+            console.setLevel(prev_level)
+            pkg.addHandler(console)
+            pkg.addHandler(handler)
             pkg.setLevel(logging.INFO)
+            pkg.propagate = False
 
     def _fmt(self, stats: Dict[str, Any], tag: str, step: int) -> str:
         stats = dict(stats)

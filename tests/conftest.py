@@ -111,3 +111,40 @@ def make_batch(cfg, b=2, src_t=37, tgt_t=23, src_n=7, tgt_n=9, seed=0):
 @pytest.fixture()
 def tiny_batch(tiny_cfg):
     return make_batch(tiny_cfg)
+
+
+# ---------------------------------------------------------------------------
+# smoke tier: `pytest -m smoke` = a <5-minute representative subset for the
+# 1-CPU verification box (full suite is ~1.5h there). Covers: one CLI e2e
+# train+resume, one mid-epoch-resume reproducibility run, one AR decode,
+# one pipeline-parallel step, one multi-host collate, beam search, losses,
+# and the reference-numerics forward parity test.
+# ---------------------------------------------------------------------------
+SMOKE_TESTS = {
+    "test_cli_e2e.py::test_train_and_resume",
+    "test_midepoch_resume.py::test_reset_optimizer_still_loads_model_weights",
+    "test_generator.py::test_incremental_matches_teacher_forced_decode",
+    "test_pipeline.py::test_pipeline_matches_sequential_mlp",
+    "test_pipeline_model.py::test_pp_cli_flags",
+    "test_multihost.py::test_row_sharded_collate_disjoint_and_aligned",
+    "test_sequence_generator.py::test_beam_search_shapes_and_wellformed",
+    "test_trainer.py::test_grad_accum_semantics",
+    "test_losses.py::test_loss_invariant_to_batch_padding",
+    "test_model.py::test_forward_jits",
+    "test_reference_parity.py::test_teacher_forced_forward_parity",
+    "test_data.py::test_utterance_cmvn_and_specaugment",
+    "test_checkpoint.py",  # whole file (fast)
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "smoke: fast representative subset (<5 min on 1 CPU)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split("/")[-1]
+        file_part = rel.split("::")[0]
+        if rel in SMOKE_TESTS or file_part in SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)

@@ -54,6 +54,43 @@ def test_evaluate_with_fake_transcriber(tmp_path, capsys):
     assert uid == "u0" and hyp == ref == "hello world"
 
 
+def test_decode_txt_follows_manifest_order_not_glob_order(tmp_path):
+    """decode.txt lines must come out in audio-manifest row order: stage 9
+    line-pairs `cut -f1 decode.txt` against external reference files, so
+    lexicographic wav order (utt_10 < utt_9) would silently misalign the
+    multi-reference BLEU (advisor finding r2)."""
+    from s2st_tpu.cli.evaluate_s2s_bleu import evaluate
+    # manifest order: utt_9 BEFORE utt_10 (glob sort would reverse them)
+    utts = {"utt_9": "nine", "utt_10": "ten"}
+    man, dump = _fake_dump(tmp_path, utts)
+
+    def transcriber(wave, sr):
+        return "words"
+
+    evaluate(transcriber, str(man), str(dump), str(dump / "decode.txt"),
+             scoring="wer")
+    ids = [l.split("\t")[2]
+           for l in (dump / "decode.txt").read_text().splitlines()]
+    assert ids == ["utt_9", "utt_10"]
+
+
+def test_missing_wav_emits_placeholder_line(tmp_path):
+    """A missing wav must not shift later lines (keeps alignment with
+    external reference streams)."""
+    from s2st_tpu.cli.evaluate_s2s_bleu import evaluate
+    utts = {"u0": "first", "u1": "second", "u2": "third"}
+    man, dump = _fake_dump(tmp_path, utts)
+    (dump / "wav" / "u1_pred.wav").unlink()
+
+    evaluate(lambda w, sr: "x", str(man), str(dump),
+             str(dump / "decode.txt"), scoring="wer")
+    lines = (dump / "decode.txt").read_text().splitlines()
+    assert len(lines) == 3
+    hyp1, _, uid1 = lines[1].split("\t")
+    assert uid1 == "u1" and hyp1 == ""
+    assert lines[2].split("\t")[2] == "u2"
+
+
 def test_evaluate_missing_model_exits_2(tmp_path):
     from s2st_tpu.cli.evaluate_s2s_bleu import main as eval_main
     man, dump = _fake_dump(tmp_path, {"u0": "x"})
