@@ -80,11 +80,20 @@ def unflatten_into(tree, flat: Dict[str, np.ndarray], prefix="",
 
 
 def save_checkpoint_file(path: str, state, extra_meta: Optional[Dict] = None):
-    """state: TrainState-like with params/stats/opt_state/step."""
+    """state: TrainState-like with params/stats/opt_state/step.
+
+    Checkpoints are always written in the per-layer layout: a pipeline-
+    parallel run's pre-stacked state (parallel.pipeline) is unstacked here
+    so its checkpoints load into non-PP runs (and torch export) unchanged."""
+    from ..parallel.pipeline import tree_is_stacked, unstack_pipeline_tree
+    params, opt_state = state.params, state.opt_state
+    if tree_is_stacked(params):
+        params = unstack_pipeline_tree(params)
+        opt_state = unstack_pipeline_tree(opt_state)
     flat = {}
-    flat.update(flatten_tree(state.params, "params" + _SEP))
+    flat.update(flatten_tree(params, "params" + _SEP))
     flat.update(flatten_tree(state.stats, "stats" + _SEP))
-    flat.update(flatten_tree(state.opt_state, "opt" + _SEP))
+    flat.update(flatten_tree(opt_state, "opt" + _SEP))
     meta = dict(extra_meta or {})
     meta["step"] = int(jax.device_get(state.step))
     flat["__meta__"] = np.frombuffer(
@@ -109,19 +118,33 @@ def load_checkpoint_file(path: str) -> Tuple[Dict[str, np.ndarray], Dict]:
 
 
 def restore_state(state, path: str, reset_optimizer: bool = False):
-    """Returns (new_state, meta)."""
+    """Returns (new_state, meta). Accepts a pre-stacked (pipeline-parallel)
+    live state: the per-layer checkpoint is loaded through an unstacked
+    template and the result restacked to match the input layout."""
+    from ..parallel.pipeline import (stack_pipeline_tree, tree_is_stacked,
+                                     unstack_pipeline_tree)
+    stacked = tree_is_stacked(state.params)
+    tmpl_params = unstack_pipeline_tree(state.params) if stacked \
+        else state.params
+    tmpl_opt = unstack_pipeline_tree(state.opt_state) if stacked \
+        else state.opt_state
     flat, meta = load_checkpoint_file(path)
-    params = unflatten_into(state.params, flat, "params" + _SEP)
+    params = unflatten_into(tmpl_params, flat, "params" + _SEP)
     stats = unflatten_into(state.stats, flat, "stats" + _SEP, strict=False)
     if reset_optimizer:
         # drop ONLY optimizer state/step; epoch/iterator meta survives —
         # fairseq resets the dataloader with --reset-dataloader alone
         # (checkpoint_utils.load_checkpoint:190-236), the caller decides
         opt_state, step = state.opt_state, state.step
+        if stacked:
+            params = stack_pipeline_tree(params)
     else:
-        opt_state = unflatten_into(state.opt_state, flat, "opt" + _SEP,
+        opt_state = unflatten_into(tmpl_opt, flat, "opt" + _SEP,
                                    strict=False)
         step = jnp.asarray(meta.get("step", 0), jnp.int32)
+        if stacked:
+            params = stack_pipeline_tree(params)
+            opt_state = stack_pipeline_tree(opt_state)
     new_state = type(state)(params=params, stats=stats, opt_state=opt_state,
                             step=step)
     return new_state, meta
