@@ -71,6 +71,32 @@ class BeamConfig:
 # DiverseBeamSearch:556 / DiverseSiblingsSearch:744.
 # ---------------------------------------------------------------------------
 
+def _fill_finished_slots(fin_scores, fin_tokens, fin_lens, fin_flags,
+                         cand_scores, cand_tokens, length, k):
+    """Append eos candidates (best-first) into the free finished slots of
+    each sentence, fairseq finalize_hypos-style: slots fill in arrival
+    order and are never replaced; a sentence with all K slots filled is
+    frozen. cand_scores (B, C) with NEG_INF for non-candidates;
+    cand_tokens (B, C, L); length: scalar/int hypothesis length."""
+    filled = fin_flags.sum(axis=1)                          # (B,)
+    take = min(k, cand_scores.shape[1])
+    cs, ci = jax.lax.top_k(cand_scores, take)               # sorted desc
+    ct = jnp.take_along_axis(cand_tokens, ci[:, :, None], 1)
+    p = jnp.arange(k)[None, :]                              # slot position
+    r = p - filled[:, None]                                 # candidate rank
+    in_range = (r >= 0) & (r < take)
+    rc = jnp.clip(r, 0, take - 1)
+    new_score = jnp.take_along_axis(cs, rc, 1)
+    valid = in_range & (new_score > NEG_INF / 2)
+    out_scores = jnp.where(valid, new_score, fin_scores)
+    out_tokens = jnp.where(valid[:, :, None],
+                           jnp.take_along_axis(ct, rc[:, :, None], 1),
+                           fin_tokens)
+    out_lens = jnp.where(valid, jnp.asarray(length, jnp.int32), fin_lens)
+    out_flags = fin_flags | valid
+    return out_scores, out_tokens, out_lens, out_flags
+
+
 def _step_beam(t, lprobs, alive_scores, k):
     b, _, vocab = lprobs.shape
     cand = alive_scores[:, :, None] + lprobs
@@ -248,7 +274,8 @@ def _gather_beams(tree, beam_idx, b, k):
 def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
                     enc_tap: jnp.ndarray, enc_pad: jnp.ndarray,
                     bs_cfg: BeamConfig, prefix_tokens=None,
-                    src_lengths=None, rng=None) -> Dict[str, jnp.ndarray]:
+                    src_lengths=None, rng=None,
+                    constraints=None) -> Dict[str, jnp.ndarray]:
     """Beam-decode text from one aux decoder.
 
     which: "aux_asr_decoder" | "aux_st_decoder"; enc_tap (B, Ts, C) is the
@@ -266,6 +293,10 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
     src_lengths: (B,) int32, required when bs_cfg.min/max_len_a/b enable
     LengthConstrainedBeamSearch per-sentence bounds.
     rng: PRNGKey for strategy "sampling" (defaults to PRNGKey(0)).
+    constraints: a generate.constrained.ConstraintTables — switches to
+    lexically constrained search (fairseq/search.py:219-528 dynamic beam
+    allocation): per-beam trie/cursor state lives in the jitted loop and
+    EOS is banned until every constraint phrase has been produced.
     """
     ens_vars = variables if isinstance(variables, (list, tuple)) \
         else [variables]
@@ -338,17 +369,19 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
         fin_lens=jnp.zeros((b, k), jnp.int32),
         fin_flags=jnp.zeros((b, k), bool),
     )
+    if constraints is not None:
+        from .constrained import init_constraint_state
+        cnode0, cmet0 = init_constraint_state(constraints, b, k)
+        state["cnode"], state["cmet"] = cnode0, cmet0
 
     def cond(s):
-        t = s["step"]
-        not_max = t < max_len
-        # can any alive beam still beat the worst finished?
-        best_alive = s["alive_scores"].max(axis=1) / _length_penalty(
-            jnp.asarray(max_len + 1), bs_cfg.len_penalty)
-        worst_fin = jnp.where(s["fin_flags"].all(axis=1),
-                              s["fin_scores"].min(axis=1), NEG_INF)
-        improving = jnp.any(best_alive > worst_fin)
-        return not_max & improving
+        # fairseq is_finished semantics (sequence_generator.py:542-585): a
+        # sentence is DONE once K hypotheses have been finalized; the loop
+        # runs until every sentence is done or max_len. No score-based
+        # continuation: fairseq removes a done sentence from the batch, so
+        # later (even better) candidates never replace its collected K.
+        done = s["fin_flags"].all(axis=1)
+        return (s["step"] < max_len) & ~done.all()
 
     def body(s):
         t = s["step"]
@@ -404,7 +437,15 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
                 s["alive_tokens"], t, vocab, bs_cfg.no_repeat_ngram_size)
 
         # strategy step -> 2K candidates (fairseq search.step parity)
-        if bs_cfg.strategy == "beam":
+        cand_cstate = None
+        if constraints is not None:
+            from .constrained import step_lexically_constrained
+            top_scores, tok, beam_idx, cand_node, cand_met = \
+                step_lexically_constrained(
+                    constraints, k, vocab, lprobs, s["alive_scores"],
+                    s["cnode"], s["cmet"])
+            cand_cstate = (cand_node, cand_met)
+        elif bs_cfg.strategy == "beam":
             top_scores, tok, beam_idx = _step_beam(
                 t, lprobs, s["alive_scores"], k)
         elif bs_cfg.strategy == "sampling":
@@ -429,24 +470,26 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
         cand_tokens = cand_tokens * (1 - write) + tok[:, :, None] * write
 
         is_eos = tok == EOS
-        # ----- finished pool update (normalized scores) -----
+        # ----- finished pool update: ARRIVAL-ORDER slot filling -----
+        # fairseq finalize_hypos appends eos candidates (best-first within
+        # a step) until K are collected, then the sentence is done and
+        # later candidates are dropped — it never replaces a collected
+        # hypothesis. Filling free slots in order reproduces that exactly
+        # (and freezes done sentences for free: no free slots remain).
         norm = top_scores / _length_penalty(t + 1, bs_cfg.len_penalty)
         eos_scores = jnp.where(is_eos, norm, NEG_INF)      # (B, 2K)
-        all_fin_scores = jnp.concatenate([s["fin_scores"], eos_scores], 1)
-        all_fin_tokens = jnp.concatenate([s["fin_tokens"], cand_tokens], 1)
-        all_fin_lens = jnp.concatenate(
-            [s["fin_lens"], jnp.full((b, 2 * k), t + 1, jnp.int32)], 1)
-        all_fin_flags = jnp.concatenate(
-            [s["fin_flags"], is_eos & (eos_scores > NEG_INF / 2)], 1)
-        fin_top, fin_idx = jax.lax.top_k(all_fin_scores, k)
-        fin_tokens = jnp.take_along_axis(all_fin_tokens, fin_idx[:, :, None], 1)
-        fin_lens = jnp.take_along_axis(all_fin_lens, fin_idx, 1)
-        fin_flags = jnp.take_along_axis(all_fin_flags, fin_idx, 1)
+        fin_top, fin_tokens, fin_lens, fin_flags = _fill_finished_slots(
+            s["fin_scores"], s["fin_tokens"], s["fin_lens"], s["fin_flags"],
+            eos_scores, cand_tokens, t + 1, k)
 
         # ----- alive pool: top K non-eos -----
-        if bs_cfg.strategy == "diverse_beam":
+        if bs_cfg.strategy == "diverse_beam" or constraints is not None:
             # FIRST K non-eos in candidate order (not by score): keeps beam
-            # slot j owned by group j % G (see _step_diverse_beam)
+            # slot j owned by group j % G (see _step_diverse_beam), and for
+            # constrained search preserves the bank-stripe allocation —
+            # re-sorting by score would drop the low-score high-bank
+            # candidates that carry constraint progress (fairseq picks
+            # actives by candidate order too, sequence_generator.py:430)
             pos = jnp.arange(2 * k, dtype=jnp.float32)[None, :]
             order_key = jnp.where(is_eos, 2 * k + pos, pos)
             _, alive_sel = jax.lax.top_k(-order_key, k)
@@ -461,10 +504,15 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
             cand_tokens, alive_sel[:, :, None], axis=1)
         new_caches = _gather_beams(new_caches, sel_beam, b, k)
 
-        return dict(step=t + 1, alive_tokens=alive_tokens,
-                    alive_scores=alive_top, caches=new_caches,
-                    fin_tokens=fin_tokens, fin_scores=fin_top,
-                    fin_lens=fin_lens, fin_flags=fin_flags)
+        out = dict(step=t + 1, alive_tokens=alive_tokens,
+                   alive_scores=alive_top, caches=new_caches,
+                   fin_tokens=fin_tokens, fin_scores=fin_top,
+                   fin_lens=fin_lens, fin_flags=fin_flags)
+        if cand_cstate is not None:
+            out["cnode"] = jnp.take_along_axis(cand_cstate[0], alive_sel, 1)
+            out["cmet"] = jnp.take_along_axis(
+                cand_cstate[1], alive_sel[:, :, None], axis=1)
+        return out
 
     s = jax.lax.while_loop(cond, body, state)
 
@@ -491,15 +539,17 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
     write = jax.nn.one_hot(t + 1, s["alive_tokens"].shape[2],
                            dtype=jnp.int32)[None, None, :]
     alive_tokens = (s["alive_tokens"] * (1 - write) + EOS * write)
-    all_scores = jnp.concatenate([s["fin_scores"], norm], 1)
-    all_tokens = jnp.concatenate([s["fin_tokens"], alive_tokens], 1)
-    all_lens = jnp.concatenate(
-        [s["fin_lens"], jnp.full((b, k), t + 1, jnp.int32)], 1)
-    top, idx = jax.lax.top_k(all_scores, k)
+    # forced-eos leftovers only FILL a sentence's remaining free slots
+    # (done sentences are frozen — fairseq dropped them from the batch)
+    fin_scores, fin_tokens, fin_lens, _ = _fill_finished_slots(
+        s["fin_scores"], s["fin_tokens"], s["fin_lens"], s["fin_flags"],
+        norm, alive_tokens, t + 1, k)
+    # output sorted by score desc per sentence (fairseq sorts finalized)
+    top, idx = jax.lax.top_k(fin_scores, k)
     return {
-        "tokens": jnp.take_along_axis(all_tokens, idx[:, :, None], 1),
+        "tokens": jnp.take_along_axis(fin_tokens, idx[:, :, None], 1),
         "scores": top,
-        "lengths": jnp.take_along_axis(all_lens, idx, 1),
+        "lengths": jnp.take_along_axis(fin_lens, idx, 1),
     }
 
 
