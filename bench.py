@@ -129,6 +129,40 @@ def main():
     except Exception as e:
         result["hifigan_error"] = repr(e)[:200]
 
+    # text-decode throughput: jitted beam search over the aux ST decoder
+    # (generate_for_s2st's hot path; the reference prints "Translated N
+    # sentences (M tokens) in Ts", fairseq_cli/generate_for_s2st.py:404-413)
+    try:
+        from s2st_tpu.generate.sequence_generator import (BeamConfig,
+                                                          beam_search_aux)
+        tcfg = cfg.replace(aux_st=True, st_decoder_layers=1,
+                           st_decoder_embed_dim=64, middle_layers=(4, 9))
+        tvars = m.init_s2st(jax.random.PRNGKey(3), tcfg)
+        for K in (5, 10):
+            bs_cfg = BeamConfig(beam=K, max_len=100)
+
+            def text_decode(tvars, src, src_lens):
+                enc = m.encode(tvars, tcfg, src, src_lens,
+                               deterministic=True)
+                return beam_search_aux(
+                    tvars, tcfg, "aux_st_decoder",
+                    enc["out_middle_layers"][1],
+                    enc["encoder_padding_mask"], bs_cfg)
+
+            ft = jax.jit(text_decode)
+            out = ft(tvars, src, src_lens)
+            _ = np.asarray(out["lengths"])  # force completion
+            t0 = time.perf_counter()
+            outs = [ft(tvars, src, src_lens) for _ in range(5)]
+            tok = sum(int(np.asarray(o["lengths"])[:, 0].sum())
+                      for o in outs)
+            dt_t = time.perf_counter() - t0
+            result[f"text_decode_tokens_per_s_beam{K}"] = round(tok / dt_t, 1)
+            result[f"text_decode_sentences_per_s_beam{K}"] = round(
+                5 * B / dt_t, 1)
+    except Exception as e:
+        result["text_decode_error"] = repr(e)[:200]
+
     # training-side evidence (fused fwd+bwd+optimizer step, recipe operating
     # point: base arch + full CTC/aux loss, bf16, ~40k src frames/step);
     # reported alongside the headline — the reference is first a training

@@ -99,6 +99,30 @@ def main(argv: Optional[List[str]] = None) -> int:
                         diversity_rate=max(args.diversity_rate, 0.0))
     nbest = min(args.nbest, args.beam)
 
+    # lexically constrained decoding (generate.constrained; fairseq
+    # --constraints): tables built once over the whole file so every
+    # batch shares one compiled program; per-batch rows are slices
+    cons_all = None
+    if args.constraints:
+        if not args.constraints_file:
+            raise ValueError("--constraints needs --constraints-file")
+        if args.prefix_size > 0:
+            raise ValueError("--constraints and --prefix-size are exclusive")
+        from ..generate.constrained import (build_constraint_tables,
+                                            pack_constraints)
+        cons_map, cons_text = {}, {}
+        with open(args.constraints_file, encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                phrases, texts = [], []
+                for ph in parts[1:]:
+                    if ph.strip():
+                        toks = tgt_dict.encode_line(ph, append_eos=False)
+                        phrases.append([int(t) for t in toks])
+                        texts.append(ph)
+                cons_map[parts[0]] = phrases
+                cons_text[parts[0]] = texts
+
     def _taps_pads(ens_vars, src_speech, src_speech_lens):
         taps, pads = [], []
         for v in ens_vars:
@@ -116,6 +140,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         return beam_search_aux(ens_vars, model_cfg, which, taps, pads,
                                bs_cfg, prefix_tokens=prefix, rng=rng)
 
+    def make_infer_constrained(tables):
+        from ..generate.constrained import ConstraintTables
+
+        @jax.jit
+        def infer_cons(ens_vars, src_speech, src_speech_lens, arrays, rng):
+            taps, pads = _taps_pads(ens_vars, src_speech, src_speech_lens)
+            tb = ConstraintTables(arrays, tables.representation,
+                                  tables.C, tables.E, tables.P)
+            return beam_search_aux(ens_vars, model_cfg, which, taps, pads,
+                                   bs_cfg, rng=rng, constraints=tb)
+
+        return infer_cons
+
     @jax.jit
     def score_ref(ens_vars, src_speech, src_speech_lens, text, text_len):
         taps, pads = _taps_pads(ens_vars, src_speech, src_speech_lens)
@@ -128,6 +165,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                                   max_sentences=args.batch_size,
                                   shuffle=False)
     dataset = task.datasets[args.gen_subset]
+    infer_cons = None
+    if cons_all is None and args.constraints:
+        from ..generate.constrained import (build_constraint_tables,
+                                            pack_constraints)
+        per_utt = [cons_map.get(str(uid), []) for uid in dataset.ids]
+        n_with = sum(1 for c in per_utt if c)
+        logger.info(f"constrained decoding ({args.constraints}): "
+                    f"{n_with}/{len(per_utt)} utterances have constraints")
+        cons_all = build_constraint_tables(
+            pack_constraints(per_utt), len(tgt_dict), args.constraints)
+        infer_cons = make_infer_constrained(cons_all)
     n_done = 0
     import time
     t0 = time.perf_counter()
@@ -166,11 +214,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                 scorer.add_string(ref, hyp)
                 n_done += 1
             continue
-        out = infer(ens_vars, jnp.asarray(batch["src_speech"]),
-                    jnp.asarray(batch["src_speech_lens"]),
-                    jnp.asarray(batch[text_key]),
-                    jax.random.fold_in(rng0, n_batch),
-                    has_prefix=args.prefix_size > 0)
+        if infer_cons is not None:
+            rows = jnp.asarray(np.maximum(ids, 0))
+            arrays_b = {k: v[rows] for k, v in cons_all.arrays.items()}
+            out = infer_cons(ens_vars, jnp.asarray(batch["src_speech"]),
+                             jnp.asarray(batch["src_speech_lens"]),
+                             arrays_b, jax.random.fold_in(rng0, n_batch))
+        else:
+            out = infer(ens_vars, jnp.asarray(batch["src_speech"]),
+                        jnp.asarray(batch["src_speech_lens"]),
+                        jnp.asarray(batch[text_key]),
+                        jax.random.fold_in(rng0, n_batch),
+                        has_prefix=args.prefix_size > 0)
         n_batch += 1
         tokens = np.asarray(out["tokens"])        # (B, K, L)
         lengths = np.asarray(out["lengths"])
@@ -184,6 +239,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    else dataset.tgt_texts[idx])
             print(f"S-{sample_id}\t{sample_id}")
             print(f"T-{sample_id}\t{ref}")
+            if infer_cons is not None:
+                # C- lines precede the hypotheses (fairseq_cli/generate.py)
+                for ph in cons_text.get(str(sample_id), []):
+                    print(f"C-{sample_id}\t{ph}")
             for j in range(nbest):
                 # hypothesis j: tokens[1..len] with eos stripped
                 n = int(lengths[row, j])

@@ -53,6 +53,11 @@ def main(argv=None) -> int:
     p.add_argument("--splits", "-s", nargs="+",
                    default=["train", "dev", "tst"])
     p.add_argument("--ipa-vocab", action="store_true")
+    p.add_argument("--use-g2p", action="store_true",
+                   help="recipe-flag compatibility (run_baseline.sh:88): "
+                        "phonemization happens upstream in stage 2 "
+                        "(preprocessing.g2p) here, so this only documents "
+                        "that --audio-suffix points at phone manifests")
     p.add_argument("--audio-suffix", default=".audio_phone.tsv")
     p.add_argument("--sample-rate", type=int, default=16000)
     p.add_argument("--win-length", type=int, default=1024)

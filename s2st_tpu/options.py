@@ -298,6 +298,15 @@ def add_generation_args(parser: argparse.ArgumentParser):
                    help="DiverseSiblingsSearch rate (-1 = off)")
     p.add_argument("--prefix-size", type=int, default=0,
                    help="initialize generation with this many target tokens")
+    p.add_argument("--constraints", choices=["ordered", "unordered"],
+                   default=None,
+                   help="lexically constrained decoding (fairseq "
+                        "--constraints); needs --constraints-file")
+    p.add_argument("--constraints-file", default=None,
+                   help="TSV: <utt_id>\\t<phrase>\\t<phrase>... — phrases "
+                        "are text encoded with the decoding dictionary "
+                        "(the reference feeds constraints per input line; "
+                        "a manifest-keyed file is this CLI's equivalent)")
     p.add_argument("--score-reference", action="store_true",
                    help="score the reference targets instead of decoding "
                         "(SequenceScorer)")

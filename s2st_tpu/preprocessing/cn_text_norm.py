@@ -28,8 +28,10 @@ from typing import List, Optional, Tuple
 DIGITS = "零一二三四五六七八九"
 LIANG = "两"
 POINT = "点"
-# (power, glyph) — 万-based ("mid") system: 亿 = 10^8
+# (power, glyph) — 万-based ("mid") system (cn_tn.py:196-198):
+# 亿 = 10^8, 兆 = 亿*万 = 10^12, 京 = 兆*万 = 10^16, 垓 = 10^20
 UNITS: Tuple[Tuple[int, str], ...] = (
+    (20, "垓"), (16, "京"), (12, "兆"),
     (8, "亿"), (4, "万"), (3, "千"), (2, "百"), (1, "十"))
 
 CURRENCY_UNITS = (r"((亿|千万|百万|万|千|百)|(亿|千万|百万|万|千|百|)元|"

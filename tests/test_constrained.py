@@ -171,6 +171,112 @@ def test_constrained_decode_jits(tiny_cfg, tiny_variables, enc_state):
     assert np.asarray(out["tokens"]).shape[:2] == (2, 2)
 
 
+def test_extract_and_validate_tools(tmp_path):
+    """constraints_tools extract/validate (scripts/constraints parity)."""
+    import csv
+    from s2st_tpu.preprocessing.constraints_tools import (extract_main,
+                                                          validate_stream)
+    man = tmp_path / "test.audio.tsv"
+    with open(man, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["id", "tgt_text"], delimiter="\t")
+        w.writeheader()
+        w.writerow({"id": "u0", "tgt_text": "the quick brown fox jumps"})
+        w.writerow({"id": "u1", "tgt_text": "hello world again"})
+    out = tmp_path / "cons.tsv"
+    rc = extract_main(["--audio-manifest", str(man), "-n", "2",
+                       "--max-len", "2", "-o", str(out), "--seed", "7"])
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    assert len(lines) == 2
+    for line, ref in zip(lines, ["the quick brown fox jumps",
+                                 "hello world again"]):
+        parts = line.split("\t")
+        assert 2 <= len(parts) <= 3
+        # the FIRST phrase is contiguous in the reference; later phrases
+        # are drawn after earlier ones are popped (reference get_phrase
+        # semantics, scripts/constraints/extract.py:17-22), so only their
+        # words are guaranteed to come from the reference
+        assert parts[1] in ref
+        for ph in parts[1:]:
+            for w in ph.split():
+                assert w in ref.split()
+
+    stream = ["C-u0\tquick brown\n", "H-u0\t-1.0\tthe quick brown fox\n",
+              "C-u1\tworld\n", "H-u1\t-1.0\thello there\n"]
+    found, total = validate_stream(stream)
+    assert (found, total) == (1, 2)
+
+
+def test_generate_for_s2st_constrained_cli(tmp_path):
+    """--constraints unordered end-to-end through the CLI: C- lines are
+    emitted and every utterance has a hypothesis containing its phrase."""
+    import contextlib
+    import io
+    from tests.make_tiny_corpus import make_tiny_corpus
+    from tests.test_cli_e2e import _train_args
+    from s2st_tpu.cli.train import main as train_main
+    from s2st_tpu.cli.generate_for_s2st import main as g4s_main
+
+    corpus = make_tiny_corpus(tmp_path / "corpus")
+    save_dir = tmp_path / "ckpts"
+    rc = train_main(_train_args(
+        corpus, save_dir,
+        extra=["--st-ce-weight", "0.3", "--label-smoothing", "0.1",
+               "--st-decoder-layers", "1", "--st-decoder-embed-dim", "16",
+               "--middle-layers", "0,1", "--max-epoch", "1"]))
+    assert rc == 0
+
+    # constraints: the first word of each test utterance's reference
+    import csv
+    cons_file = tmp_path / "cons.tsv"
+    with open(corpus / "test.tsv", encoding="utf-8") as f, \
+            open(cons_file, "w", encoding="utf-8") as out:
+        for row in csv.DictReader(f, delimiter="\t",
+                                  quoting=csv.QUOTE_NONE):
+            word = row["tgt_text"].split()[0]
+            out.write(f"{row['id']}\t{word}\n")
+
+    argv = [
+        str(corpus), "--config-yaml", "config.yaml",
+        "--gen-subset", "test", "--task", "s2s_translation",
+        "--path", str(save_dir / "checkpoint_last.npz"),
+        "--encoder-layers", "2", "--encoder-embed-dim", "16",
+        "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+        "--decoder-layers", "2", "--decoder-embed-dim", "16",
+        "--decoder-ffn-embed-dim", "32", "--decoder-attention-heads", "2",
+        "--conv-channels", "16", "--middle-layers", "0,1",
+        "--prenet-dim", "8", "--prenet-layers", "1",
+        "--postnet-layers", "1", "--postnet-conv-dim", "8",
+        "--output-frame-dim", "8",
+        "--st-decoder-layers", "1", "--st-decoder-embed-dim", "16",
+        "--max-tokens", "2000", "--beam", "3", "--nbest", "3",
+        "--max-source-positions", "64", "--max-target-positions", "64",
+        "--required-batch-size-multiple", "1",
+        "--scoring", "sacrebleu",
+        "--constraints", "unordered",
+        "--constraints-file", str(cons_file),
+    ]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = g4s_main(argv)
+    out = buf.getvalue()
+    assert rc == 0
+    # C- lines present; each sentence's phrase appears in >=1 of its H- rows
+    per_sent = {}
+    cons = {}
+    for line in out.splitlines():
+        if line.startswith("C-"):
+            uid, ph = line.split("\t")[0][2:], line.split("\t")[1]
+            cons[uid] = ph
+        elif line.startswith("H-"):
+            uid = line.split("\t")[0][2:]
+            per_sent.setdefault(uid, []).append(line.split("\t")[2])
+    assert cons, "no C- lines emitted"
+    for uid, ph in cons.items():
+        hyps = per_sent.get(uid, [])
+        assert any(ph in h.split() or ph in h for h in hyps), (uid, ph, hyps)
+
+
 def test_low_probability_constraint_still_satisfied(tiny_cfg, tiny_variables,
                                                     enc_state):
     """Compare against unconstrained decode: pick a token the model never
