@@ -119,7 +119,8 @@ def tree_is_stacked(params) -> bool:
 def pipeline_apply(layer_fn: Callable, stacked_params, x: jnp.ndarray,
                    mesh: Mesh, n_micro: int, axis: str = "stage",
                    static_args: Tuple = (), batched_args: Tuple = (),
-                   collect: bool = False, batch_axes=None):
+                   collect: bool = False, batch_axes=None,
+                   pass_micro_idx: bool = False):
     """Run L stacked layers over the `axis` mesh dimension as a pipeline.
 
     layer_fn(params_i, h, *batched_args_mb, *static_args) -> h applies ONE
@@ -164,9 +165,13 @@ def pipeline_apply(layer_fn: Callable, stacked_params, x: jnp.ndarray,
         own microbatch slice is consumed."""
         sid = jax.lax.axis_index(axis)
 
-        def run_block(h, args_mb):
+        def run_block(h, args_mb, midx):
             def one(h, lp):
-                h2 = layer_fn(lp, h, *args_mb, *static_args)
+                if pass_micro_idx:
+                    h2 = layer_fn(lp, h, *args_mb, *static_args,
+                                  micro_idx=midx)
+                else:
+                    h2 = layer_fn(lp, h, *args_mb, *static_args)
                 return h2, (h2 if collect else None)
             h, ys = jax.lax.scan(one, h, params_local)
             return h, ys
@@ -187,7 +192,7 @@ def pipeline_apply(layer_fn: Callable, stacked_params, x: jnp.ndarray,
                              xm_local[jnp.clip(t, 0, n_micro - 1)], recv)
             args_mb = jax.tree_util.tree_map(
                 lambda a: a[out_idx], bm_local)
-            h_out, ys = run_block(h_in, args_mb)
+            h_out, ys = run_block(h_in, args_mb, out_idx)
             h_out = jnp.where(active, h_out, zero)
             # pass to the next stage (ring; last stage's send is ignored)
             sent = jax.lax.ppermute(
