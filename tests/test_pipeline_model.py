@@ -103,3 +103,62 @@ def test_pp_composes_with_tp(det_cfg):
     ref = _run(make_mesh(devices=devs), det_cfg, n_steps=2)
     assert np.isfinite(losses).all()
     np.testing.assert_allclose(losses, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_stacked_state_checkpoint_interchange(det_cfg, tmp_path):
+    """A pipeline run's pre-stacked TrainState saves PER-LAYER checkpoints
+    that load into non-PP runs, and vice versa (parallel.pipeline
+    stack/unstack at the train/checkpoint.py boundary)."""
+    import jax
+    import numpy as np
+    from s2st_tpu.models import s2st_transformer as m
+    from s2st_tpu.parallel.mesh import make_mesh
+    from s2st_tpu.parallel.pipeline import (stack_pipeline_tree,
+                                            tree_is_stacked,
+                                            unstack_pipeline_tree)
+    from s2st_tpu.train.checkpoint import (restore_state,
+                                           save_checkpoint_file)
+    from s2st_tpu.train.losses import LossConfig
+    from s2st_tpu.train.optim import adam, inverse_sqrt_schedule
+    from s2st_tpu.train.trainer import Trainer, create_train_state
+
+    cfg = det_cfg
+    tx = adam()
+    variables = m.init_s2st(jax.random.PRNGKey(3), cfg)
+
+    # stack/unstack roundtrip preserves every leaf
+    stacked = stack_pipeline_tree(variables["params"])
+    assert tree_is_stacked(stacked)
+    back = unstack_pipeline_tree(stacked)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(variables["params"])[0],
+            jax.tree_util.tree_flatten_with_path(back)[0]):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # PP trainer state -> checkpoint -> restore into a NON-PP state
+    pp_mesh = make_mesh(dp=4, pp=2)
+    tr = Trainer(cfg, LossConfig(), tx,
+                 inverse_sqrt_schedule(1e-3, warmup_updates=4), pp_mesh,
+                 pp_chunks=2)
+    pp_state = tr.place_state(create_train_state(variables, tx))
+    assert tree_is_stacked(pp_state.params)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint_file(path, pp_state)
+
+    plain = create_train_state(m.init_s2st(jax.random.PRNGKey(9), cfg), tx)
+    restored, _ = restore_state(plain, path)
+    assert not tree_is_stacked(restored.params)
+    np.testing.assert_allclose(
+        np.asarray(restored.params["encoder"]["layer0"]["fc1"]["w"]),
+        np.asarray(variables["params"]["encoder"]["layer0"]["fc1"]["w"]),
+        atol=1e-6)
+
+    # and back INTO a stacked state
+    restored_pp, _ = restore_state(pp_state, path)
+    assert tree_is_stacked(restored_pp.params)
+    np.testing.assert_allclose(
+        np.asarray(restored_pp.params["encoder"]["layers_stacked"]
+                   ["fc1"]["w"][0]),
+        np.asarray(variables["params"]["encoder"]["layer0"]["fc1"]["w"]),
+        atol=1e-6)
