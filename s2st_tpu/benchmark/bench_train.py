@@ -97,7 +97,8 @@ def run_train_bench(batch_size: int = 32, src_t: int = 1200,
     tx = build_optimizer("adam", betas=(0.9, 0.98))
     schedule = inverse_sqrt_schedule(1e-3, warmup_updates=10000)
     mesh = make_mesh()
-    trainer = Trainer(cfg, lcfg, tx, schedule, mesh, clip_norm=10.0)
+    trainer = Trainer(cfg, lcfg, tx, schedule, mesh, clip_norm=10.0,
+                      flat_optimizer=True)
     state = trainer.place_state(create_train_state(variables, tx))
 
     tgt_packed = tgt_raw // nfps

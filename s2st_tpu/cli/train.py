@@ -106,9 +106,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         opt_kw = dict(betas=tuple(betas), eps=args.adam_eps,
                       weight_decay=args.weight_decay)
     tx = build_optimizer(args.optimizer, **opt_kw)
+    # flat-core apply phase (train/optim.py): valid for plain adam without
+    # weight decay; place_state additionally checks the mesh shards nothing
+    flat_ok = (args.optimizer == "adam"
+               and float(getattr(args, "weight_decay", 0.0) or 0.0) == 0.0)
     trainer = Trainer(model_cfg, loss_cfg, tx, schedule, mesh,
                       clip_norm=args.clip_norm, loss_fn=loss_fn,
-                      pp_chunks=args.pipeline_chunks)
+                      pp_chunks=args.pipeline_chunks,
+                      flat_optimizer=flat_ok)
     state = create_train_state(variables, tx)
 
     # frozen HuBERT frontend from a fairseq torch checkpoint

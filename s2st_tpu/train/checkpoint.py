@@ -86,7 +86,12 @@ def save_checkpoint_file(path: str, state, extra_meta: Optional[Dict] = None):
     parallel run's pre-stacked state (parallel.pipeline) is unstacked here
     so its checkpoints load into non-PP runs (and torch export) unchanged."""
     from ..parallel.pipeline import tree_is_stacked, unstack_pipeline_tree
+    from .optim import adam_state_is_flat, unflatten_adam_state
     params, opt_state = state.params, state.opt_state
+    if adam_state_is_flat(opt_state):
+        # flat-core optimizer (train/optim.py): checkpoints keep the
+        # per-leaf optax layout
+        opt_state = unflatten_adam_state(opt_state, params)
     if tree_is_stacked(params):
         params = unstack_pipeline_tree(params)
         opt_state = unstack_pipeline_tree(opt_state)
@@ -123,14 +128,19 @@ def restore_state(state, path: str, reset_optimizer: bool = False):
     template and the result restacked to match the input layout."""
     from ..parallel.pipeline import (stack_pipeline_tree, tree_is_stacked,
                                      unstack_pipeline_tree)
+    from .optim import (adam_state_is_flat, flatten_adam_state,
+                        unflatten_adam_state)
     stacked = tree_is_stacked(state.params)
+    flat_opt = adam_state_is_flat(state.opt_state)
     tmpl_params = unstack_pipeline_tree(state.params) if stacked \
         else state.params
-    tmpl_opt = unstack_pipeline_tree(state.opt_state) if stacked \
-        else state.opt_state
-    flat, meta = load_checkpoint_file(path)
-    params = unflatten_into(tmpl_params, flat, "params" + _SEP)
-    stats = unflatten_into(state.stats, flat, "stats" + _SEP, strict=False)
+    tmpl_opt = unflatten_adam_state(state.opt_state, state.params) \
+        if flat_opt else state.opt_state
+    if stacked:
+        tmpl_opt = unstack_pipeline_tree(tmpl_opt)
+    fdict, meta = load_checkpoint_file(path)
+    params = unflatten_into(tmpl_params, fdict, "params" + _SEP)
+    stats = unflatten_into(state.stats, fdict, "stats" + _SEP, strict=False)
     if reset_optimizer:
         # drop ONLY optimizer state/step; epoch/iterator meta survives —
         # fairseq resets the dataloader with --reset-dataloader alone
@@ -139,12 +149,14 @@ def restore_state(state, path: str, reset_optimizer: bool = False):
         if stacked:
             params = stack_pipeline_tree(params)
     else:
-        opt_state = unflatten_into(tmpl_opt, flat, "opt" + _SEP,
+        opt_state = unflatten_into(tmpl_opt, fdict, "opt" + _SEP,
                                    strict=False)
         step = jnp.asarray(meta.get("step", 0), jnp.int32)
         if stacked:
             params = stack_pipeline_tree(params)
             opt_state = stack_pipeline_tree(opt_state)
+        if flat_opt:
+            opt_state = flatten_adam_state(opt_state, params)
     new_state = type(state)(params=params, stats=stats, opt_state=opt_state,
                             step=step)
     return new_state, meta

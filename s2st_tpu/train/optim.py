@@ -288,3 +288,101 @@ OPTIMIZER_REGISTRY = {
 
 def build_optimizer(name: str, **kw) -> optax.GradientTransformation:
     return OPTIMIZER_REGISTRY[name](**kw)
+
+
+# ---------------------------------------------------------------------------
+# flat-core optimizer state (training-time layout optimization)
+#
+# The param tree has ~700 leaves; running adam leaf-wise costs ~12 ms/step
+# on v5e (hundreds of sub-HBM-saturating kernels) vs ~5 ms on one flat
+# buffer (measured interleaved A/B, round 3). When enabled, the Trainer
+# stores ScaleByAdamState.mu/.nu as single flat fp32 vectors and runs the
+# whole apply phase in a handful of full-bandwidth kernels; checkpoints
+# keep the per-leaf optax layout (train/checkpoint.py converts at the
+# boundary, like the pipeline-parallel param stacks).
+# ---------------------------------------------------------------------------
+
+def flatten_like(template, tree=None, dtype=None):
+    """Concatenate a tree's leaves (template's order) into one 1-D array."""
+    import jax
+    leaves = jax.tree_util.tree_leaves(tree if tree is not None else template)
+    parts = [l.reshape(-1) for l in leaves]
+    if dtype is not None:
+        parts = [p.astype(dtype) for p in parts]
+    return jnp.concatenate(parts)
+
+
+def leaf_slices(template):
+    """[(offset, size, shape)] in tree_leaves order."""
+    import jax
+    out = []
+    off = 0
+    for l in jax.tree_util.tree_leaves(template):
+        out.append((off, l.size, l.shape))
+        off += l.size
+    return out
+
+
+def unflatten_like(template, flat):
+    import jax
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    out = []
+    off = 0
+    for l in leaves:
+        out.append(flat[off:off + l.size].reshape(l.shape).astype(l.dtype))
+        off += l.size
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _find_adam(opt_state):
+    """(index, ScaleByAdamState) inside a chain tuple, else None."""
+    if isinstance(opt_state, optax.ScaleByAdamState):
+        return -1, opt_state
+    if isinstance(opt_state, tuple):
+        for i, s in enumerate(opt_state):
+            if isinstance(s, optax.ScaleByAdamState):
+                return i, s
+    return None
+
+
+def adam_state_is_flat(opt_state) -> bool:
+    found = _find_adam(opt_state)
+    if not found:
+        return False
+    return not isinstance(found[1].mu, dict)
+
+
+def _replace_adam(opt_state, new_adam):
+    idx, _ = _find_adam(opt_state)
+    if idx == -1:
+        return new_adam
+    lst = list(opt_state)
+    lst[idx] = new_adam
+    return tuple(lst)
+
+
+def flatten_adam_state(opt_state, params):
+    """Per-leaf optax adam state -> flat-core layout (mu/nu one vector).
+    Returns None when the structure isn't a plain adam chain."""
+    found = _find_adam(opt_state)
+    if not found or adam_state_is_flat(opt_state):
+        return opt_state if found else None
+    _, st = found
+    flat = optax.ScaleByAdamState(
+        count=st.count,
+        mu=flatten_like(params, st.mu, jnp.float32),
+        nu=flatten_like(params, st.nu, jnp.float32))
+    return _replace_adam(opt_state, flat)
+
+
+def unflatten_adam_state(opt_state, params):
+    """Flat-core -> per-leaf optax layout (checkpoint format)."""
+    if not adam_state_is_flat(opt_state):
+        return opt_state
+    _, st = _find_adam(opt_state)
+    f32p = jax.tree_util.tree_map(lambda p: p.astype(jnp.float32), params)
+    tree = optax.ScaleByAdamState(
+        count=st.count,
+        mu=unflatten_like(f32p, st.mu),
+        nu=unflatten_like(f32p, st.nu))
+    return _replace_adam(opt_state, tree)

@@ -57,7 +57,15 @@ class Trainer:
     def __init__(self, cfg: m.S2STConfig, lcfg: LossConfig,
                  tx: optax.GradientTransformation, lr_schedule: Callable,
                  mesh, clip_norm: float = 0.0,
-                 loss_fn: Callable = s2st_loss, pp_chunks: int = 1):
+                 loss_fn: Callable = s2st_loss, pp_chunks: int = 1,
+                 flat_optimizer: bool = False):
+        """flat_optimizer: run the apply phase on ONE flat fp32 buffer
+        instead of ~700 tree leaves (measured 12.3 -> 5.3 ms/step on v5e;
+        leaf-wise kernels can't saturate HBM). Only valid for elementwise
+        optimizers without params-coupling (adam, weight_decay == 0) on
+        meshes with replicated params (model == fsdp == stage == 1) — the
+        caller asserts the optimizer family, place_state checks the mesh.
+        Checkpoints keep the per-leaf optax layout (train/checkpoint.py)."""
         self.cfg = cfg
         self.lcfg = lcfg
         self.tx = tx
@@ -65,6 +73,7 @@ class Trainer:
         self.mesh = mesh
         self.clip_norm = clip_norm
         self.loss_fn = loss_fn
+        self.flat_optimizer = flat_optimizer
         # pipeline parallelism: when the mesh has a stage axis, route the
         # model forward through the GPipe path (tap-aware; parallel.pipeline)
         if mesh is not None and mesh.shape.get("stage", 1) > 1:
@@ -100,10 +109,46 @@ class Trainer:
         opt_sh = self._opt_shardings(state, var_sh["params"], rep)
         self._opt_sh = opt_sh
 
+        def apply_grads_flat(params, opt_state, step, grads, sample_size,
+                             lr_scale):
+            """Flat-core apply (see __init__ flat_optimizer): the whole
+            normalize/clip/adam pipeline runs on ONE fp32 vector in a few
+            HBM-saturating kernels; the per-leaf work is exactly one
+            fused read-modify-write of each param. Math identical to the
+            tree path (same optax scale_by_adam on the flat buffer)."""
+            scale = 1.0 / jnp.maximum(sample_size.astype(jnp.float32), 1.0)
+            leaves, tdef = jax.tree_util.tree_flatten(grads)
+            gflat = jnp.concatenate(
+                [g.reshape(-1).astype(jnp.float32) for g in leaves])
+            gnorm_raw = jnp.sqrt(jnp.sum(jnp.square(gflat)))
+            gnorm = gnorm_raw * scale
+            total = scale
+            if clip_norm > 0:
+                total = total * jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
+            updates_flat, new_opt = tx.update(gflat * total, opt_state)
+            lr = lr_schedule(step + 1) * lr_scale
+            ok = jnp.isfinite(gnorm)
+            p_leaves, p_tdef = jax.tree_util.tree_flatten(params)
+            out = []
+            off = 0
+            for p in p_leaves:
+                u = jax.lax.dynamic_slice_in_dim(updates_flat, off, p.size)
+                newp = p - (lr * u.reshape(p.shape)).astype(p.dtype)
+                out.append(jnp.where(ok, newp, p))
+                off += p.size
+            new_params = jax.tree_util.tree_unflatten(p_tdef, out)
+            new_opt = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_opt, opt_state)
+            return new_params, new_opt, step + ok.astype(jnp.int32), gnorm, lr
+
         def apply_grads(params, opt_state, step, grads, sample_size,
                         lr_scale=1.0):
             """normalize -> clip -> optimizer -> skip-on-nonfinite
             (shared by the fused and accumulated paths)."""
+            from .optim import adam_state_is_flat
+            if adam_state_is_flat(opt_state):
+                return apply_grads_flat(params, opt_state, step, grads,
+                                        sample_size, lr_scale)
             scale = 1.0 / jnp.maximum(sample_size.astype(jnp.float32), 1.0)
             grads = jax.tree_util.tree_map(
                 lambda g: g.astype(jnp.float32) * scale, grads)
@@ -248,6 +293,25 @@ class Trainer:
                                stats=state.stats,
                                opt_state=stack_pipeline_tree(state.opt_state),
                                step=state.step)
+        if self.flat_optimizer:
+            sharded = self.mesh is not None and any(
+                self.mesh.shape.get(a, 1) > 1
+                for a in ("model", "fsdp", "stage"))
+            if sharded:
+                logger.warning("flat_optimizer disabled: params are "
+                               "sharded on this mesh")
+                self.flat_optimizer = False
+            else:
+                from .optim import flatten_adam_state
+                flat = flatten_adam_state(state.opt_state, state.params)
+                if flat is None:
+                    logger.warning("flat_optimizer disabled: optimizer "
+                                   "state is not a plain adam chain")
+                    self.flat_optimizer = False
+                else:
+                    state = TrainState(params=state.params,
+                                       stats=state.stats,
+                                       opt_state=flat, step=state.step)
         var_sh = variables_shardings(
             {"params": state.params, "stats": state.stats}, self.mesh)
         rep = replicated(self.mesh)

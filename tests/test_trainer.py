@@ -216,3 +216,60 @@ def test_lr_scale_plateau_shrink(small_cfg):
     s2, met2 = tr2.train_step(s2, [batch], jax.random.PRNGKey(0),
                               lr_scale=0.1)
     assert abs(met2["lr"] - 0.1 * met1["lr"]) < 1e-9
+
+
+def test_flat_optimizer_matches_tree_path(small_cfg, tmp_path):
+    """flat_optimizer=True (one-buffer adam core) must produce the same
+    training trajectory as the per-leaf optax path, and its checkpoints
+    stay in the per-leaf layout (loadable by a tree-path run)."""
+    import jax
+    import numpy as np
+    from s2st_tpu.models import s2st_transformer as m
+    from s2st_tpu.parallel.mesh import make_mesh
+    from s2st_tpu.train.checkpoint import (restore_state,
+                                           save_checkpoint_file)
+    from s2st_tpu.train.losses import LossConfig
+    from s2st_tpu.train.optim import (adam_state_is_flat, build_optimizer,
+                                      inverse_sqrt_schedule)
+    from s2st_tpu.train.trainer import Trainer, create_train_state
+    from tests.conftest import make_batch
+
+    mesh = make_mesh(dp=8)
+    lcfg = LossConfig(ctc_weight=0.3, asr_ce_weight=0.3, st_ce_weight=0.3)
+    batch = make_batch(small_cfg, b=8, src_t=33, tgt_t=17)
+
+    def run(flat):
+        tx = build_optimizer("adam", betas=(0.9, 0.98))
+        v = m.init_s2st(jax.random.PRNGKey(0), small_cfg)
+        tr = Trainer(small_cfg, lcfg, tx,
+                     inverse_sqrt_schedule(1e-3, warmup_updates=4), mesh,
+                     clip_norm=1.0, flat_optimizer=flat)
+        st = tr.place_state(create_train_state(v, tx))
+        assert adam_state_is_flat(st.opt_state) == flat
+        losses = []
+        for i in range(4):
+            st, mm = tr.train_step(st, [batch], jax.random.PRNGKey(7))
+            losses.append(mm["loss"])
+        return st, losses
+
+    st_flat, l_flat = run(True)
+    st_tree, l_tree = run(False)
+    np.testing.assert_allclose(l_flat, l_tree, rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_flat.params["decoder"]["feat_proj"]["w"],
+                   np.float32),
+        np.asarray(st_tree.params["decoder"]["feat_proj"]["w"],
+                   np.float32), atol=2e-5)
+
+    # checkpoint: flat state saves per-leaf; loads into BOTH layouts
+    path = str(tmp_path / "flat_ckpt.npz")
+    save_checkpoint_file(path, st_flat)
+    restored_tree, _ = restore_state(st_tree, path)
+    assert not adam_state_is_flat(restored_tree.opt_state)
+    restored_flat, _ = restore_state(st_flat, path)
+    assert adam_state_is_flat(restored_flat.opt_state)
+    idx = 0 if not isinstance(st_tree.opt_state,
+                              tuple) else 0
+    mu_tree = jax.tree_util.tree_leaves(
+        restored_tree.opt_state)[1]  # count, then first mu leaf
+    assert np.isfinite(np.asarray(mu_tree, np.float32)).all()
