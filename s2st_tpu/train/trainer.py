@@ -132,7 +132,7 @@ class Trainer:
             out = []
             off = 0
             for p in p_leaves:
-                u = jax.lax.dynamic_slice_in_dim(updates_flat, off, p.size)
+                u = jax.lax.slice_in_dim(updates_flat, off, off + p.size)
                 newp = p - (lr * u.reshape(p.shape)).astype(p.dtype)
                 out.append(jnp.where(ok, newp, p))
                 off += p.size
