@@ -105,6 +105,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             else args.adam_betas
         opt_kw = dict(betas=tuple(betas), eps=args.adam_eps,
                       weight_decay=args.weight_decay)
+        if getattr(args, "adam_bf16_stats", False):
+            import jax.numpy as jnp
+            opt_kw["stats_dtype"] = jnp.bfloat16
     tx = build_optimizer(args.optimizer, **opt_kw)
     # flat-core apply phase (train/optim.py): valid for plain adam without
     # weight decay; place_state additionally checks the mesh shards nothing

@@ -164,6 +164,10 @@ def add_optimization_args(parser: argparse.ArgumentParser):
     p.add_argument("--optimizer", default="adam")
     p.add_argument("--adam-betas", default="(0.9, 0.98)")
     p.add_argument("--adam-eps", type=float, default=1e-8)
+    p.add_argument("--adam-bf16-stats", action="store_true",
+                   help="store adam moments in bfloat16 (the reference's "
+                        "--fp16-adam-stats, fairseq/optim/adam.py; halves "
+                        "optimizer-state HBM traffic)")
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--lr", default="0.001")
     p.add_argument("--lr-scheduler", default="inverse_sqrt")

@@ -75,6 +75,10 @@ def unflatten_into(tree, flat: Dict[str, np.ndarray], prefix="",
         if tuple(arr.shape) != tuple(leaf.shape):
             raise ValueError(f"shape mismatch for {key}: "
                              f"ckpt {arr.shape} vs model {leaf.shape}")
+        if arr.dtype.kind == "V":
+            # npz stores ml_dtypes (bfloat16 moments under
+            # --adam-bf16-stats) as raw void bytes; reinterpret
+            arr = arr.view(np.dtype(leaf.dtype))
         return jnp.asarray(arr, dtype=leaf.dtype)
     return jax.tree_util.tree_map_with_path(rebuild, tree)
 

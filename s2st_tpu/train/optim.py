@@ -224,10 +224,58 @@ def build_schedule(name: str, lr: float, **kw) -> Callable:
 # -lr(step) explicitly so schedules stay host-visible for logging)
 # ---------------------------------------------------------------------------
 
+def scale_by_adam_dtyped(b1: float, b2: float, eps: float,
+                         stats_dtype) -> optax.GradientTransformation:
+    """Adam with mu/nu STORED in ``stats_dtype`` (bf16), math in fp32.
+
+    TPU-native equivalent of the reference's ``--fp16-adam-stats``
+    (fairseq/optim/adam.py:42-47 + fp16_optimizer stats handling): halves
+    the optimizer-state HBM traffic of the apply phase, trading moment
+    precision. Reuses optax.ScaleByAdamState so the flat-core machinery
+    below (_find_adam / flatten / unflatten) applies unchanged."""
+    f32 = jnp.float32
+
+    def init_fn(params):
+        z = lambda p: jnp.zeros(p.shape, stats_dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(z, params),
+            nu=jax.tree_util.tree_map(z, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        t = count.astype(f32)
+        bc1 = 1.0 - b1 ** t
+        bc2 = 1.0 - b2 ** t
+        mu_f = jax.tree_util.tree_map(
+            lambda m, g: b1 * m.astype(f32) + (1 - b1) * g.astype(f32),
+            state.mu, updates)
+        nu_f = jax.tree_util.tree_map(
+            lambda v, g: b2 * v.astype(f32)
+            + (1 - b2) * jnp.square(g.astype(f32)),
+            state.nu, updates)
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu_f, nu_f)
+        new_state = optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree_util.tree_map(lambda m: m.astype(stats_dtype), mu_f),
+            nu=jax.tree_util.tree_map(lambda v: v.astype(stats_dtype), nu_f))
+        return out, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def adam(betas: Tuple[float, float] = (0.9, 0.999), eps: float = 1e-8,
-         weight_decay: float = 0.0) -> optax.GradientTransformation:
-    """fairseq/optim/adam.py defaults (Adam w/ optional decoupled wd)."""
-    txs = [optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps)]
+         weight_decay: float = 0.0,
+         stats_dtype=None) -> optax.GradientTransformation:
+    """fairseq/optim/adam.py defaults (Adam w/ optional decoupled wd).
+    stats_dtype: store moments in this dtype (--adam-bf16-stats)."""
+    if stats_dtype is not None:
+        core = scale_by_adam_dtyped(betas[0], betas[1], eps, stats_dtype)
+    else:
+        core = optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps)
+    txs = [core]
     if weight_decay > 0:
         txs.append(optax.add_decayed_weights(weight_decay))
     return optax.chain(*txs)
@@ -368,10 +416,11 @@ def flatten_adam_state(opt_state, params):
     if not found or adam_state_is_flat(opt_state):
         return opt_state if found else None
     _, st = found
+    # dtype preserved: fp32 for plain adam, bf16 under --adam-bf16-stats
     flat = optax.ScaleByAdamState(
         count=st.count,
-        mu=flatten_like(params, st.mu, jnp.float32),
-        nu=flatten_like(params, st.nu, jnp.float32))
+        mu=flatten_like(params, st.mu),
+        nu=flatten_like(params, st.nu))
     return _replace_adam(opt_state, flat)
 
 
@@ -380,9 +429,13 @@ def unflatten_adam_state(opt_state, params):
     if not adam_state_is_flat(opt_state):
         return opt_state
     _, st = _find_adam(opt_state)
-    f32p = jax.tree_util.tree_map(lambda p: p.astype(jnp.float32), params)
+    # per-leaf template in the stats dtype (fp32, or bf16 under
+    # --adam-bf16-stats — the checkpoint keeps the storage dtype, like
+    # the reference's fp16 stats)
+    tmpl = jax.tree_util.tree_map(
+        lambda p: jax.ShapeDtypeStruct(p.shape, st.mu.dtype), params)
     tree = optax.ScaleByAdamState(
         count=st.count,
-        mu=unflatten_like(f32p, st.mu),
-        nu=unflatten_like(f32p, st.nu))
+        mu=unflatten_like(tmpl, st.mu),
+        nu=unflatten_like(tmpl, st.nu))
     return _replace_adam(opt_state, tree)

@@ -19,10 +19,14 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Tuple
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+logger = logging.getLogger(__name__)
 
 from ..models import s2st_transformer as m
 from ..parallel.mesh import put_batch, replicated, variables_shardings

@@ -273,3 +273,67 @@ def test_flat_optimizer_matches_tree_path(small_cfg, tmp_path):
     mu_tree = jax.tree_util.tree_leaves(
         restored_tree.opt_state)[1]  # count, then first mu leaf
     assert np.isfinite(np.asarray(mu_tree, np.float32)).all()
+
+
+def test_adam_bf16_stats(small_cfg, tmp_path):
+    """--adam-bf16-stats (reference --fp16-adam-stats, fairseq/optim/
+    adam.py): moments stored bf16, update math fp32. The trajectory must
+    track the fp32-stats run closely, the flat core must carry the dtype,
+    and checkpoints must round-trip it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from s2st_tpu.models import s2st_transformer as m
+    from s2st_tpu.parallel.mesh import make_mesh
+    from s2st_tpu.train.checkpoint import (restore_state,
+                                           save_checkpoint_file)
+    from s2st_tpu.train.losses import LossConfig
+    from s2st_tpu.train.optim import (_find_adam, adam_state_is_flat,
+                                      build_optimizer,
+                                      inverse_sqrt_schedule)
+    from s2st_tpu.train.trainer import Trainer, create_train_state
+    from tests.conftest import make_batch
+
+    mesh = make_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+    lcfg = LossConfig(ctc_weight=0.3, asr_ce_weight=0.3, st_ce_weight=0.3)
+    batch = make_batch(small_cfg, b=4, src_t=33, tgt_t=17)
+
+    def run(stats_dtype, flat):
+        kw = {} if stats_dtype is None else dict(stats_dtype=stats_dtype)
+        tx = build_optimizer("adam", betas=(0.9, 0.98), **kw)
+        v = m.init_s2st(jax.random.PRNGKey(0), small_cfg)
+        tr = Trainer(small_cfg, lcfg, tx,
+                     inverse_sqrt_schedule(1e-3, warmup_updates=4), mesh,
+                     clip_norm=1.0, flat_optimizer=flat)
+        st = tr.place_state(create_train_state(v, tx))
+        losses = []
+        for i in range(4):
+            st, mm = tr.train_step(st, [batch], jax.random.PRNGKey(7))
+            losses.append(mm["loss"])
+        return st, losses
+
+    st_bf, l_bf = run(jnp.bfloat16, flat=True)
+    st_f32, l_f32 = run(None, flat=True)
+    assert adam_state_is_flat(st_bf.opt_state)
+    _, core = _find_adam(st_bf.opt_state)
+    assert core.mu.dtype == jnp.bfloat16 and core.nu.dtype == jnp.bfloat16
+    # bf16 moments perturb the trajectory slightly, not grossly
+    np.testing.assert_allclose(l_bf, l_f32, rtol=2e-2)
+
+    # tree (non-flat) path carries the dtype too
+    st_bt, l_bt = run(jnp.bfloat16, flat=False)
+    _, core_t = _find_adam(st_bt.opt_state)
+    mu_leaf = jax.tree_util.tree_leaves(core_t.mu)[0]
+    assert mu_leaf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(l_bt, l_bf, rtol=2e-3)
+
+    # checkpoint: per-leaf bf16 on disk, restores into the flat layout
+    path = str(tmp_path / "bf16_ckpt.npz")
+    save_checkpoint_file(path, st_bf)
+    restored, _ = restore_state(st_bf, path)
+    assert adam_state_is_flat(restored.opt_state)
+    _, rcore = _find_adam(restored.opt_state)
+    assert rcore.mu.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(rcore.mu, np.float32),
+        np.asarray(core.mu, np.float32), atol=0)
