@@ -230,7 +230,11 @@ class EpochBatchIterator:
             return self._collate_row_shard(idxs)
         items = [self._fetch_item(int(i)) for i in idxs]
         kw = {}
-        if self.snap_shapes:
+        if self.snap_shapes and hasattr(self.dataset, "snap_kwargs"):
+            # dataset-owned static-shape policy (raw-audio pretraining:
+            # crop target snapped DOWN, no padding)
+            kw = self.dataset.snap_kwargs(items)
+        elif self.snap_shapes:
             def src_len(it):
                 arr = it.src_speech if it.src_speech is not None else it.src_orig
                 return arr.shape[0]
@@ -247,6 +251,21 @@ class EpochBatchIterator:
         """Collate this process's rows of a global batch (see __init__)."""
         rank, world = self.data_rank, self.data_world
         local = [int(i) for i in idxs[rank::world]]
+        if hasattr(self.dataset, "snap_kwargs"):
+            # dataset-owned shapes: load the whole batch on each process
+            # (cheap manifests have collate_meta instead), shard rows
+            items_all = [self._fetch_item(int(i)) for i in idxs]
+            kw = self.dataset.snap_kwargs(items_all) if self.snap_shapes \
+                else {}
+            gb = snap_len(len(idxs), 8)
+            gb = -(-gb // world) * world
+            kw["pad_batch"] = gb // world
+            items = items_all[rank::world] or items_all[:1]
+            batch = self.dataset.collate(items, **kw)
+            if not items_all[rank::world]:
+                batch["source"][:] = 0
+                batch["source_lens"][:] = 0
+            return batch
         meta = None
         if hasattr(self.dataset, "collate_meta"):
             meta = self.dataset.collate_meta([int(i) for i in idxs])

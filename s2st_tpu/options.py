@@ -139,6 +139,44 @@ def add_model_args(parser: argparse.ArgumentParser):
                    help="remat each transformer layer")
 
 
+def add_wav2vec2_args(parser: argparse.ArgumentParser):
+    """wav2vec 2.0 pretraining flags (Wav2Vec2Config, wav2vec2.py:36-230 +
+    AudioPretrainingConfig, tasks/audio_pretraining.py:31-70 + criterion
+    flags, wav2vec_criterion.py:20-34)."""
+    p = parser.add_argument_group("wav2vec2")
+    # task / data
+    p.add_argument("--sample-rate", type=int, default=16000)
+    p.add_argument("--max-sample-size", type=int, default=250000)
+    p.add_argument("--min-sample-size", type=int, default=32000)
+    p.add_argument("--normalize", action="store_true",
+                   help="layer-normalize each (cropped) waveform")
+    # model
+    p.add_argument("--conv-feature-layers",
+                   default="[(512,10,5)]+[(512,3,2)]*4+[(512,2,2)]*2",
+                   help="python literal [(dim, kernel, stride), ...]")
+    p.add_argument("--final-dim", type=int, default=256)
+    p.add_argument("--logit-temp", type=float, default=0.1)
+    p.add_argument("--quantize-targets", action="store_true")
+    p.add_argument("--latent-vars", type=int, default=320)
+    p.add_argument("--latent-groups", type=int, default=2)
+    p.add_argument("--latent-dim", type=int, default=0)
+    p.add_argument("--latent-temp", default="(2.0,0.5,0.999995)")
+    p.add_argument("--mask-prob", type=float, default=0.65)
+    p.add_argument("--mask-length", type=int, default=10)
+    p.add_argument("--num-negatives", type=int, default=100)
+    p.add_argument("--cross-sample-negatives", type=int, default=0)
+    p.add_argument("--dropout-input", type=float, default=0.1)
+    p.add_argument("--dropout-features", type=float, default=0.1)
+    p.add_argument("--feature-grad-mult", type=float, default=0.1)
+    p.add_argument("--conv-pos", type=int, default=128)
+    p.add_argument("--conv-pos-groups", type=int, default=16)
+    p.add_argument("--layer-norm-first", action="store_true")
+    # criterion
+    p.add_argument("--infonce", action="store_true")
+    p.add_argument("--loss-weights", default="0.1,10",
+                   help="prob_ppl,features_pen weights")
+
+
 def add_criterion_args(parser: argparse.ArgumentParser):
     p = parser.add_argument_group("criterion")
     p.add_argument("--criterion", default="s2st_loss")
@@ -370,6 +408,82 @@ def fastspeech2_base(args):
     return args
 
 
+@register_arch("wav2vec2")
+def wav2vec2_base(args):
+    """wav2vec2 base arch (examples/wav2vec config wav2vec2_base_librispeech
+    + Wav2Vec2Config defaults): 12x768 encoder, quantized targets, InfoNCE."""
+    args.encoder_layers = 12
+    args.encoder_embed_dim = 768
+    args.encoder_ffn_embed_dim = 3072
+    args.encoder_attention_heads = 12
+    args.dropout = 0.1
+    args.attention_dropout = 0.1
+    args.activation_dropout = 0.0
+    args.quantize_targets = True
+    args.infonce = True
+    return args
+
+
+def build_wav2vec2_config(args):
+    """args -> Wav2Vec2Config (+ HubertConfig trunk). The trunk reuses the
+    shared encoder flag names (--encoder-layers etc.)."""
+    import ast
+    import jax.numpy as jnp
+    from .models.hubert import HubertConfig
+    from .models.wav2vec2 import Wav2Vec2Config
+
+    def _list_expr(s):
+        """Evaluate the reference's conv-spec syntax
+        ("[(512,10,5)] + [(512,3,2)] * 4 + ...") without eval(): only
+        list/tuple/int literals and +/* of lists are allowed."""
+        def ev(node):
+            if isinstance(node, ast.Expression):
+                return ev(node.body)
+            if isinstance(node, (ast.List, ast.Tuple)):
+                v = [ev(e) for e in node.elts]
+                return v if isinstance(node, ast.List) else tuple(v)
+            if isinstance(node, ast.Constant) and isinstance(node.value, int):
+                return node.value
+            if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
+                return ev(node.left) + ev(node.right)
+            if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Mult):
+                return ev(node.left) * ev(node.right)
+            raise ValueError(f"bad conv spec element: {ast.dump(node)}")
+        return ev(ast.parse(s, mode="eval"))
+
+    conv = tuple(tuple(t) for t in _list_expr(str(args.conv_feature_layers)))
+    trunk = HubertConfig(
+        conv_layers=conv,
+        encoder_layers=args.encoder_layers,
+        encoder_embed_dim=args.encoder_embed_dim,
+        encoder_ffn_embed_dim=args.encoder_ffn_embed_dim,
+        encoder_attention_heads=args.encoder_attention_heads,
+        conv_pos=args.conv_pos,
+        conv_pos_groups=args.conv_pos_groups,
+        layer_norm_first=getattr(args, "layer_norm_first", False),
+        dtype=jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32)
+    return Wav2Vec2Config(
+        trunk=trunk,
+        final_dim=args.final_dim,
+        logit_temp=args.logit_temp,
+        quantize_targets=getattr(args, "quantize_targets", False),
+        latent_vars=args.latent_vars,
+        latent_groups=args.latent_groups,
+        latent_dim=args.latent_dim,
+        latent_temp=tuple(ast.literal_eval(str(args.latent_temp))),
+        mask_prob=args.mask_prob,
+        mask_length=args.mask_length,
+        num_negatives=args.num_negatives,
+        cross_sample_negatives=args.cross_sample_negatives,
+        dropout=args.dropout,
+        attention_dropout=args.attention_dropout,
+        activation_dropout=args.activation_dropout,
+        dropout_input=args.dropout_input,
+        dropout_features=args.dropout_features,
+        feature_grad_mult=args.feature_grad_mult,
+        dtype=jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32)
+
+
 @register_arch("s2t_transformer_hubert")
 def s2t_transformer_hubert(args):
     """s2t_transformer_me.py:82 — S2T with the frozen HuBERT frontend
@@ -434,6 +548,7 @@ def get_training_parser() -> argparse.ArgumentParser:
     add_common_args(parser)
     add_task_args(parser)
     add_model_args(parser)
+    add_wav2vec2_args(parser)
     add_criterion_args(parser)
     add_optimization_args(parser)
     add_checkpoint_args(parser)

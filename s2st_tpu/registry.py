@@ -68,4 +68,5 @@ def import_user_module(module_path: str):
 def populate_builtin():
     """Import built-in tasks/criteria so their registrations run."""
     import s2st_tpu.tasks.s2s_translation  # noqa: F401
+    import s2st_tpu.tasks.audio_pretraining  # noqa: F401
     import s2st_tpu.benchmark.dummy_s2st  # noqa: F401

@@ -355,3 +355,71 @@ def fastspeech2_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
 
 fastspeech2_loss.mean_keys = ("loss", "l1_loss", "dur_loss", "pitch_loss",
                               "energy_loss", "ctc_loss")
+
+
+# ---------------------------------------------------------------------------
+# wav2vec 2.0 pretraining criterion
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Wav2VecLossConfig:
+    """Mirrors Wav2VecCriterionConfig (wav2vec_criterion.py:20-34) at the
+    wav2vec2-base recipe operating point: --infonce is implied (the CE
+    branch; BCE is the wav2vec-1.0 leftover) and --loss-weights [0.1, 10]
+    maps to (prob_ppl_weight, features_pen_weight) in get_extra_losses
+    order (wav2vec2.py:715-727)."""
+    infonce: bool = True
+    prob_ppl_weight: float = 0.1
+    features_pen_weight: float = 10.0
+
+
+def wav2vec_loss(variables, cfg, lcfg: Wav2VecLossConfig, batch,
+                 rng=None, train: bool = True):
+    """Wav2vecCriterion.forward, XLA branch (wav2vec_criterion.py:44-110):
+    InfoNCE cross-entropy over (1 positive + N negatives) at every frame,
+    weighted by the span mask (no dynamic shrink); extra penalties scaled
+    by sample_size. The gumbel temperature anneal reads ``num_updates``
+    from model stats and the new count is returned through ``new_stats`` —
+    the counter therefore checkpoints/resumes with the model."""
+    from ..models import wav2vec2 as w2v
+    params, stats = variables["params"], variables["stats"]
+    num_updates = stats["num_updates"]
+    net = w2v.forward_pretrain(params, cfg, batch["source"],
+                               batch["source_lens"], num_updates, rng,
+                               train=train)
+    logits = net["logits"]                                   # (N+1, B, T)
+    # weight = masked & non-padding frames (criterion: mask_indices reshape)
+    w = (net["mask"] & ~net["padding_mask"]).astype(jnp.float32)  # (B, T)
+    lp = jax.nn.log_softmax(logits, axis=0)
+    main_loss = -jnp.sum(lp[0] * w)
+    sample_size = jnp.sum(w)
+    loss = main_loss
+    logging: Dict[str, Any] = {"loss": main_loss}
+    if "prob_perplexity" in net and lcfg.prob_ppl_weight != 0.0:
+        ppl_pen = (net["num_vars"] - net["prob_perplexity"]) / net["num_vars"]
+        ppl_term = lcfg.prob_ppl_weight * ppl_pen * sample_size
+        loss = loss + ppl_term
+        logging["prob_ppl_loss"] = ppl_term
+        logging["prob_perplexity"] = net["prob_perplexity"]
+        logging["code_perplexity"] = net["code_perplexity"]
+        logging["temp"] = net["temp"]
+    if lcfg.features_pen_weight != 0.0:
+        pen_term = lcfg.features_pen_weight * net["features_pen"] \
+            * sample_size
+        loss = loss + pen_term
+        logging["features_pen"] = pen_term
+    # accuracy meters (criterion :139-153: count of argmax==positive)
+    pred = jnp.argmax(logits, axis=0)
+    logging["n_correct"] = jnp.sum((pred == 0) * w)
+    logging["total"] = sample_size
+    logging["ntokens"] = sample_size
+    logging["nsentences"] = jnp.int32(batch["source"].shape[0])
+    logging["sample_size"] = sample_size
+    new_stats = dict(stats)
+    if train:
+        new_stats["num_updates"] = num_updates + 1
+    return loss, {"new_stats": new_stats, "logging": logging,
+                  "sample_size": sample_size}
+
+
+wav2vec_loss.mean_keys = ("prob_perplexity", "code_perplexity", "temp")
