@@ -2,8 +2,9 @@
 pre-tokenizers, sentencepiece/char BPE codecs).
 
 The s2s_trans recipes tokenize offline (g2p / IPA phonemization before
-get_feature_manifest), so these are thin shims driven by the data config's
-``pre_tokenizer`` / ``bpe_tokenizer`` blocks; sentencepiece is gated on the
+get_feature_manifest); these are driven by the data config's
+``pre_tokenizer`` / ``bpe_tokenizer`` blocks. The moses row wraps the SAME
+sacremoses backend the reference wraps; sentencepiece is gated on the
 library being installed (it is not baked into this image)."""
 
 from __future__ import annotations
@@ -60,20 +61,39 @@ class SpaceTokenizer:
 
 
 @register_tokenizer("moses")
-class MosesLiteTokenizer:
-    """Dependency-free approximation of the moses tokenizer (punctuation
-    splitting + whitespace normalization; fairseq wraps sacremoses which is
-    not in this image)."""
+class MosesTokenizer:
+    """fairseq/data/encoders/moses_tokenizer.py parity: wraps sacremoses
+    MosesTokenizer/MosesDetokenizer with the same config surface
+    (source_lang/target_lang, moses_no_dash_splits, moses_no_escape).
+    Falls back to a documented lite approximation only if sacremoses is
+    absent from the environment."""
 
     def __init__(self, cfg=None):
         cfg = cfg or {}
+        self.cfg = cfg
         self.lang = cfg.get("source_lang", "en")
+        try:
+            from sacremoses import MosesDetokenizer as MD
+            from sacremoses import MosesTokenizer as MT
+            self.tok = MT(self.lang)
+            self.detok = MD(cfg.get("target_lang", "en"))
+        except ImportError:
+            self.tok = self.detok = None
 
     def encode(self, x: str) -> str:
+        if self.tok is not None:
+            return self.tok.tokenize(
+                x,
+                aggressive_dash_splits=not self.cfg.get(
+                    "moses_no_dash_splits", False),
+                return_str=True,
+                escape=not self.cfg.get("moses_no_escape", False))
         x = re.sub(r"([\.\,\!\?\;\:\(\)\"\[\]])", r" \1 ", x)
         return re.sub(r"\s+", " ", x).strip()
 
     def decode(self, x: str) -> str:
+        if self.detok is not None:
+            return self.detok.detokenize(x.split())
         x = re.sub(r"\s+([\.\,\!\?\;\:\)\]])", r"\1", x)
         x = re.sub(r"([\(\[])\s+", r"\1", x)
         return x

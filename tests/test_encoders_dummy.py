@@ -11,11 +11,30 @@ def test_space_tokenizer():
     assert t.encode("  hola   mundo ") == "hola mundo"
 
 
-def test_moses_lite_roundtrip():
+def test_moses_roundtrip():
     t = build_tokenizer({"tokenizer": "moses"})
     enc = t.encode("Hello, world!")
     assert enc == "Hello , world !"
     assert t.decode(enc) == "Hello, world!"
+
+
+def test_moses_is_real_sacremoses():
+    """The moses row wraps the SAME backend the reference wraps
+    (fairseq/data/encoders/moses_tokenizer.py -> sacremoses), so behavior
+    matches by construction; spot-check its signature behaviors that the
+    lite fallback can't reproduce."""
+    pytest.importorskip("sacremoses")
+    t = build_tokenizer({"tokenizer": "moses"})
+    # HTML escaping of special entities (escape=True default)
+    assert t.encode("AT&T") == "AT &amp; T"
+    # aggressive dash splits insert @-@
+    assert t.encode("foo-bar") == "foo @-@ bar"
+    # both disabled via the reference's flag names
+    t2 = build_tokenizer({"tokenizer": "moses", "moses_no_escape": True,
+                          "moses_no_dash_splits": True})
+    assert t2.encode("AT&T foo-bar") == "AT & T foo-bar"  # split, unescaped
+    # detokenizer is moses-aware (apostrophes re-attach)
+    assert t.decode("it 's fine .") == "it's fine."
 
 
 def test_char_bpe_roundtrip():
