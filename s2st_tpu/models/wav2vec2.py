@@ -356,3 +356,81 @@ def extract_features(params: Params, cfg: Wav2Vec2Config, source, lengths,
 
 def param_count(variables) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+
+
+# ---------------------------------------------------------------------------
+# torch (fairseq) checkpoint import
+# ---------------------------------------------------------------------------
+
+def config_from_torch_ckpt(path: str) -> Wav2Vec2Config:
+    """Read a fairseq wav2vec2 checkpoint's cfg.model into Wav2Vec2Config
+    (trunk fields shared with HuBERT come via hubert.config_from_torch_ckpt
+    — identical key names)."""
+    import ast
+    import torch
+    from .hubert import config_from_torch_ckpt as hubert_cfg
+    trunk = hubert_cfg(path)
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    mc = state.get("cfg", None)
+    mc = (dict(mc["model"]) if mc is not None and not hasattr(mc, "model")
+          else dict(getattr(mc, "model", {})) if mc is not None else {})
+    temp = mc.get("latent_temp", (2.0, 0.5, 0.999995))
+    if isinstance(temp, str):
+        temp = ast.literal_eval(temp)
+    return Wav2Vec2Config(
+        trunk=trunk,
+        final_dim=int(mc.get("final_dim", 256)),
+        logit_temp=float(mc.get("logit_temp", 0.1)),
+        quantize_targets=bool(mc.get("quantize_targets", False)),
+        latent_vars=int(mc.get("latent_vars", 320)),
+        latent_groups=int(mc.get("latent_groups", 2)),
+        latent_dim=int(mc.get("latent_dim", 0)),
+        latent_temp=tuple(temp),
+        mask_prob=float(mc.get("mask_prob", 0.65)),
+        mask_length=int(mc.get("mask_length", 10)),
+        num_negatives=int(mc.get("num_negatives", 100)),
+        cross_sample_negatives=int(mc.get("cross_sample_negatives", 0)),
+        dropout=float(mc.get("dropout", 0.1)),
+        attention_dropout=float(mc.get("attention_dropout", 0.1)),
+        activation_dropout=float(mc.get("activation_dropout", 0.0)),
+        dropout_input=float(mc.get("dropout_input", 0.1)),
+        dropout_features=float(mc.get("dropout_features", 0.1)),
+        feature_grad_mult=float(mc.get("feature_grad_mult", 1.0)),
+    )
+
+
+def load_torch_wav2vec2(path: str, cfg: Optional[Wav2Vec2Config] = None):
+    """Import a fairseq wav2vec2 checkpoint ({"model": state_dict, "cfg"}):
+    trunk via the HuBERT importer (identical key layout — both models share
+    ConvFeatureExtractionModel/TransformerEncoder in the reference), plus
+    the pretraining heads (mask_emb, quantizer, project_q, final_proj).
+    Returns ({"params", "stats"}, cfg)."""
+    import numpy as np
+    import torch
+    from .hubert import load_torch_hubert
+    if cfg is None:
+        cfg = config_from_torch_ckpt(path)
+    trunk_params, _ = load_torch_hubert(path, cfg.trunk)
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    sd = state["model"] if "model" in state else state
+    sd = {k: (v.detach().float().numpy() if torch.is_tensor(v)
+              else np.asarray(v, np.float32)) for k, v in sd.items()}
+
+    def lin(prefix):
+        p = {"w": sd[prefix + ".weight"].T.copy()}
+        if prefix + ".bias" in sd:
+            p["b"] = sd[prefix + ".bias"]
+        return p
+
+    p: Params = {"trunk": trunk_params, "mask_emb": jnp.asarray(
+        sd["mask_emb"])}
+    if "quantizer.vars" in sd:
+        p["quantizer"] = {
+            "proj": jax.tree_util.tree_map(
+                jnp.asarray, lin("quantizer.weight_proj")),
+            "vars": jnp.asarray(sd["quantizer.vars"][0]),   # (G*V, var_dim)
+        }
+    p["project_q"] = jax.tree_util.tree_map(jnp.asarray, lin("project_q"))
+    p["final_proj"] = jax.tree_util.tree_map(jnp.asarray, lin("final_proj"))
+    return {"params": p,
+            "stats": {"num_updates": jnp.zeros((), jnp.int32)}}, cfg

@@ -248,6 +248,77 @@ def test_compute_preds_matches_reference():
                                np.where(dup, 0, ref_logits), atol=2e-5)
 
 
+@needs_ref
+def test_torch_import_from_genuine_reference_checkpoint(tmp_path):
+    """Build the REFERENCE's Wav2Vec2Model, save a genuine fairseq-format
+    .pt, import it with load_torch_wav2vec2, and verify (a) config parse,
+    (b) extract_features numerics vs the torch model <=1e-4, (c) the
+    quantizer eval path end-to-end on real extractor features."""
+    load_reference()
+    import torch
+    from fairseq.models.wav2vec.wav2vec2 import (Wav2Vec2Config,
+                                                 Wav2Vec2Model)
+    rcfg = Wav2Vec2Config()
+    rcfg.conv_feature_layers = "[(16, 10, 5), (16, 3, 2)]"
+    rcfg.encoder_layers = 2
+    rcfg.encoder_embed_dim = 32
+    rcfg.encoder_attention_heads = 4
+    rcfg.encoder_ffn_embed_dim = 64
+    rcfg.final_dim = 16
+    rcfg.conv_pos = 8
+    rcfg.conv_pos_groups = 2
+    rcfg.quantize_targets = True
+    rcfg.latent_vars = 8
+    rcfg.latent_groups = 2
+    rcfg.latent_dim = 16
+    ref_model = Wav2Vec2Model(rcfg)
+    ref_model.eval()
+    path = str(tmp_path / "w2v_tiny.pt")
+    torch.save({"model": ref_model.state_dict(),
+                "cfg": {"model": {
+                    "conv_feature_layers": rcfg.conv_feature_layers,
+                    "encoder_layers": 2, "encoder_embed_dim": 32,
+                    "encoder_attention_heads": 4,
+                    "encoder_ffn_embed_dim": 64, "final_dim": 16,
+                    "conv_pos": 8, "conv_pos_groups": 2,
+                    "quantize_targets": True, "latent_vars": 8,
+                    "latent_groups": 2, "latent_dim": 16,
+                    "latent_temp": "(2.0, 0.5, 0.999995)"}}}, path)
+
+    variables, cfg = w2v.load_torch_wav2vec2(path)
+    assert cfg.latent_vars == 8 and cfg.trunk.encoder_layers == 2
+    assert cfg.quantize_targets and cfg.var_dim == 8
+
+    r = np.random.RandomState(0)
+    src = r.randn(2, 800).astype(np.float32)
+    lens = np.asarray([800, 800], np.int32)
+    with torch.no_grad():
+        ref_out = ref_model.extract_features(torch.tensor(src), None,
+                                             mask=False)["x"].numpy()
+    ours, _ = w2v.extract_features(variables["params"], cfg,
+                                   jnp.asarray(src), jnp.asarray(lens))
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-4)
+
+    # quantizer on the real (layer-normed) extractor features
+    with torch.no_grad():
+        feats_t = ref_model.feature_extractor(
+            torch.tensor(src)).transpose(1, 2)
+        feats_t = ref_model.layer_norm(feats_t)
+        ref_q = ref_model.quantizer(feats_t, produce_targets=True)
+    from s2st_tpu.models.hubert import _extractor
+    from s2st_tpu.nn.core import layer_norm
+    feats = _extractor(variables["params"]["trunk"]["extractor"], cfg.trunk,
+                       jnp.asarray(src))
+    feats = layer_norm(variables["params"]["trunk"]["feat_ln"], feats)
+    ours_q = w2v.gumbel_quantize(variables["params"]["quantizer"], cfg,
+                                 feats, jnp.float32(2.0),
+                                 jax.random.PRNGKey(0), train=False)
+    np.testing.assert_array_equal(np.asarray(ours_q["targets"]),
+                                  ref_q["targets"].numpy())
+    np.testing.assert_allclose(np.asarray(ours_q["x"]),
+                               ref_q["x"].numpy(), atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # CLI e2e
 # ---------------------------------------------------------------------------
