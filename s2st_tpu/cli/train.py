@@ -222,7 +222,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     progress = ProgressLogger(log_format=args.log_format,
                               log_interval=args.log_interval,
                               tensorboard_logdir=args.tensorboard_logdir,
-                              log_file=args.log_file)
+                              log_file=args.log_file,
+                              wandb_project=args.wandb_project,
+                              wandb_run_name=args.wandb_run_name,
+                              azureml_logging=args.azureml_logging)
 
     # EMA (trainer.py:924-936 parity) + diagnostics (SURVEY §5)
     from ..train.ema import EMAConfig, ema_step, init_ema

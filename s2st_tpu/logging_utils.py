@@ -177,7 +177,10 @@ class ProgressLogger:
     def __init__(self, log_format: str = "simple", log_interval: int = 100,
                  epoch: Optional[int] = None,
                  tensorboard_logdir: Optional[str] = None,
-                 log_file: Optional[str] = None):
+                 log_file: Optional[str] = None,
+                 wandb_project: Optional[str] = None,
+                 wandb_run_name: Optional[str] = None,
+                 azureml_logging: bool = False):
         self.log_format = log_format
         self.log_interval = log_interval
         self.epoch = epoch
@@ -188,6 +191,28 @@ class ProgressLogger:
                 self._tb = SummaryWriter(tensorboard_logdir)
             except Exception:
                 logger.warning("tensorboard unavailable; skipping event logs")
+        # Weights & Biases sink (reference --wandb-project,
+        # progress_bar.py:392-436 WandBProgressBarWrapper); library-gated —
+        # a warning, not an error, when wandb isn't installed.
+        self._wandb = None
+        if wandb_project:
+            try:
+                import wandb
+                wandb.init(project=wandb_project, reinit=False,
+                           name=wandb_run_name)
+                self._wandb = wandb
+            except Exception:
+                logger.warning("wandb not found, pip install wandb")
+        # AzureML sink (reference --azureml-logging,
+        # progress_bar.py:445-481 AzureMLProgressBarWrapper)
+        self._azureml = None
+        if azureml_logging:
+            try:
+                from azureml.core import Run
+                self._azureml = Run.get_context()
+            except Exception:
+                logger.warning("azureml.core not found, "
+                               "pip install azureml-core")
         if log_file:
             handler = logging.FileHandler(log_file)
             handler.setFormatter(logging.Formatter(
@@ -225,10 +250,23 @@ class ProgressLogger:
             step: int = 0):
         logger.info(self._fmt(stats, tag, step))
         self._tb_write(stats, tag, step)
+        self._sinks_write(stats, tag, step)
 
     def print(self, stats: Dict[str, Any], tag: str = "train", step: int = 0):
         logger.info(self._fmt(stats, tag, step))
         self._tb_write(stats, tag, step)
+        self._sinks_write(stats, tag, step)
+
+    def _sinks_write(self, stats, tag, step):
+        if self._wandb is not None:
+            prefix = f"{tag}/" if tag else ""
+            self._wandb.log({prefix + k: v for k, v in stats.items()
+                             if isinstance(v, (int, float))}, step=step)
+        if self._azureml is not None:
+            prefix = f"{tag}/" if tag else ""
+            for k, v in stats.items():
+                if isinstance(v, (int, float)):
+                    self._azureml.log(name=prefix + k, value=v)
 
     def _tb_write(self, stats, tag, step):
         if self._tb is None:

@@ -31,6 +31,11 @@ def add_common_args(parser: argparse.ArgumentParser):
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--log-file", default=None)
     p.add_argument("--tensorboard-logdir", default=None)
+    p.add_argument("--wandb-project", default=None,
+                   help="Weights & Biases project (library-gated sink)")
+    p.add_argument("--wandb-run-name", default=None)
+    p.add_argument("--azureml-logging", action="store_true",
+                   help="log metrics to the AzureML run context")
     p.add_argument("--fp16", action="store_true",
                    help="mixed precision; maps to bfloat16 on TPU")
     p.add_argument("--bf16", action="store_true")
