@@ -123,6 +123,11 @@ class S2STConfig:
     dtype: Any = jnp.bfloat16
     # remat: checkpoint each transformer layer (trades FLOPs for HBM)
     remat: bool = False
+    # Megatron-style vocab-parallel aux-decoder embedding tables (masked
+    # local gather + psum, parallel/vocab_parallel.py) — use when vocabs
+    # grow past "replicating the table is free"; requires a model axis > 1
+    # and vocab divisible by it, otherwise falls back to replicated.
+    vocab_parallel_embed: bool = False
 
     @property
     def out_dim(self) -> int:
@@ -553,14 +558,27 @@ def aux_decode(p: Params, cfg: S2STConfig, dim: int, n_layers: int,
                prev_tokens: jnp.ndarray, enc_tap: jnp.ndarray,
                enc_padding_mask: Optional[jnp.ndarray],
                max_positions: int = 1024,
-               rng: Optional[jax.Array] = None, deterministic: bool = True
-               ) -> jnp.ndarray:
+               rng: Optional[jax.Array] = None, deterministic: bool = True,
+               mesh=None, batch_axes=None) -> jnp.ndarray:
     """Standard transformer text decoder over an encoder tap
     (parity: fairseq TransformerDecoder used via ASR/STTransformerDecoderScriptable,
-    s2st_transformer.py:483-578). prev_tokens: (B, Tt) int32 -> logits (B, Tt, V)."""
+    s2st_transformer.py:483-578). prev_tokens: (B, Tt) int32 -> logits (B, Tt, V).
+
+    mesh/batch_axes: with cfg.vocab_parallel_embed and a model axis > 1,
+    the input embedding runs as the Megatron masked-gather+psum shard_map
+    op over the vocab-sharded table (parallel/vocab_parallel.py)."""
     b, tt = prev_tokens.shape
     scale = 1.0 if cfg.no_scale_embedding else dim ** 0.5
-    x = embedding(p["embed"], prev_tokens, cfg.dtype) * jnp.asarray(scale, cfg.dtype)
+    tp = mesh.shape.get("model", 1) if mesh is not None else 1
+    if cfg.vocab_parallel_embed and tp > 1 \
+            and p["embed"]["w"].shape[0] % tp == 0:
+        from ..parallel.vocab_parallel import vocab_parallel_embedding
+        x = vocab_parallel_embedding(
+            p["embed"]["w"], prev_tokens, mesh,
+            batch_axes=batch_axes or ("data", "fsdp"), dtype=cfg.dtype)
+    else:
+        x = embedding(p["embed"], prev_tokens, cfg.dtype)
+    x = x * jnp.asarray(scale, cfg.dtype)
 
     table = sinusoidal_table(max_positions + PAD + 1, dim, PAD)
     # fairseq positions are pad-aware over token ids
@@ -645,14 +663,16 @@ def forward(variables: Dict[str, Params], cfg: S2STConfig, batch: Dict[str, Any]
             params["aux_asr_decoder"], cfg, cfg.asr_decoder_embed_dim,
             cfg.asr_decoder_layers, batch["prev_src_text_tokens"],
             enc["out_middle_layers"][0], enc["encoder_padding_mask"],
-            rng=r_asr, deterministic=deterministic)
+            rng=r_asr, deterministic=deterministic,
+            mesh=mesh, batch_axes=batch_axes)
     if cfg.aux_st and "prev_tgt_text_tokens" in batch:
         tap = enc["out_middle_layers"][1 if len(enc["out_middle_layers"]) > 1 else 0]
         out["st_logits"] = aux_decode(
             params["aux_st_decoder"], cfg, cfg.st_decoder_embed_dim,
             cfg.st_decoder_layers, batch["prev_tgt_text_tokens"],
             tap, enc["encoder_padding_mask"],
-            rng=r_st, deterministic=deterministic)
+            rng=r_st, deterministic=deterministic,
+            mesh=mesh, batch_axes=batch_axes)
     return out
 
 

@@ -142,6 +142,9 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--no-scale-embedding", action="store_true")
     p.add_argument("--checkpoint-activations", action="store_true",
                    help="remat each transformer layer")
+    p.add_argument("--vocab-parallel-embed", action="store_true",
+                   help="Megatron-style vocab-sharded aux-decoder embedding "
+                        "tables (needs --tp-size > 1)")
 
 
 def add_wav2vec2_args(parser: argparse.ArgumentParser):
@@ -646,6 +649,7 @@ def build_model_config(args, src_vocab_size: int, tgt_vocab_size: int,
         hubert_heads=getattr(args, "hubert_heads", 12),
         dtype=dtype,
         remat=getattr(args, "checkpoint_activations", False),
+        vocab_parallel_embed=getattr(args, "vocab_parallel_embed", False),
     )
 
 

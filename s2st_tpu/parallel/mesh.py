@@ -74,6 +74,15 @@ _RULES: Tuple[Tuple[str, Any], ...] = (
     (r".*/subsample/conv\d+/b$", P("model")),
 )
 
+# Opt-in (S2STConfig.vocab_parallel_embed): aux-decoder embedding tables
+# vocab-sharded for the Megatron masked-gather+psum shard_map op
+# (parallel/vocab_parallel.py). fsdp must NOT also shard these leaves —
+# the op's in_spec is exactly P("model", None); an fsdp-sharded D dim
+# would conflict with the ids' batch-row fsdp sharding inside the op.
+_VOCAB_PARALLEL_RULES: Tuple[Tuple[str, Any], ...] = (
+    (r".*/(aux_asr_decoder|aux_st_decoder)/embed/w$", P("model", None)),
+)
+
 
 def _path_str(path) -> str:
     parts = []
@@ -100,9 +109,14 @@ def _with_fsdp(spec: P, shape: Tuple[int, ...], fsdp_size: int) -> P:
     return spec
 
 
-def param_spec(path, leaf, mesh: Mesh, use_fsdp: bool = True) -> P:
+def param_spec(path, leaf, mesh: Mesh, use_fsdp: bool = True,
+               vocab_parallel: bool = False) -> P:
     s = _path_str(path)
     tp_size = mesh.shape.get("model", 1)
+    if vocab_parallel and tp_size > 1:
+        for pattern, rule_spec in _VOCAB_PARALLEL_RULES:
+            if re.match(pattern, s) and leaf.shape[0] % tp_size == 0:
+                return rule_spec  # never fsdp-extended (see _VOCAB_PARALLEL_RULES)
     # pre-stacked pipeline stacks (parallel.pipeline.stack_pipeline_tree):
     # leading layer axis sharded over "stage" so pipeline_apply's
     # P("stage") in_spec consumes the state layout with NO resharding
@@ -127,13 +141,15 @@ def param_spec(path, leaf, mesh: Mesh, use_fsdp: bool = True) -> P:
     return spec
 
 
-def variables_shardings(variables, mesh: Mesh, use_fsdp: bool = True):
+def variables_shardings(variables, mesh: Mesh, use_fsdp: bool = True,
+                        vocab_parallel: bool = False):
     """NamedSharding pytree matching a {"params","stats"} variables tree."""
     def assign(path, leaf):
         s = _path_str(path)
         if s.startswith("stats"):
             return NamedSharding(mesh, P())
-        return NamedSharding(mesh, param_spec(path, leaf, mesh, use_fsdp))
+        return NamedSharding(mesh, param_spec(path, leaf, mesh, use_fsdp,
+                                              vocab_parallel))
     return jax.tree_util.tree_map_with_path(assign, variables)
 
 

@@ -78,6 +78,13 @@ class Trainer:
         self.clip_norm = clip_norm
         self.loss_fn = loss_fn
         self.flat_optimizer = flat_optimizer
+        # vocab-parallel aux embeddings (parallel/vocab_parallel.py): tables
+        # get the P("model", None) sharding rule and the forward must run
+        # the shard_map op — both require the mesh threaded into m.forward
+        vp = getattr(cfg, "vocab_parallel_embed", False) or \
+            getattr(getattr(cfg, "base", None), "vocab_parallel_embed", False)
+        self.vocab_parallel = bool(vp) and mesh is not None and \
+            mesh.shape.get("model", 1) > 1
         # pipeline parallelism: when the mesh has a stage axis, route the
         # model forward through the GPipe path (tap-aware; parallel.pipeline)
         if mesh is not None and mesh.shape.get("stage", 1) > 1:
@@ -93,6 +100,20 @@ class Trainer:
             # partial() does not proxy attributes: without this, grad-accum
             # would stop dividing mean-style metrics by the microbatch count
             self.loss_fn.mean_keys = getattr(loss_fn, "mean_keys", ())
+        elif self.vocab_parallel:
+            if getattr(loss_fn, "supports_forward_fn", False):
+                import functools
+                fwd = functools.partial(m.forward, mesh=mesh,
+                                        batch_axes=("data", "fsdp"))
+                self.loss_fn = functools.partial(loss_fn, forward_fn=fwd)
+                self.loss_fn.mean_keys = getattr(loss_fn, "mean_keys", ())
+            else:
+                # without the forward hook the model never sees the mesh;
+                # sharding the table anyway would hit GSPMD's replicate-
+                # then-repartition path — keep tables replicated instead
+                logger.warning("vocab_parallel_embed disabled: %s has no "
+                               "forward_fn hook", loss_fn)
+                self.vocab_parallel = False
         self._grad_step = None
         self._apply_step = None
         self._accum = None
@@ -109,7 +130,8 @@ class Trainer:
         loss_fn = self.loss_fn
         rep = replicated(self.mesh)
         var_sh = variables_shardings(
-            {"params": state.params, "stats": state.stats}, self.mesh)
+            {"params": state.params, "stats": state.stats}, self.mesh,
+            vocab_parallel=self.vocab_parallel)
         opt_sh = self._opt_shardings(state, var_sh["params"], rep)
         self._opt_sh = opt_sh
 
@@ -317,7 +339,8 @@ class Trainer:
                                        stats=state.stats,
                                        opt_state=flat, step=state.step)
         var_sh = variables_shardings(
-            {"params": state.params, "stats": state.stats}, self.mesh)
+            {"params": state.params, "stats": state.stats}, self.mesh,
+            vocab_parallel=self.vocab_parallel)
         rep = replicated(self.mesh)
         return TrainState(
             params=jax.device_put(state.params, var_sh["params"]),
