@@ -209,6 +209,11 @@ def length_regulator(x: jnp.ndarray, durations: jnp.ndarray,
     idx = jax.vmap(lambda c: jnp.searchsorted(c, j, side="right"))(cum)
     idx = jnp.minimum(idx, x.shape[1] - 1)
     out = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+    # reference semantics: positions >= out_len are ZERO (new_zeros buffer,
+    # fastspeech2.py:92-99) — and the decoder FFT convs READ them (kernel
+    # reaches past each row's end), so valid frames near the boundary
+    # depend on this fill value; zero it to match
+    out = jnp.where(j[None, :, None] < out_lens[:, None, None], out, 0)
     return out, out_lens
 
 

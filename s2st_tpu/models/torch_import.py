@@ -85,15 +85,11 @@ def _count(sd, pat):
     return max(ids) + 1 if ids else 0
 
 
-def from_fairseq_state_dict(sd: Dict[str, np.ndarray]
-                            ) -> Dict[str, Any]:
-    """fairseq state dict (numpy values) -> {"params", "stats"} trees.
-    Consumes keys as it maps them; leftover keys are logged."""
-    sd = dict(sd)
-    params: Dict[str, Any] = {}
-    stats: Dict[str, Any] = {}
-
-    # --- encoder ---
+def _map_speech_encoder(sd) -> Dict[str, Any]:
+    """Conv1dSubsampler + transformer speech encoder (shared by the fork's
+    S2ST encoder and fairseq's S2TTransformerEncoder — identical naming:
+    encoder.subsample.conv_layers.N / encoder.transformer_layers.N /
+    encoder.layer_norm)."""
     enc: Dict[str, Any] = {"subsample": {}}
     n_convs = _count(sd, r"encoder\.subsample\.conv_layers\.(\d+)\.weight")
     for i in range(n_convs):
@@ -109,35 +105,17 @@ def from_fairseq_state_dict(sd: Dict[str, np.ndarray]
             enc[name] = _ln(sd, f"encoder.{name}")
     if "encoder.embed_speaker.weight" in sd:
         enc["embed_speaker"] = {"w": sd.pop("encoder.embed_speaker.weight")}
-    params["encoder"] = enc
+    return enc
 
-    # --- spectrogram decoder ---
-    dec: Dict[str, Any] = {"prenet": {}}
-    n_pre = _count(sd, r"decoder\.prenet\.0\.layers\.(\d+)\.0\.weight")
-    for i in range(n_pre):
-        dec["prenet"][f"fc{i}"] = _lin(sd, f"decoder.prenet.0.layers.{i}.0",
-                                       {})
-    dec["prenet_proj"] = _lin(sd, "decoder.prenet.1", {})
-    dec["pos_emb_alpha"] = sd.pop("decoder.pos_emb_alpha")
-    n_dec = _count(sd, r"decoder\.transformer_layers\.(\d+)\.fc1\.weight")
-    for i in range(n_dec):
-        dec[f"layer{i}"] = _dec_layer(sd, f"decoder.transformer_layers.{i}")
-    if "decoder.layer_norm.weight" in sd:
-        dec["final_ln"] = _ln(sd, "decoder.layer_norm")
-    dec["feat_proj"] = _lin(sd, "decoder.feat_proj", {})
-    dec["eos_proj"] = _lin(sd, "decoder.eos_proj", {})
-    if "decoder.ctc_proj.weight" in sd:
-        dec["ctc_proj"] = _lin(sd, "decoder.ctc_proj", {})
-    if "decoder.ctc_proj_tgt.weight" in sd:
-        dec["ctc_proj_tgt"] = _lin(sd, "decoder.ctc_proj_tgt", {})
-    if "decoder.embed_speaker.weight" in sd:
-        dec["embed_speaker"] = {"w": sd.pop("decoder.embed_speaker.weight")}
-    # postnet: conv (idx 0) + batchnorm (idx 1) per block
+
+def _map_postnet(sd, prefix) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Tacotron2 Postnet: conv (idx 0) + batchnorm (idx 1) per block
+    (fairseq/models/text_to_speech/tacotron2.py Postnet naming)."""
     post: Dict[str, Any] = {}
     post_stats: Dict[str, Any] = {}
-    n_post = _count(sd, r"decoder\.postnet\.convolutions\.(\d+)\.0\.weight")
+    n_post = _count(sd, re.escape(prefix) + r"\.convolutions\.(\d+)\.0\.weight")
     for i in range(n_post):
-        pre = f"decoder.postnet.convolutions.{i}"
+        pre = f"{prefix}.convolutions.{i}"
         post[f"conv{i}"] = _conv(sd, pre + ".0")
         post[f"bn{i}"] = {"scale": sd.pop(pre + ".1.weight"),
                           "bias": sd.pop(pre + ".1.bias")}
@@ -147,7 +125,63 @@ def from_fairseq_state_dict(sd: Dict[str, np.ndarray]
             "count": np.asarray(
                 sd.pop(pre + ".1.num_batches_tracked", 0), np.int32),
         }
-    dec["postnet"] = post
+    return post, post_stats
+
+
+def _map_spectrogram_decoder(sd, prefix="decoder"
+                             ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """The fork's TTS decoder (S2ST/T2S share it: s2st_transformer.py
+    TTSTransformerDecoder naming). Returns (decoder params, postnet stats)."""
+    dec: Dict[str, Any] = {"prenet": {}}
+    n_pre = _count(sd, re.escape(prefix) + r"\.prenet\.0\.layers\.(\d+)\.0\.weight")
+    for i in range(n_pre):
+        dec["prenet"][f"fc{i}"] = _lin(sd, f"{prefix}.prenet.0.layers.{i}.0",
+                                       {})
+    dec["prenet_proj"] = _lin(sd, f"{prefix}.prenet.1", {})
+    dec["pos_emb_alpha"] = sd.pop(f"{prefix}.pos_emb_alpha")
+    n_dec = _count(sd, re.escape(prefix) + r"\.transformer_layers\.(\d+)\.fc1\.weight")
+    for i in range(n_dec):
+        dec[f"layer{i}"] = _dec_layer(sd, f"{prefix}.transformer_layers.{i}")
+    if f"{prefix}.layer_norm.weight" in sd:
+        dec["final_ln"] = _ln(sd, f"{prefix}.layer_norm")
+    dec["feat_proj"] = _lin(sd, f"{prefix}.feat_proj", {})
+    dec["eos_proj"] = _lin(sd, f"{prefix}.eos_proj", {})
+    if f"{prefix}.ctc_proj.weight" in sd:
+        dec["ctc_proj"] = _lin(sd, f"{prefix}.ctc_proj", {})
+    if f"{prefix}.ctc_proj_tgt.weight" in sd:
+        dec["ctc_proj_tgt"] = _lin(sd, f"{prefix}.ctc_proj_tgt", {})
+    if f"{prefix}.embed_speaker.weight" in sd:
+        dec["embed_speaker"] = {"w": sd.pop(f"{prefix}.embed_speaker.weight")}
+    dec["postnet"], post_stats = _map_postnet(sd, f"{prefix}.postnet")
+    return dec, post_stats
+
+
+def _map_text_decoder(sd, which) -> Dict[str, Any]:
+    """fairseq TransformerDecoder naming (embed_tokens/layers.N/layer_norm/
+    output_projection) -> our aux-decoder tree (aux_decode layout)."""
+    aux: Dict[str, Any] = {
+        "embed": {"w": sd.pop(f"{which}.embed_tokens.weight")}}
+    n_aux = _count(sd, re.escape(which) + r"\.layers\.(\d+)\.fc1\.weight")
+    for i in range(n_aux):
+        aux[f"layer{i}"] = _dec_layer(sd, f"{which}.layers.{i}")
+    if f"{which}.layer_norm.weight" in sd:
+        aux["final_ln"] = _ln(sd, f"{which}.layer_norm")
+    aux["out_proj"] = {
+        "w": sd.pop(f"{which}.output_projection.weight").T.copy()}
+    return aux
+
+
+def from_fairseq_state_dict(sd: Dict[str, np.ndarray]
+                            ) -> Dict[str, Any]:
+    """fairseq state dict (numpy values) -> {"params", "stats"} trees.
+    Consumes keys as it maps them; leftover keys are logged."""
+    sd = dict(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["encoder"] = _map_speech_encoder(sd)
+
+    # --- spectrogram decoder ---
+    dec, post_stats = _map_spectrogram_decoder(sd, "decoder")
     stats["postnet"] = post_stats
     params["decoder"] = dec
 
@@ -155,16 +189,7 @@ def from_fairseq_state_dict(sd: Dict[str, np.ndarray]
     for which in ("aux_asr_decoder", "aux_st_decoder"):
         if f"{which}.embed_tokens.weight" not in sd:
             continue
-        aux: Dict[str, Any] = {
-            "embed": {"w": sd.pop(f"{which}.embed_tokens.weight")}}
-        n_aux = _count(sd, rf"{which}\.layers\.(\d+)\.fc1\.weight")
-        for i in range(n_aux):
-            aux[f"layer{i}"] = _dec_layer(sd, f"{which}.layers.{i}")
-        if f"{which}.layer_norm.weight" in sd:
-            aux["final_ln"] = _ln(sd, f"{which}.layer_norm")
-        aux["out_proj"] = {
-            "w": sd.pop(f"{which}.output_projection.weight").T.copy()}
-        params[which] = aux
+        params[which] = _map_text_decoder(sd, which)
 
     # hubert lives in its own checkpoint normally; accept inline too
     hub_keys = [k for k in sd if k.startswith("hubert.")]
@@ -191,6 +216,124 @@ def load_fairseq_checkpoint(path: str) -> Dict[str, Any]:
     sd = {k: v.detach().float().numpy() if torch.is_tensor(v)
           else np.asarray(v, np.float32) for k, v in sd.items()}
     return from_fairseq_state_dict(sd)
+
+
+def _warn_leftover(sd, what):
+    leftover = [k for k in sd if "embed_positions" not in k
+                and "version" not in k]
+    if leftover:
+        logger.warning(f"unmapped {what} checkpoint keys: {leftover[:10]}"
+                       f"{'...' if len(leftover) > 10 else ''}")
+
+
+def s2t_from_fairseq_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """fairseq s2t_transformer checkpoint (speech_to_text/s2t_transformer.py:
+    Conv1dSubsampler encoder + TransformerDecoder) -> our S2T tree
+    (models/s2t_transformer.py: shared speech encoder + aux-style decoder)."""
+    sd = dict(sd)
+    params = {"encoder": _map_speech_encoder(sd),
+              "decoder": _map_text_decoder(sd, "decoder")}
+    _warn_leftover(sd, "s2t")
+    return {"params": params, "stats": {}}
+
+
+def t2s_from_fairseq_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Fork t2s_transformer checkpoint (examples/s2s_trans/models/
+    t2s_transformer.py: token embed -> conv-BN-ReLU prenet -> transformer
+    encoder; shared TTS decoder) -> our T2S tree (models/t2s_transformer.py).
+    BatchNorm running stats land under stats["encoder"]."""
+    sd = dict(sd)
+    enc: Dict[str, Any] = {
+        "embed_tokens": {"w": sd.pop("encoder.embed_tokens.weight")},
+        "prenet_proj": _lin(sd, "encoder.prenet_proj", {}),
+        "pos_emb_alpha": sd.pop("encoder.pos_emb_alpha"),
+    }
+    enc_stats: Dict[str, Any] = {}
+    n_pre = _count(sd, r"encoder\.prenet\.(\d+)\.0\.weight")
+    for i in range(n_pre):
+        pre = f"encoder.prenet.{i}"
+        enc[f"conv{i}"] = _conv(sd, pre + ".0")
+        enc[f"bn{i}"] = {"scale": sd.pop(pre + ".1.weight"),
+                         "bias": sd.pop(pre + ".1.bias")}
+        enc_stats[f"bn{i}"] = {
+            "mean": sd.pop(pre + ".1.running_mean"),
+            "var": sd.pop(pre + ".1.running_var"),
+            "count": np.asarray(
+                sd.pop(pre + ".1.num_batches_tracked", 0), np.int32),
+        }
+    n_enc = _count(sd, r"encoder\.transformer_layers\.(\d+)\.fc1\.weight")
+    for i in range(n_enc):
+        enc[f"layer{i}"] = _enc_layer(sd, f"encoder.transformer_layers.{i}")
+    if "encoder.layer_norm.weight" in sd:
+        enc["final_ln"] = _ln(sd, "encoder.layer_norm")
+    if "encoder.embed_speaker.weight" in sd:
+        enc["embed_speaker"] = {"w": sd.pop("encoder.embed_speaker.weight")}
+    if "encoder.spk_emb_proj.weight" in sd:
+        enc["spk_proj"] = _lin(sd, "encoder.spk_emb_proj", {})
+
+    dec, post_stats = _map_spectrogram_decoder(sd, "decoder")
+    _warn_leftover(sd, "t2s")
+    return {"params": {"encoder": enc, "decoder": dec},
+            "stats": {"encoder": enc_stats, "postnet": post_stats}}
+
+
+def _map_fft_layer(sd, prefix) -> Dict[str, Any]:
+    """fastspeech2.py FFTLayer: self_attn + post-LN, conv FFN
+    (ffn.ffn.0 / ffn.ffn.2 Conv1d) + post-LN."""
+    return {
+        "self_attn": _mha(sd, prefix + ".self_attn"),
+        "attn_ln": _ln(sd, prefix + ".layer_norm"),
+        "conv1": _conv(sd, prefix + ".ffn.ffn.0"),
+        "conv2": _conv(sd, prefix + ".ffn.ffn.2"),
+        "ffn_ln": _ln(sd, prefix + ".ffn.layer_norm"),
+    }
+
+
+def _map_var_predictor(sd, prefix) -> Dict[str, Any]:
+    return {
+        "conv1": _conv(sd, prefix + ".conv1.0"),
+        "ln1": _ln(sd, prefix + ".ln1"),
+        "conv2": _conv(sd, prefix + ".conv2.0"),
+        "ln2": _ln(sd, prefix + ".ln2"),
+        "proj": _lin(sd, prefix + ".proj", {}),
+    }
+
+
+def fs2_from_fairseq_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """fairseq fastspeech2 checkpoint (text_to_speech/fastspeech2.py:
+    FastSpeech2Encoder under "encoder.", optional top-level ctc_proj) ->
+    our FS2 tree (models/fastspeech2.py). pos_emb_alpha buffers are
+    torch.ones(1); ours are scalars — reshaped here."""
+    sd = dict(sd)
+    p: Dict[str, Any] = {
+        "embed": {"w": sd.pop("encoder.embed_tokens.weight")},
+        "pos_emb_alpha": sd.pop("encoder.pos_emb_alpha").reshape(()),
+        "dec_pos_emb_alpha": sd.pop("encoder.dec_pos_emb_alpha").reshape(()),
+    }
+    n_enc = _count(sd, r"encoder\.encoder_fft_layers\.(\d+)\.layer_norm\.weight")
+    p["enc_layers"] = [_map_fft_layer(sd, f"encoder.encoder_fft_layers.{i}")
+                       for i in range(n_enc)]
+    n_dec = _count(sd, r"encoder\.decoder_fft_layers\.(\d+)\.layer_norm\.weight")
+    p["dec_layers"] = [_map_fft_layer(sd, f"encoder.decoder_fft_layers.{i}")
+                       for i in range(n_dec)]
+    va = "encoder.var_adaptor"
+    p["dur_pred"] = _map_var_predictor(sd, va + ".duration_predictor")
+    p["pitch_pred"] = _map_var_predictor(sd, va + ".pitch_predictor")
+    p["energy_pred"] = _map_var_predictor(sd, va + ".energy_predictor")
+    p["embed_pitch"] = {"w": sd.pop(va + ".embed_pitch.weight")}
+    p["embed_energy"] = {"w": sd.pop(va + ".embed_energy.weight")}
+    p["out_proj"] = _lin(sd, "encoder.out_proj", {})
+    stats: Dict[str, Any] = {}
+    if "encoder.postnet.convolutions.0.0.weight" in sd:
+        p["postnet"], stats["postnet"] = _map_postnet(sd, "encoder.postnet")
+    if "encoder.embed_speaker.weight" in sd:
+        p["embed_speaker"] = {"w": sd.pop("encoder.embed_speaker.weight")}
+    if "encoder.spk_emb_proj.weight" in sd:
+        p["spk_proj"] = _lin(sd, "encoder.spk_emb_proj", {})
+    if "ctc_proj.weight" in sd:
+        p["ctc_proj"] = _lin(sd, "ctc_proj", {})
+    _warn_leftover(sd, "fastspeech2")
+    return {"params": p, "stats": stats}
 
 
 # ---------------------------------------------------------------------------
