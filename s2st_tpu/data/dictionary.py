@@ -58,6 +58,38 @@ class Dictionary:
         self.count.append(n)
         return idx
 
+    def finalize(self, threshold: int = -1, nwords: int = -1,
+                 padding_factor: int = 8):
+        """Sort non-special symbols by count (desc), drop those under
+        ``threshold``, keep at most ``nwords`` total, pad the table to a
+        multiple of ``padding_factor`` (dictionary.py finalize parity:
+        count ties break lexicographically ascending, via the sorted
+        Counter insertion order)."""
+        if nwords <= 0:
+            nwords = len(self)
+        tail = sorted(zip(self.symbols[self.nspecial:],
+                          self.count[self.nspecial:]))
+        tail.sort(key=lambda sc: -sc[1])  # stable: ties stay lexicographic
+        symbols = self.symbols[:self.nspecial]
+        counts = self.count[:self.nspecial]
+        for sym, cnt in tail[:max(0, nwords - self.nspecial)]:
+            if cnt < threshold:
+                break
+            symbols.append(sym)
+            counts.append(cnt)
+        self.symbols, self.count = symbols, counts
+        self.indices = {s: i for i, s in enumerate(symbols)}
+        self.pad_to_multiple_(padding_factor)
+
+    def pad_to_multiple_(self, padding_factor: int):
+        """Pad with madeupword0000... so len % padding_factor == 0
+        (MXU/TensorCore-friendly vocab sizes)."""
+        if padding_factor > 1:
+            i = 0
+            while len(self) % padding_factor != 0:
+                self.add_symbol(f"madeupword{i:04d}", n=0)
+                i += 1
+
     def encode_line(self, line: str, append_eos: bool = True,
                     add_if_not_exist: bool = False) -> np.ndarray:
         words = line.split()
