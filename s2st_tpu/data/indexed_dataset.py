@@ -391,6 +391,50 @@ def make_dataset(path: str, impl: str, fix_lua_indexing: bool = False,
     return None
 
 
+def load_indexed_dataset(path: str, dictionary=None,
+                         dataset_impl: Optional[str] = None,
+                         combine: bool = False, default: str = "cached"):
+    """fairseq data_utils.load_indexed_dataset parity: infer the impl when
+    not given, read with fix_lua_indexing, and with ``combine`` also load
+    ``path1``, ``path2``, ... shards into one concatenated list view."""
+    datasets = []
+    for k in range(0, 1_000_000):
+        path_k = path + (str(k) if k > 0 else "")
+        impl = dataset_impl
+        if impl is None:
+            impl = infer_dataset_impl(path_k) or default
+        ds = make_dataset(path_k, impl, fix_lua_indexing=True,
+                          dictionary=dictionary)
+        if ds is None:
+            break
+        datasets.append(ds)
+        if not combine:
+            break
+    if not datasets:
+        return None
+    if len(datasets) == 1:
+        return datasets[0]
+
+    class _Concat:
+        def __init__(self, parts):
+            self._parts = parts
+            self._lens = [len(p) for p in parts]
+            self.sizes = np.concatenate(
+                [np.asarray(p.sizes).reshape(-1) for p in parts])
+
+        def __len__(self):
+            return sum(self._lens)
+
+        def __getitem__(self, i):
+            for p, n in zip(self._parts, self._lens):
+                if i < n:
+                    return p[i]
+                i -= n
+            raise IndexError(i)
+
+    return _Concat(datasets)
+
+
 def dataset_exists(path: str, impl: str) -> bool:
     if impl == "raw":
         return IndexedRawTextDataset.exists(path)

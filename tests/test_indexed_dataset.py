@@ -250,6 +250,50 @@ def test_preprocess_raw_impl_copies(tmp_path):
         raw[0], d.encode_line(CORPUS_SRC[0], append_eos=True))
 
 
+def test_load_indexed_dataset_combine_and_read_binarized(tmp_path, capsys):
+    from s2st_tpu.cli.read_binarized import main as rb_main
+    d = Dictionary()
+    for w in ("casa", "gato", "azul"):
+        d.add_symbol(w)
+    d.save(str(tmp_path / "dict.txt"))
+    lines = [["casa", "azul"], ["gato"], ["azul", "gato", "casa"]]
+    # two shards: prefix + prefix1 (combine convention)
+    for prefix, chunk in ((str(tmp_path / "data"), lines[:2]),
+                          (str(tmp_path / "data1"), lines[2:])):
+        b = ids.make_builder(ids.data_file_path(prefix), "mmap",
+                             vocab_size=len(d))
+        for ws in chunk:
+            b.add_item(d.encode_line(" ".join(ws), append_eos=True))
+        b.finalize(ids.index_file_path(prefix))
+    ds = ids.load_indexed_dataset(str(tmp_path / "data"), combine=True)
+    assert len(ds) == 3
+    np.testing.assert_array_equal(ds[2],
+                                  d.encode_line("azul gato casa"))
+    assert list(ds.sizes) == [3, 2, 4]
+
+    rc = rb_main(["--input", str(tmp_path / "data"),
+                  "--dict", str(tmp_path / "dict.txt")])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out == ["casa azul", "gato"]  # shard 0 only without combine
+
+
+def test_spm_cli_gated(tmp_path):
+    pytest.importorskip("sentencepiece")
+    from s2st_tpu.cli.spm import main as spm_main
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("la casa azul\nel gato come\n" * 50)
+    prefix = tmp_path / "m"
+    assert spm_main(["train", f"--input={corpus}",
+                     f"--model_prefix={prefix}", "--vocab_size=30",
+                     "--model_type=bpe"]) == 0
+    enc_out = tmp_path / "enc.txt"
+    assert spm_main(["encode", "--model", f"{prefix}.model",
+                     "--inputs", str(corpus), "--outputs",
+                     str(enc_out)]) == 0
+    assert enc_out.read_text().strip()
+
+
 def test_preprocess_dict_only_and_existing_dict_guard(tmp_path):
     from s2st_tpu.cli.preprocess import main as pp_main
     _write_corpus(tmp_path)
