@@ -117,6 +117,8 @@ def load_reference():
             Dictionary=RefDictionary,
             s2st_transformer=_find("models.s2st_transformer"),
             s2st_loss=_find("criterions.s2st_loss"),
+            s2st_transformer_mtl=_find("models.s2st_transformer_mtl"),
+            s2st_loss_mtl=_find("criterions.s2st_loss_mtl"),
             tasks=fairseq.tasks,
             models=fairseq.models,
         )
