@@ -124,11 +124,19 @@ def _make_dataset(args, vocab, input_prefix: str, output_prefix: str,
 def main(argv: Optional[List[str]] = None) -> int:
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
     args = get_parser().parse_args(argv)
-    from ..data.dictionary import Dictionary
-
     os.makedirs(args.destdir, exist_ok=True)
     fh = logging.FileHandler(os.path.join(args.destdir, "preprocess.log"))
     logger.addHandler(fh)
+    try:
+        return _main(args)
+    finally:
+        logger.removeHandler(fh)
+        fh.close()
+
+
+def _main(args) -> int:
+    from ..data.dictionary import Dictionary
+
     logger.info("%s", args)
     target = not args.only_source
 

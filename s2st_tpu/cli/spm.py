@@ -51,6 +51,9 @@ def encode(argv: List[str]) -> int:
                    default="piece")
     p.add_argument("--min-len", type=int, default=None)
     p.add_argument("--max-len", type=int, default=None)
+    p.add_argument("--keep-empty", action="store_true",
+                   help="keep empty lines (dropped by default, as the "
+                        "reference spm_encode.py does)")
     args = p.parse_args(argv)
     assert len(args.inputs) == len(args.outputs), \
         "number of input and output paths should match"
@@ -62,18 +65,26 @@ def encode(argv: List[str]) -> int:
     else:
         enc = lambda line: list(map(str, sp.EncodeAsIds(line)))
 
-    def in_bounds(toks):
-        return ((args.min_len is None or len(toks) >= args.min_len)
-                and (args.max_len is None or len(toks) <= args.max_len))
+    def encode_line(line):
+        """Stripped-line encode; None filters the whole parallel row
+        (reference spm_encode.py semantics: empty lines dropped unless
+        --keep-empty, length bounds checked on the encoded pieces)."""
+        line = line.strip()
+        if not line:
+            return [] if args.keep_empty else None
+        toks = enc(line)
+        if ((args.min_len is not None and len(toks) < args.min_len)
+                or (args.max_len is not None and len(toks) > args.max_len)):
+            return None
+        return toks
 
     with contextlib.ExitStack() as stack:
         ins = [stack.enter_context(_open_in(f)) for f in args.inputs]
         outs = [stack.enter_context(_open_out(f)) for f in args.outputs]
         stats = {"kept": 0, "filtered": 0}
         for lines in zip(*ins):
-            encs = [enc(line.rstrip("\n")) for line in lines]
-            # keep a parallel row only if every stream is within bounds
-            if all(in_bounds(e) for e in encs):
+            encs = [encode_line(line) for line in lines]
+            if not any(e is None for e in encs):
                 stats["kept"] += 1
                 for e, out in zip(encs, outs):
                     print(" ".join(e), file=out)

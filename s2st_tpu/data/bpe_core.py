@@ -19,11 +19,28 @@ jit), so plain Python is the right tool.
 from __future__ import annotations
 
 import json
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 Pair = Tuple[str, str]
 
 END_WORD = "</w>"
+
+
+def fuse_pair(word: Sequence[str], first: str, second: str) -> List[str]:
+    """Rewrite ``word`` fusing every (first, second) adjacency
+    left-to-right (the rewrite step shared by merge application and
+    codes learning)."""
+    out: List[str] = []
+    i = 0
+    while i < len(word):
+        if (i + 1 < len(word) and word[i] == first
+                and word[i + 1] == second):
+            out.append(first + second)
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    return out
 
 
 def merge_by_rank(symbols: Sequence[str], ranks: Dict[Pair, int]) -> Tuple[str, ...]:
@@ -42,19 +59,7 @@ def merge_by_rank(symbols: Sequence[str], ranks: Dict[Pair, int]) -> Tuple[str, 
                 best_rank, best_i = r, i
         if best_rank is None:
             break
-        first, second = word[best_i], word[best_i + 1]
-        fused = first + second
-        out: List[str] = []
-        i = 0
-        while i < len(word):
-            if (i + 1 < len(word) and word[i] == first
-                    and word[i + 1] == second):
-                out.append(fused)
-                i += 2
-            else:
-                out.append(word[i])
-                i += 1
-        word = out
+        word = fuse_pair(word, word[best_i], word[best_i + 1])
     return tuple(word)
 
 
@@ -68,17 +73,21 @@ class SubwordNMTCodes:
     Codes format: optional ``#version: 0.x`` header, then one merge per
     line ``A B`` (subword-nmt) or ``A B count`` (fastBPE; extra column
     ignored). Version 0.2 folds END_WORD into the last character
-    (``l o w e r</w>``); headerless / 0.1 files keep it as a separate
-    symbol (``l o w e r </w>``), which is also fastBPE's convention.
+    (``l o w e r</w>``); headerless subword-nmt 0.1 files keep it as a
+    separate symbol (``l o w e r </w>``). fastBPE codes are headerless
+    but use the FUSED convention (fastBPE.hpp appends kEndWord to the
+    last char), so FastBpe passes ``version=(0, 2)`` explicitly.
     """
 
-    def __init__(self, codes_lines: Iterable[str], separator: str = "@@"):
+    def __init__(self, codes_lines: Iterable[str], separator: str = "@@",
+                 version: Optional[Tuple[int, int]] = None):
         lines = list(codes_lines)
-        self.version = (0, 1)
+        header_version = (0, 1)
         if lines and lines[0].startswith("#version:"):
             major, minor = lines[0].split(":", 1)[1].strip().split(".")
-            self.version = (int(major), int(minor))
+            header_version = (int(major), int(minor))
             lines = lines[1:]
+        self.version = version if version is not None else header_version
         self.ranks: Dict[Pair, int] = {}
         for line in lines:
             fields = line.split()
@@ -91,9 +100,11 @@ class SubwordNMTCodes:
         self._cache: Dict[str, Tuple[str, ...]] = {}
 
     @classmethod
-    def from_file(cls, path: str, separator: str = "@@") -> "SubwordNMTCodes":
+    def from_file(cls, path: str, separator: str = "@@",
+                  version: Optional[Tuple[int, int]] = None
+                  ) -> "SubwordNMTCodes":
         with open(path, encoding="utf-8") as f:
-            return cls(f.read().splitlines(), separator)
+            return cls(f.read().splitlines(), separator, version=version)
 
     def segment_word(self, word: str) -> List[str]:
         if not word:
@@ -158,20 +169,9 @@ def learn_codes(lines: Iterable[str], num_merges: int,
         if counts[best] < min_frequency:
             break
         out.append(f"{best[0]} {best[1]}")
-        fused = best[0] + best[1]
         new_freqs: Dict[Tuple[str, ...], int] = {}
         for word, n in freqs.items():
-            merged: List[str] = []
-            i = 0
-            while i < len(word):
-                if (i + 1 < len(word) and word[i] == best[0]
-                        and word[i + 1] == best[1]):
-                    merged.append(fused)
-                    i += 2
-                else:
-                    merged.append(word[i])
-                    i += 1
-            key = tuple(merged)
+            key = tuple(fuse_pair(word, best[0], best[1]))
             new_freqs[key] = new_freqs.get(key, 0) + n
         freqs = new_freqs
     return out

@@ -214,9 +214,10 @@ class SubwordNMTBpe:
 @register_bpe("fastbpe")
 class FastBpe:
     """fairseq/data/encoders/fastbpe.py parity: same codes application
-    with fastBPE's headerless 3-column codes (end-of-word as a separate
-    symbol). Uses the real fastBPE library when importable, else the
-    native applier."""
+    with fastBPE's headerless 3-column codes. fastBPE fuses </w> onto
+    the last character (fastBPE.hpp kEndWord), i.e. v0.2-style word
+    decomposition despite the missing header — the native fallback
+    forces that. Uses the real fastBPE library when importable."""
 
     def __init__(self, cfg):
         if not cfg.get("bpe_codes"):
@@ -228,7 +229,8 @@ class FastBpe:
         except ImportError:
             self._fast = None
             self.codes = SubwordNMTCodes.from_file(cfg["bpe_codes"],
-                                                   self.sep)
+                                                   self.sep,
+                                                   version=(0, 2))
 
     def encode(self, x: str) -> str:
         if self._fast is not None:

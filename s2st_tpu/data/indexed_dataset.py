@@ -34,14 +34,18 @@ import numpy as np
 _MMAP_MAGIC = b"MMIDIDX\x00\x00"
 _TNT_MAGIC = b"TNTIDX\x00\x00"
 
-# dtype header codes (indexed_dataset.py:115-126); 6/7 were np.float /
-# np.double in the reference (= float64 both on CPython builds numpy
-# aliased them to; modern numpy removed np.float, we pin float32/float64)
+# dtype header codes (indexed_dataset.py:115-126). The reference maps
+# BOTH 6 (np.float) and 7 (np.double) to float64 — np.float was the
+# builtin float alias — and its _dtype_header_code returns the first
+# match, so float64 writes code 6. Mirror exactly for bit-compat;
+# float32 has no code in the reference's table, so it has none here.
 _CODE_TO_DTYPE = {
     1: np.uint8, 2: np.int8, 3: np.int16, 4: np.int32, 5: np.int64,
-    6: np.float32, 7: np.float64, 8: np.uint16, 9: np.uint32, 10: np.uint64,
+    6: np.float64, 7: np.float64, 8: np.uint16, 9: np.uint32, 10: np.uint64,
 }
-_DTYPE_TO_CODE = {np.dtype(v): k for k, v in _CODE_TO_DTYPE.items()}
+_DTYPE_TO_CODE: dict = {}
+for _code, _dt in _CODE_TO_DTYPE.items():
+    _DTYPE_TO_CODE.setdefault(np.dtype(_dt), _code)  # first match wins
 
 
 def best_fitting_int_dtype(max_int_to_represent: Optional[int]):
@@ -258,10 +262,11 @@ class IndexedCachedDataset(IndexedDataset):
 
 
 class IndexedDatasetBuilder:
+    # (the reference's table lists np.float at 4 bytes — a latent bug
+    # there, since np.float was float64; we store the true item size)
     _ELEMENT_SIZES = {np.dtype(np.uint8): 1, np.dtype(np.int8): 1,
                       np.dtype(np.int16): 2, np.dtype(np.int32): 4,
-                      np.dtype(np.int64): 8, np.dtype(np.float32): 4,
-                      np.dtype(np.float64): 8}
+                      np.dtype(np.int64): 8, np.dtype(np.float64): 8}
 
     def __init__(self, out_file: str, dtype=np.int32):
         self._out = open(out_file, "wb")

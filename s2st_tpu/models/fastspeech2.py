@@ -200,8 +200,9 @@ def length_regulator(x: jnp.ndarray, durations: jnp.ndarray,
 
     Vectorized replacement for the reference's per-sample host loop
     (fastspeech2.py:85-101): output j takes the token whose cumulative
-    duration first exceeds j. Positions >= sum(durations) keep token T-1's
-    value but are masked by out_lens downstream."""
+    duration first exceeds j. Positions >= sum(durations) are ZEROED to
+    match the reference's new_zeros buffer — the decoder FFT convs read
+    past each row's end, so this fill value affects valid frames."""
     cum = jnp.cumsum(durations, axis=1)                      # (B, T)
     out_lens = cum[:, -1]
     j = jnp.arange(max_out_len)
@@ -209,10 +210,6 @@ def length_regulator(x: jnp.ndarray, durations: jnp.ndarray,
     idx = jax.vmap(lambda c: jnp.searchsorted(c, j, side="right"))(cum)
     idx = jnp.minimum(idx, x.shape[1] - 1)
     out = jnp.take_along_axis(x, idx[:, :, None], axis=1)
-    # reference semantics: positions >= out_len are ZERO (new_zeros buffer,
-    # fastspeech2.py:92-99) — and the decoder FFT convs READ them (kernel
-    # reaches past each row's end), so valid frames near the boundary
-    # depend on this fill value; zero it to match
     out = jnp.where(j[None, :, None] < out_lens[:, None, None], out, 0)
     return out, out_lens
 

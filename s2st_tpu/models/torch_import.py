@@ -200,7 +200,7 @@ def from_fairseq_state_dict(sd: Dict[str, np.ndarray]
         for k in hub_keys:
             sd.pop(k)
 
-    leftover = [k for k in sd if "embed_positions" not in k
+    leftover = [k for k in sd if not k.endswith("_float_tensor")
                 and "version" not in k]
     if leftover:
         logger.warning(f"unmapped checkpoint keys: {leftover[:10]}"
@@ -219,7 +219,9 @@ def load_fairseq_checkpoint(path: str) -> Dict[str, Any]:
 
 
 def _warn_leftover(sd, what):
-    leftover = [k for k in sd if "embed_positions" not in k
+    # only the sinusoidal positional-embedding BUFFER is silently fine to
+    # drop; a learned embed_positions.weight must surface in the warning
+    leftover = [k for k in sd if not k.endswith("_float_tensor")
                 and "version" not in k]
     if leftover:
         logger.warning(f"unmapped {what} checkpoint keys: {leftover[:10]}"

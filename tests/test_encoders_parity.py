@@ -188,13 +188,26 @@ def test_subword_nmt_end_of_word_is_position_sensitive():
     assert codes.segment_word("lot") == ["lo", "t"]
 
 
-def test_subword_nmt_v01_and_fastbpe_format():
-    # headerless (v0.1 / fastBPE): </w> is its own symbol; 3-column
-    # fastBPE lines parse (count ignored)
+def test_subword_nmt_v01_headerless():
+    # headerless subword-nmt 0.1: </w> is its own symbol; 3-column lines
+    # parse (count ignored)
     codes = SubwordNMTCodes(["l o 99", "lo w 42", "w </w> 7"], "@@")
     assert codes.segment_word("low") == ["low"]
     assert codes.segment_word("lo") == ["lo"]
     assert codes.encode_line("low lowx") == "low low@@ x"
+
+
+def test_fastbpe_forces_fused_end_of_word(tmp_path):
+    """fastBPE fuses </w> onto the last char (fastBPE.hpp kEndWord), so
+    its headerless codes must be applied v0.2-style — NOT subword-nmt
+    0.1 — or end-of-word merges like (e, r</w>) would never fire."""
+    path = tmp_path / "fast.codes"
+    path.write_text("l o 99\nlo w 42\ne r</w> 7\n")
+    f = build_bpe({"bpe": "fastbpe", "bpe_codes": str(path)})
+    assert f.encode("lower") == "low@@ er"
+    # the same file through subword_nmt (headerless -> 0.1) differs:
+    s = SubwordNMTCodes(path.read_text().splitlines(), "@@")
+    assert s.encode_line("lower") == "low@@ e@@ r"
 
 
 def test_subword_nmt_registry_and_learn_roundtrip(tmp_path):
