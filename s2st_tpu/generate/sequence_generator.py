@@ -477,7 +477,12 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
         # hypothesis. Filling free slots in order reproduces that exactly
         # (and freezes done sentences for free: no free slots remain).
         norm = top_scores / _length_penalty(t + 1, bs_cfg.len_penalty)
-        eos_scores = jnp.where(is_eos, norm, NEG_INF)      # (B, 2K)
+        # fairseq only finalizes EOS candidates among the FIRST K of the 2K
+        # (eos_mask[:, :beam_size], sequence_generator.py:395-410); an EOS
+        # at rank >= K is dropped outright even if its normalized score
+        # would win — parity requires reproducing that, not improving it
+        cand_pos = jnp.arange(2 * k)[None, :]
+        eos_scores = jnp.where(is_eos & (cand_pos < k), norm, NEG_INF)
         fin_top, fin_tokens, fin_lens, fin_flags = _fill_finished_slots(
             s["fin_scores"], s["fin_tokens"], s["fin_lens"], s["fin_flags"],
             eos_scores, cand_tokens, t + 1, k)

@@ -338,6 +338,48 @@ def fs2_from_fairseq_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": p, "stats": stats}
 
 
+def transformer_text_from_fairseq_state_dict(
+        sd: Dict[str, np.ndarray], share_all_embeddings: bool = False,
+        share_decoder_input_output_embed: bool = False) -> Dict[str, Any]:
+    """fairseq text TransformerModel checkpoint (models/transformer/:
+    encoder.embed_tokens + encoder.layers.N + encoder.layer_norm;
+    decoder.embed_tokens + decoder.layers.N + decoder.layer_norm +
+    decoder.output_projection) -> our transformer_text tree.
+
+    Tied checkpoints carry the shared tensor under every torch name
+    (embed_tokens AND output_projection point at one Parameter); here the
+    tree stores it once and ``transformer_text.decoder_view`` derives the
+    views, so shared duplicates are verified equal and dropped."""
+    sd = dict(sd)
+    enc: Dict[str, Any] = {
+        "embed": {"w": sd.pop("encoder.embed_tokens.weight")}}
+    n_enc = _count(sd, r"encoder\.layers\.(\d+)\.fc1\.weight")
+    for i in range(n_enc):
+        enc[f"layer{i}"] = _enc_layer(sd, f"encoder.layers.{i}")
+    if "encoder.layer_norm.weight" in sd:
+        enc["final_ln"] = _ln(sd, "encoder.layer_norm")
+    if "encoder.layernorm_embedding.weight" in sd:
+        enc["embed_ln"] = _ln(sd, "encoder.layernorm_embedding")
+
+    dec = _map_text_decoder(sd, "decoder")
+    if "decoder.layernorm_embedding.weight" in sd:
+        dec["embed_ln"] = _ln(sd, "decoder.layernorm_embedding")
+    if share_all_embeddings:
+        if not np.allclose(dec["embed"]["w"], enc["embed"]["w"]):
+            raise ValueError("share_all_embeddings set but encoder/decoder "
+                             "embeddings differ in the checkpoint")
+        dec.pop("embed")
+    if share_decoder_input_output_embed or share_all_embeddings:
+        tied_src = enc["embed"]["w"] if share_all_embeddings \
+            else dec["embed"]["w"]
+        if not np.allclose(dec["out_proj"]["w"], tied_src.T):
+            raise ValueError("tied output projection differs from the "
+                             "embedding in the checkpoint")
+        dec.pop("out_proj")
+    _warn_leftover(sd, "transformer")
+    return {"params": {"encoder": enc, "decoder": dec}, "stats": {}}
+
+
 # ---------------------------------------------------------------------------
 # export (ours -> fairseq names); inverse of the above
 # ---------------------------------------------------------------------------
