@@ -78,6 +78,13 @@ def add_task_args(parser: argparse.ArgumentParser):
     p.add_argument("--dummy-src-frames", type=int, default=1200)
     p.add_argument("--dummy-tgt-frames", type=int, default=960)
     p.add_argument("--dummy-vocab", type=int, default=100)
+    # text translation / LM tasks (fairseq/tasks/translation.py config)
+    p.add_argument("--source-lang", "-s", default=None)
+    p.add_argument("--target-lang", "-t", default=None)
+    p.add_argument("--left-pad-source", type=_str2bool, default=True)
+    p.add_argument("--left-pad-target", type=_str2bool, default=False)
+    p.add_argument("--dataset-impl", default=None,
+                   choices=[None, "raw", "cached", "lazy", "mmap"])
 
 
 def add_model_args(parser: argparse.ArgumentParser):
@@ -140,6 +147,10 @@ def add_model_args(parser: argparse.ArgumentParser):
                    help="FastSpeech2: refine mel with a postnet")
     p.add_argument("--activation-fn", default="relu")
     p.add_argument("--no-scale-embedding", action="store_true")
+    # text transformer family (fairseq/models/transformer flags)
+    p.add_argument("--share-decoder-input-output-embed", action="store_true")
+    p.add_argument("--share-all-embeddings", action="store_true")
+    p.add_argument("--layernorm-embedding", action="store_true")
     p.add_argument("--checkpoint-activations", action="store_true",
                    help="remat each transformer layer")
     p.add_argument("--vocab-parallel-embed", action="store_true",
@@ -360,6 +371,24 @@ def add_generation_args(parser: argparse.ArgumentParser):
     p.add_argument("--score-reference", action="store_true",
                    help="score the reference targets instead of decoding "
                         "(SequenceScorer)")
+    p.add_argument("--max-len-a", type=float, default=0.0,
+                   help="text decode max length = a*src_len + b "
+                        "(fairseq --max-len-a/b)")
+    p.add_argument("--max-len-b", type=int, default=200)
+    p.add_argument("--remove-bpe", "--post-process", dest="remove_bpe",
+                   nargs="?", const="@@ ", default=None,
+                   help="post-process hypotheses (e.g. '@@ ' or "
+                        "'sentencepiece') before scoring")
+    p.add_argument("--buffer-size", type=int, default=1,
+                   help="interactive: read this many lines at a time")
+    p.add_argument("--input", default="-",
+                   help="interactive: input file (default stdin)")
+    p.add_argument("--tokenizer", default=None,
+                   choices=[None, "space", "moses", "nltk"])
+    p.add_argument("--bpe", default=None,
+                   choices=[None, "sentencepiece", "subword_nmt", "fastbpe",
+                            "gpt2", "bytes", "byte_bpe", "characters",
+                            "bert", "hf_byte_bpe"])
     p.add_argument("--nbest", type=int, default=1,
                    help="number of hypotheses to output per sample")
     p.add_argument("--scoring", default="sacrebleu")
@@ -498,6 +527,129 @@ def s2t_transformer_hubert(args):
     (mix/prompt-tuning ST pretraining stage)."""
     args.use_hubert = True
     return args
+
+
+def _transformer_text_base(args):
+    """fairseq transformer base_architecture (models/transformer/
+    transformer_legacy.py:169-221). The shared model-group defaults are the
+    speech recipe's; the text archs pin every differing structural field."""
+    args.encoder_layers = 6
+    args.encoder_embed_dim = 512
+    args.encoder_ffn_embed_dim = 2048
+    args.encoder_attention_heads = 8
+    args.decoder_layers = 6
+    args.decoder_embed_dim = 512
+    args.decoder_ffn_embed_dim = 2048
+    args.decoder_attention_heads = 8
+    args.dropout = 0.1
+    args.attention_dropout = 0.0
+    args.activation_dropout = 0.0
+    args.max_source_positions = 1024
+    args.max_target_positions = 1024
+    return args
+
+
+@register_arch("transformer")
+def transformer(args):
+    return _transformer_text_base(args)
+
+
+@register_arch("transformer_tiny")
+def transformer_tiny(args):
+    """transformer_legacy.py:155-166 (test-scale arch)."""
+    _transformer_text_base(args)
+    args.encoder_embed_dim = 64
+    args.encoder_ffn_embed_dim = 64
+    args.encoder_layers = 2
+    args.encoder_attention_heads = 2
+    args.decoder_layers = 2
+    args.decoder_embed_dim = 64
+    args.decoder_ffn_embed_dim = 64
+    args.decoder_attention_heads = 2
+    return args
+
+
+@register_arch("transformer_iwslt_de_en")
+def transformer_iwslt_de_en(args):
+    _transformer_text_base(args)
+    args.encoder_ffn_embed_dim = 1024
+    args.encoder_attention_heads = 4
+    args.decoder_ffn_embed_dim = 1024
+    args.decoder_attention_heads = 4
+    return args
+
+
+@register_arch("transformer_wmt_en_de")
+def transformer_wmt_en_de(args):
+    return _transformer_text_base(args)
+
+
+@register_arch("transformer_vaswani_wmt_en_de_big")
+def transformer_vaswani_wmt_en_de_big(args):
+    _transformer_text_base(args)
+    args.encoder_embed_dim = 1024
+    args.encoder_ffn_embed_dim = 4096
+    args.encoder_attention_heads = 16
+    args.decoder_embed_dim = 1024
+    args.decoder_ffn_embed_dim = 4096
+    args.decoder_attention_heads = 16
+    args.dropout = 0.3
+    return args
+
+
+@register_arch("transformer_vaswani_wmt_en_fr_big")
+def transformer_vaswani_wmt_en_fr_big(args):
+    transformer_vaswani_wmt_en_de_big(args)
+    args.dropout = 0.1
+    return args
+
+
+@register_arch("transformer_wmt_en_de_big")
+def transformer_wmt_en_de_big(args):
+    transformer_vaswani_wmt_en_de_big(args)
+    args.attention_dropout = 0.1
+    return args
+
+
+@register_arch("transformer_wmt_en_de_big_t2t")
+def transformer_wmt_en_de_big_t2t(args):
+    transformer_vaswani_wmt_en_de_big(args)
+    args.encoder_normalize_before = True
+    args.decoder_normalize_before = True
+    args.attention_dropout = 0.1
+    args.activation_dropout = 0.1
+    return args
+
+
+def build_transformer_text_config(args, src_vocab: int, tgt_vocab: int):
+    """args -> TransformerTextConfig (tasks/translation.py model build)."""
+    import jax.numpy as jnp
+    from .models.transformer_text import TransformerTextConfig
+    return TransformerTextConfig(
+        src_vocab_size=src_vocab,
+        tgt_vocab_size=tgt_vocab,
+        encoder_layers=args.encoder_layers,
+        encoder_embed_dim=args.encoder_embed_dim,
+        encoder_ffn_embed_dim=args.encoder_ffn_embed_dim,
+        encoder_attention_heads=args.encoder_attention_heads,
+        encoder_normalize_before=args.encoder_normalize_before,
+        decoder_layers=args.decoder_layers,
+        decoder_embed_dim=args.decoder_embed_dim,
+        decoder_ffn_embed_dim=args.decoder_ffn_embed_dim,
+        decoder_attention_heads=args.decoder_attention_heads,
+        decoder_normalize_before=args.decoder_normalize_before,
+        dropout=args.dropout,
+        attention_dropout=args.attention_dropout,
+        activation_dropout=args.activation_dropout,
+        activation_fn=args.activation_fn,
+        no_scale_embedding=args.no_scale_embedding,
+        layernorm_embedding=getattr(args, "layernorm_embedding", False),
+        share_decoder_input_output_embed=getattr(
+            args, "share_decoder_input_output_embed", False),
+        share_all_embeddings=getattr(args, "share_all_embeddings", False),
+        max_source_positions=args.max_source_positions,
+        max_target_positions=args.max_target_positions,
+        dtype=jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32)
 
 
 @register_arch("s2st_transformer_small")

@@ -69,4 +69,5 @@ def populate_builtin():
     """Import built-in tasks/criteria so their registrations run."""
     import s2st_tpu.tasks.s2s_translation  # noqa: F401
     import s2st_tpu.tasks.audio_pretraining  # noqa: F401
+    import s2st_tpu.tasks.translation  # noqa: F401
     import s2st_tpu.benchmark.dummy_s2st  # noqa: F401

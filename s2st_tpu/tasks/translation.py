@@ -1,0 +1,185 @@
+"""The translation task: binarized text MT (fairseq-train --task translation).
+
+Parity: ``fairseq/tasks/translation.py`` — language-pair inference from the
+binarized filenames (data_utils.infer_language_pair), ``dict.<lang>.txt``
+dictionaries, ``load_langpair_dataset`` split resolution (both
+``<split>.<src>-<tgt>.<lang>`` naming directions, shard combine), and the
+LanguagePairDataset collate contract consumed by the transformer model +
+label-smoothed CE.
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+import os
+from typing import Dict, Optional
+
+from ..data.dictionary import Dictionary
+from ..data.indexed_dataset import dataset_exists, load_indexed_dataset
+from ..data.iterators import EpochBatchIterator
+from ..data.language_pair_dataset import LanguagePairDataset
+from ..registry import register_task
+
+logger = logging.getLogger(__name__)
+
+
+def infer_language_pair(path: str):
+    """data_utils.infer_language_pair parity: find a
+    ``train.<src>-<tgt>.*`` artifact and split the langpair off its name."""
+    src, tgt = None, None
+    for fname in sorted(os.listdir(path)):
+        parts = fname.split(".")
+        if len(parts) >= 3 and parts[0] == "train" and parts[1].count("-") == 1:
+            return parts[1].split("-")
+    return src, tgt
+
+
+@register_task("translation")
+class TranslationTask:
+    def __init__(self, args, src_dict: Dictionary, tgt_dict: Dictionary):
+        self.args = args
+        self.src_dict = src_dict
+        self.tgt_dict = tgt_dict
+        self.datasets: Dict[str, LanguagePairDataset] = {}
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def setup_task(cls, args) -> "TranslationTask":
+        paths = str(args.data).split(os.pathsep)
+        if getattr(args, "source_lang", None) is None or \
+                getattr(args, "target_lang", None) is None:
+            src, tgt = infer_language_pair(paths[0])
+            if src is None or tgt is None:
+                raise ValueError(
+                    "could not infer language pair; use --source-lang and "
+                    "--target-lang")
+            args.source_lang, args.target_lang = src, tgt
+        src_dict = Dictionary.load(
+            os.path.join(paths[0], f"dict.{args.source_lang}.txt"))
+        tgt_dict = Dictionary.load(
+            os.path.join(paths[0], f"dict.{args.target_lang}.txt"))
+        assert src_dict.pad() == tgt_dict.pad()
+        assert src_dict.eos() == tgt_dict.eos()
+        logger.info(f"[{args.source_lang}] dictionary: {len(src_dict)} types")
+        logger.info(f"[{args.target_lang}] dictionary: {len(tgt_dict)} types")
+        return cls(args, src_dict, tgt_dict)
+
+    @property
+    def source_dictionary(self):
+        return self.src_dict
+
+    @property
+    def target_dictionary(self):
+        return self.tgt_dict
+
+    # ------------------------------------------------------------------
+    def load_dataset(self, split: str) -> LanguagePairDataset:
+        """load_langpair_dataset parity: resolve
+        ``<split><k>.<src>-<tgt>.<lang>`` in either naming direction,
+        combining ``split1``, ``split2``, ... shards."""
+        data_path = str(self.args.data).split(os.pathsep)[0]
+        src, tgt = self.args.source_lang, self.args.target_lang
+        impl = getattr(self.args, "dataset_impl", None)
+
+        def prefix_for(split_k):
+            for a, b in ((src, tgt), (tgt, src)):
+                probe = os.path.join(data_path, f"{split_k}.{a}-{b}.")
+                if dataset_exists(probe + src, impl or "mmap") or \
+                        dataset_exists(probe + src, impl or "cached") or \
+                        os.path.exists(probe + src + ".idx") or \
+                        os.path.exists(probe + src + ".bin"):
+                    return probe
+            return None
+
+        src_parts, tgt_parts = [], []
+        for k in itertools.count():
+            split_k = split + (str(k) if k > 0 else "")
+            prefix = prefix_for(split_k)
+            if prefix is None:
+                if k == 0:
+                    raise FileNotFoundError(
+                        f"Dataset not found: {split} ({data_path})")
+                break
+            src_parts.append(load_indexed_dataset(
+                prefix + src, self.src_dict, impl))
+            tgt_ds = load_indexed_dataset(prefix + tgt, self.tgt_dict, impl)
+            if tgt_ds is not None:
+                tgt_parts.append(tgt_ds)
+            logger.info(f"{data_path} {split_k} {src}-{tgt} "
+                        f"{len(src_parts[-1])} examples")
+
+        def concat(parts):
+            if len(parts) == 1:
+                return parts[0]
+
+            class _Cat:
+                def __init__(self, ps):
+                    self.ps = ps
+                    self.lens = [len(p) for p in ps]
+
+                def __len__(self):
+                    return sum(self.lens)
+
+                def __getitem__(self, i):
+                    for p, n in zip(self.ps, self.lens):
+                        if i < n:
+                            return p[i]
+                        i -= n
+                    raise IndexError
+
+                @property
+                def sizes(self):
+                    import numpy as np
+                    return np.concatenate([p.sizes for p in self.ps])
+
+            return _Cat(parts)
+
+        src_ds = concat(src_parts)
+        tgt_ds = concat(tgt_parts) if tgt_parts else None
+        ds = LanguagePairDataset(
+            src_ds, src_ds.sizes, self.src_dict, tgt_ds,
+            tgt_ds.sizes if tgt_ds is not None else None, self.tgt_dict,
+            left_pad_source=getattr(self.args, "left_pad_source", True),
+            left_pad_target=getattr(self.args, "left_pad_target", False))
+        self.datasets[split] = ds
+        return ds
+
+    def get_batch_iterator(self, split: str, max_tokens: int,
+                           max_sentences: Optional[int] = None,
+                           seed: int = 1, num_shards: int = 1,
+                           shard_id: int = 0, shuffle: bool = True,
+                           data_rank: int = 0, data_world: int = 1
+                           ) -> EpochBatchIterator:
+        if split not in self.datasets:
+            self.load_dataset(split)
+        max_pos = None
+        if getattr(self.args, "skip_invalid_size_inputs_valid_test", False):
+            max_pos = getattr(self.args, "max_source_positions", None)
+        return EpochBatchIterator(
+            self.datasets[split], max_tokens=max_tokens,
+            max_sentences=max_sentences, seed=seed, num_shards=num_shards,
+            shard_id=shard_id, shuffle=shuffle,
+            required_batch_size_multiple=getattr(
+                self.args, "required_batch_size_multiple", 1),
+            max_positions=max_pos,
+            data_rank=data_rank, data_world=data_world,
+            num_workers=getattr(self.args, "num_workers", 0))
+
+    # ------------------------------------------------------------------
+    def build_model_config(self):
+        from ..options import build_transformer_text_config
+        return build_transformer_text_config(
+            self.args, len(self.src_dict), len(self.tgt_dict))
+
+    def build_loss_config(self):
+        from ..options import build_loss_config
+        return build_loss_config(self.args)
+
+    def build_model_and_loss(self):
+        import functools
+        from ..models import transformer_text as tt
+        from ..train import losses as L
+        cfg = self.build_model_config()
+        return cfg, functools.partial(tt.init_transformer, cfg=cfg), \
+            L.translation_loss

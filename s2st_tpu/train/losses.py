@@ -284,6 +284,48 @@ t2s_loss.mean_keys = _COMPOSITE_MEAN_KEYS
 s2t_loss.mean_keys = ("loss", "nll_loss")
 
 
+def translation_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
+                     batch: Dict[str, Any], rng: Optional[jax.Array] = None,
+                     train: bool = True
+                     ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Label-smoothed CE over a text translation batch (registered as
+    ``label_smoothed_cross_entropy`` / ``cross_entropy``; parity:
+    fairseq/criterions/label_smoothed_cross_entropy.py — sum-reduced loss,
+    sample_size = ntokens unless --sentence-avg).
+
+    cfg: transformer_text.TransformerTextConfig. ntokens is computed
+    in-graph from the pad mask (identical to the collated count: every
+    non-pad target token, including EOS) so padded snap rows cost nothing.
+    """
+    from ..models import transformer_text as tt
+    net = tt.forward(variables, cfg, batch, rng=rng,
+                     deterministic=not train, train=train)
+    tgt = batch["target"]
+    lp = jax.nn.log_softmax(net["logits"].astype(jnp.float32), axis=-1)
+    loss_sum, nll_sum = label_smoothed_nll_loss(
+        lp.reshape(-1, lp.shape[-1]), tgt.reshape(-1), lcfg.label_smoothing)
+    keep = tgt != PAD
+    ntokens = jnp.sum(keep).astype(jnp.float32)
+    nsent = jnp.sum(jnp.any(keep, axis=1)).astype(jnp.int32)
+    sample_size = jnp.where(lcfg.sentence_avg, nsent,
+                            ntokens.astype(jnp.int32))
+    pred = jnp.argmax(lp, axis=-1)
+    logging = {
+        "loss": loss_sum / jnp.maximum(ntokens, 1.0),
+        "nll_loss": nll_sum / jnp.maximum(ntokens, 1.0),
+        "n_correct": jnp.sum((pred == tgt) & keep),
+        "total": jnp.sum(keep),
+        "ntokens": ntokens,
+        "nsentences": nsent,
+        "sample_size": sample_size,
+    }
+    return loss_sum, {"new_stats": net["new_stats"], "logging": logging,
+                      "sample_size": sample_size}
+
+
+translation_loss.mean_keys = ("loss", "nll_loss")
+
+
 def fastspeech2_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
                      batch: Dict[str, Any], rng: Optional[jax.Array] = None,
                      train: bool = True
