@@ -380,6 +380,33 @@ def transformer_text_from_fairseq_state_dict(
     return {"params": {"encoder": enc, "decoder": dec}, "stats": {}}
 
 
+def transformer_lm_from_fairseq_state_dict(
+        sd: Dict[str, np.ndarray],
+        share_decoder_input_output_embed: bool = False) -> Dict[str, Any]:
+    """fairseq transformer_lm checkpoint (TransformerDecoder with
+    no_encoder_attn: decoder.embed_tokens + decoder.layers.N with the
+    encoder-layer param set + decoder.layer_norm + output_projection) ->
+    our transformer_lm tree."""
+    sd = dict(sd)
+    dec: Dict[str, Any] = {
+        "embed": {"w": sd.pop("decoder.embed_tokens.weight")}}
+    n = _count(sd, r"decoder\.layers\.(\d+)\.fc1\.weight")
+    for i in range(n):
+        dec[f"layer{i}"] = _enc_layer(sd, f"decoder.layers.{i}")
+    if "decoder.layer_norm.weight" in sd:
+        dec["final_ln"] = _ln(sd, "decoder.layer_norm")
+    if "decoder.output_projection.weight" in sd:
+        w = sd.pop("decoder.output_projection.weight").T.copy()
+        if share_decoder_input_output_embed:
+            if not np.allclose(w, dec["embed"]["w"].T):
+                raise ValueError("tied output projection differs from the "
+                                 "embedding in the checkpoint")
+        else:
+            dec["out_proj"] = {"w": w}
+    _warn_leftover(sd, "transformer_lm")
+    return {"params": {"decoder": dec}, "stats": {}}
+
+
 # ---------------------------------------------------------------------------
 # export (ours -> fairseq names); inverse of the above
 # ---------------------------------------------------------------------------

@@ -85,6 +85,11 @@ def add_task_args(parser: argparse.ArgumentParser):
     p.add_argument("--left-pad-target", type=_str2bool, default=False)
     p.add_argument("--dataset-impl", default=None,
                    choices=[None, "raw", "cached", "lazy", "mmap"])
+    # language_modeling task (fairseq/tasks/language_modeling.py config)
+    p.add_argument("--sample-break-mode", default="none",
+                   choices=["none", "complete", "complete_doc", "eos"])
+    p.add_argument("--tokens-per-sample", type=int, default=1024)
+    p.add_argument("--add-bos-token", action="store_true")
 
 
 def add_model_args(parser: argparse.ArgumentParser):
@@ -151,6 +156,7 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--share-decoder-input-output-embed", action="store_true")
     p.add_argument("--share-all-embeddings", action="store_true")
     p.add_argument("--layernorm-embedding", action="store_true")
+    p.add_argument("--no-decoder-final-norm", action="store_true")
     p.add_argument("--checkpoint-activations", action="store_true",
                    help="remat each transformer layer")
     p.add_argument("--vocab-parallel-embed", action="store_true",
@@ -621,6 +627,68 @@ def transformer_wmt_en_de_big_t2t(args):
     return args
 
 
+def _lm_base(args):
+    """base_lm_architecture (fairseq/models/transformer_lm.py:302-371):
+    decoder_normalize_before is force-pinned in the model config."""
+    args.decoder_embed_dim = 512
+    args.decoder_ffn_embed_dim = 2048
+    args.decoder_layers = 6
+    args.decoder_attention_heads = 8
+    args.dropout = 0.1
+    args.attention_dropout = 0.0
+    args.activation_dropout = 0.0
+    args.activation_fn = "relu"
+    args.max_target_positions = getattr(args, "tokens_per_sample", 1024)
+    return args
+
+
+@register_arch("transformer_lm")
+def transformer_lm(args):
+    return _lm_base(args)
+
+
+@register_arch("transformer_lm_big")
+def transformer_lm_big(args):
+    _lm_base(args)
+    args.decoder_layers = 12
+    args.decoder_embed_dim = 1024
+    args.decoder_ffn_embed_dim = 4096
+    args.decoder_attention_heads = 16
+    return args
+
+
+@register_arch("transformer_lm_gpt")
+def transformer_lm_gpt(args):
+    _lm_base(args)
+    args.decoder_embed_dim = 768
+    args.decoder_ffn_embed_dim = 3072
+    args.decoder_layers = 12
+    args.decoder_attention_heads = 12
+    args.attention_dropout = 0.1
+    args.activation_fn = "gelu"
+    return args
+
+
+@register_arch("transformer_lm_gpt2_small")
+def transformer_lm_gpt2_small(args):
+    transformer_lm_gpt(args)
+    args.decoder_embed_dim = 1024
+    args.decoder_ffn_embed_dim = 4096
+    args.decoder_layers = 24
+    args.decoder_attention_heads = 16
+    return args
+
+
+@register_arch("transformer_lm_gpt2_tiny")
+def transformer_lm_gpt2_tiny(args):
+    transformer_lm_gpt(args)
+    args.decoder_embed_dim = 64
+    args.decoder_ffn_embed_dim = 64
+    args.decoder_layers = 2
+    args.decoder_attention_heads = 1
+    return args
+
+
 def build_transformer_text_config(args, src_vocab: int, tgt_vocab: int):
     """args -> TransformerTextConfig (tasks/translation.py model build)."""
     import jax.numpy as jnp
@@ -733,6 +801,14 @@ def parse_training_args(argv: Optional[List[str]] = None):
 
 def parse_generation_args(argv: Optional[List[str]] = None):
     return _two_pass(get_generation_parser(), argv)
+
+
+def parse_eval_lm_args(argv: Optional[List[str]] = None):
+    """fairseq_cli/eval_lm.py flag surface over the generation parser."""
+    parser = get_generation_parser()
+    parser.add_argument("--output-word-probs", action="store_true")
+    parser.set_defaults(task="language_modeling")
+    return _two_pass(parser, argv)
 
 
 # ---------------------------------------------------------------------------

@@ -326,6 +326,38 @@ def translation_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
 translation_loss.mean_keys = ("loss", "nll_loss")
 
 
+def lm_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
+            batch: Dict[str, Any], rng: Optional[jax.Array] = None,
+            train: bool = True) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Cross-entropy for language modeling (fairseq cross_entropy /
+    label_smoothed_cross_entropy over MonolingualDataset batches).
+    cfg: transformer_lm.TransformerLMConfig."""
+    from ..models import transformer_lm as tlm
+    net = tlm.forward(variables, cfg, batch, rng=rng,
+                      deterministic=not train, train=train)
+    tgt = batch["target"]
+    lp = jax.nn.log_softmax(net["logits"].astype(jnp.float32), axis=-1)
+    loss_sum, nll_sum = label_smoothed_nll_loss(
+        lp.reshape(-1, lp.shape[-1]), tgt.reshape(-1), lcfg.label_smoothing)
+    keep = tgt != PAD
+    ntokens = jnp.sum(keep).astype(jnp.float32)
+    nsent = jnp.sum(jnp.any(keep, axis=1)).astype(jnp.int32)
+    sample_size = jnp.where(lcfg.sentence_avg, nsent,
+                            ntokens.astype(jnp.int32))
+    logging = {
+        "loss": loss_sum / jnp.maximum(ntokens, 1.0),
+        "nll_loss": nll_sum / jnp.maximum(ntokens, 1.0),
+        "ntokens": ntokens,
+        "nsentences": nsent,
+        "sample_size": sample_size,
+    }
+    return loss_sum, {"new_stats": net["new_stats"], "logging": logging,
+                      "sample_size": sample_size}
+
+
+lm_loss.mean_keys = ("loss", "nll_loss")
+
+
 def fastspeech2_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
                      batch: Dict[str, Any], rng: Optional[jax.Array] = None,
                      train: bool = True
