@@ -76,6 +76,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ..scoring import build_scorer
 
     task = get_task(args.task).setup_task(args)
+    if args.task == "translation_lev":
+        # NAT family decodes by iterative refinement, not beam search
+        # (fairseq task.build_generator -> IterativeRefinementGenerator)
+        return _main_nat(args, task)
     model_cfg = task.build_model_config()
     src_dict, tgt_dict = task.source_dictionary, task.target_dictionary
 
@@ -238,6 +242,91 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.results_path:
         out_file.close()
         print(line)
+    return 0
+
+
+def _main_nat(args, task) -> int:
+    """Iterative-refinement decode for the translation_lev task
+    (IterativeRefinementGenerator parity; see
+    generate/iterative_refinement.py)."""
+    import time
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    from ..generate.iterative_refinement import (pick_best_beam,
+                                                 refine_generate)
+    from ..models import nat_transformer as natm
+    from ..scoring import build_scorer
+    from ..train import checkpoint as ckpt
+    from ..train.optim import adam
+    from ..train.trainer import create_train_state
+
+    model_cfg = task.build_model_and_loss()[0]
+    src_dict, tgt_dict = task.source_dictionary, task.target_dictionary
+    kind = "cmlm" if str(args.arch).startswith("cmlm") else "nat"
+
+    template = natm.init_nat(jax.random.PRNGKey(0), model_cfg)
+    state = create_train_state(template, adam())
+    state, meta = ckpt.restore_state(state, args.path.split(":")[0],
+                                     reset_optimizer=True)
+    variables = {"params": state.params, "stats": state.stats}
+    logger.info(f"loaded checkpoint {args.path} "
+                f"(step {meta.get('step', '?')})")
+
+    max_len = min(model_cfg.base.max_target_positions - 2,
+                  int(args.max_len_a * model_cfg.base.max_source_positions
+                      + args.max_len_b))
+    infer = jax.jit(partial(
+        refine_generate, cfg=model_cfg, kind=kind,
+        max_iter=args.iter_decode_max_iter,
+        adaptive=not args.iter_decode_force_max_iter,
+        length_beam=max(args.iter_decode_with_beam, 1),
+        max_len=max(max_len, 4)))
+
+    remove_bpe = getattr(args, "remove_bpe", None)
+    scorer = build_scorer(args)
+    itr = task.get_batch_iterator(args.gen_subset,
+                                  max_tokens=args.max_tokens,
+                                  max_sentences=args.batch_size,
+                                  shuffle=False)
+    t0 = time.perf_counter()
+    n_done = 0
+    gen_tokens = 0
+    for batch in itr.next_epoch_itr(shuffle=False):
+        ids = np.asarray(batch["id"])
+        out = infer(variables, jnp.asarray(batch["src_tokens"]))
+        best_tokens, best_scores, _ = pick_best_beam(
+            jnp.asarray(out["tokens"]), jnp.asarray(out["scores"]))
+        toks = np.asarray(best_tokens)
+        sc = np.asarray(best_scores)
+        src_np = np.asarray(batch["src_tokens"])
+        tgt_np = np.asarray(batch.get("target")) \
+            if "target" in batch else None
+        for row in range(len(ids)):
+            sid = int(ids[row])
+            print(f"S-{sid}\t{src_dict.string(src_np[row], remove_bpe)}")
+            ref = None
+            if tgt_np is not None:
+                ref = tgt_dict.string(tgt_np[row], remove_bpe,
+                                      escape_unk=True)
+                print(f"T-{sid}\t{ref}")
+            ids_row = toks[row]
+            keep = (ids_row != 1) & (ids_row != 0) & (ids_row != 2)
+            hyp_raw = tgt_dict.string(ids_row[keep])
+            hyp = tgt_dict.string(ids_row[keep], remove_bpe)
+            print(f"H-{sid}\t{sc[row]:.4f}\t{hyp_raw}")
+            print(f"D-{sid}\t{sc[row]:.4f}\t{hyp}")
+            gen_tokens += int(keep.sum())
+            if ref is not None:
+                scorer.add_string(ref, hyp)
+            n_done += 1
+    dt = time.perf_counter() - t0
+    logger.info(f"Translated {n_done} sentences ({gen_tokens} tokens) in "
+                f"{dt:.1f}s ({n_done / max(dt, 1e-9):.2f} sentences/s, "
+                f"{gen_tokens / max(dt, 1e-9):.2f} tokens/s)")
+    print(f"Generate {args.gen_subset} with beam={args.iter_decode_with_beam}"
+          f": {scorer.result_string()}")
     return 0
 
 

@@ -34,7 +34,7 @@ class LanguagePairDataset:
 
     def __init__(self, src, src_sizes, src_dict, tgt=None, tgt_sizes=None,
                  tgt_dict=None, left_pad_source: bool = True,
-                 left_pad_target: bool = False):
+                 left_pad_target: bool = False, prepend_bos: bool = False):
         self.src = src
         self.tgt = tgt
         self.src_sizes = np.asarray(src_sizes)
@@ -44,16 +44,27 @@ class LanguagePairDataset:
         self.tgt_dict = tgt_dict
         self.left_pad_source = left_pad_source
         self.left_pad_target = left_pad_target
+        # PrependTokenDataset(bos) on both streams (load_langpair_dataset
+        # prepend_bos=True — the translation_lev task's setting)
+        self.prepend_bos = prepend_bos
+        if prepend_bos:
+            self.src_sizes = self.src_sizes + 1
+            if self.tgt_sizes is not None:
+                self.tgt_sizes = self.tgt_sizes + 1
 
     def __len__(self):
         return len(self.src)
 
     def __getitem__(self, i: int) -> LanguagePairItem:
+        src = np.asarray(self.src[i], np.int32)
         tgt = np.asarray(self.tgt[i], np.int32) if self.tgt is not None \
             else None
-        return LanguagePairItem(id=i,
-                                source=np.asarray(self.src[i], np.int32),
-                                target=tgt)
+        if self.prepend_bos:
+            bos = 0
+            src = np.concatenate([[bos], src]).astype(np.int32)
+            if tgt is not None:
+                tgt = np.concatenate([[bos], tgt]).astype(np.int32)
+        return LanguagePairItem(id=i, source=src, target=tgt)
 
     def src_frames(self, i: int) -> int:
         """Batching cost of sample i. fairseq's num_tokens is

@@ -1,0 +1,138 @@
+"""Iterative refinement decoding for non-autoregressive models.
+
+Parity: ``fairseq/iterative_refinement_generator.py`` — steps 0..max_iter,
+per-sentence adaptive termination when an iteration reproduces the previous
+tokens (is_a_loop, :165-176), frozen finalized sentences, optional length
+beam (regenerate_length_beam + best-mean-score selection), and the model
+step functions: NAT re-predicts every non-pad position
+(nonautoregressive_transformer.py forward_decoder), CMLM fills the UNK
+positions then skeptically re-masks the lowest-scoring tokens while
+iterations remain (cmlm_transformer.py forward_decoder +
+_skeptical_unmasking).
+
+TPU-native: the whole refinement runs as ONE ``lax.while_loop`` over a
+fixed (B*, T) token buffer; terminated rows are frozen by select instead of
+being removed from the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import nat_transformer as nat
+from ..models import transformer_text as tt
+
+PAD, EOS, UNK, BOS = 1, 2, 3, 0
+
+
+def _skeptical_unmask(tokens, scores, p):
+    """Re-mask the lowest-scoring ~p fraction (cmlm_transformer.py:18-24):
+    boundary = (nonpad_count - 2) * p tokens with the smallest scores go
+    back to UNK (bos/eos/pad hold score 0.0 > any log-prob, never chosen).
+    """
+    b, t = tokens.shape
+    nonpad = jnp.sum(tokens != PAD, axis=1, keepdims=True)
+    boundary = ((nonpad - 2).astype(jnp.float32) * p).astype(jnp.int32)
+    order = jnp.argsort(scores, axis=1)          # ascending: worst first
+    j = jnp.arange(t)[None, :]
+    remask_sorted = j < boundary                 # first `boundary` ranks
+    remask = jnp.zeros_like(remask_sorted).at[
+        jnp.arange(b)[:, None], order].set(remask_sorted)
+    new_tokens = jnp.where(remask, UNK, tokens)
+    new_scores = jnp.where(remask, 0.0, scores)
+    return new_tokens, new_scores
+
+
+def refine_generate(variables: Dict[str, Any], src_tokens: jnp.ndarray,
+                    *, cfg: nat.NATConfig, kind: str = "cmlm",
+                    max_iter: int = 10, adaptive: bool = True,
+                    length_beam: int = 1, max_len: int = 128
+                    ) -> Dict[str, jnp.ndarray]:
+    """Returns tokens (B, beam, T), scores (B, beam, T) fp32, steps
+    (B, beam). Selection of the best beam (mean positional score over
+    non-pad) is left to the caller (finalized_hypos parity)."""
+    enc = tt.encode(variables, cfg.base, src_tokens, deterministic=True)
+    src_lens = jnp.sum(src_tokens != PAD, axis=1)
+    length_logits = nat.forward_length(variables, cfg, enc["encoder_out"],
+                                       enc["encoder_padding_mask"])
+    length_tgt = nat.predict_length(cfg, length_logits, src_lens)
+
+    b = src_tokens.shape[0]
+    k = length_beam
+    if k > 1:
+        # regenerate_length_beam: lengths len + delta - k//2, delta 0..k-1
+        deltas = jnp.arange(k) - k // 2
+        length_tgt = (length_tgt[:, None] + deltas[None, :]).reshape(-1)
+        rep = lambda x: jnp.repeat(x, k, axis=0)
+        enc_out = rep(enc["encoder_out"])
+        enc_pad = rep(enc["encoder_padding_mask"])
+        src_rep = rep(src_tokens)
+    else:
+        enc_out, enc_pad, src_rep = (enc["encoder_out"],
+                                     enc["encoder_padding_mask"], src_tokens)
+    tokens0 = nat.initialize_output_tokens(cfg, length_tgt, max_len)
+    scores0 = jnp.zeros(tokens0.shape, jnp.float32)
+
+    def decode_step(tokens, scores, step):
+        lp = jax.nn.log_softmax(nat.nat_decode(
+            variables, cfg, tokens, enc_out, enc_pad, deterministic=True,
+            src_tokens=(src_rep if (cfg.src_embedding_copy and kind == "nat")
+                        else None)), axis=-1)
+        best = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+        best_score = jnp.max(lp, axis=-1)
+        if kind == "cmlm":
+            mask = tokens == UNK
+        else:                      # vanilla NAT: every non-pad position
+            mask = tokens != PAD
+        new_tokens = jnp.where(mask, best, tokens)
+        new_scores = jnp.where(mask, best_score, scores)
+        if kind == "cmlm":
+            # skeptical re-mask while iterations remain (step+1 < max_step)
+            p = 1.0 - (step.astype(jnp.float32) + 1.0) / (max_iter + 1.0)
+            rt, rs = _skeptical_unmask(new_tokens, new_scores, p)
+            more = (step + 1) < (max_iter + 1)
+            new_tokens = jnp.where(more, rt, new_tokens)
+            new_scores = jnp.where(more, rs, new_scores)
+        return new_tokens, new_scores
+
+    def cond(s):
+        return (s["step"] <= max_iter) & ~s["terminated"].all()
+
+    def body(s):
+        new_tokens, new_scores = decode_step(s["tokens"], s["scores"],
+                                             s["step"])
+        if adaptive:
+            now_term = (new_tokens == s["tokens"]).all(axis=1)
+        else:
+            now_term = jnp.zeros((new_tokens.shape[0],), bool)
+        now_term = now_term | (s["step"] >= max_iter)
+        freeze = s["terminated"][:, None]
+        tokens = jnp.where(freeze, s["tokens"], new_tokens)
+        scores = jnp.where(freeze, s["scores"], new_scores)
+        steps = jnp.where(s["terminated"], s["steps"], s["step"])
+        return dict(step=s["step"] + 1, tokens=tokens, scores=scores,
+                    terminated=s["terminated"] | now_term, steps=steps)
+
+    state = dict(step=jnp.zeros((), jnp.int32), tokens=tokens0,
+                 scores=scores0,
+                 terminated=jnp.zeros((tokens0.shape[0],), bool),
+                 steps=jnp.zeros((tokens0.shape[0],), jnp.int32))
+    out = jax.lax.while_loop(cond, body, state)
+    t = tokens0.shape[1]
+    return {"tokens": out["tokens"].reshape(b, k, t),
+            "scores": out["scores"].reshape(b, k, t),
+            "steps": out["steps"].reshape(b, k)}
+
+
+def pick_best_beam(tokens, scores):
+    """(B, K) selection by mean positional score over non-pad
+    (finalized_hypos score + generate.py best-of-beam)."""
+    keep = tokens != PAD
+    mean = jnp.sum(jnp.where(keep, scores, 0.0), axis=-1) \
+        / jnp.maximum(jnp.sum(keep, axis=-1), 1)
+    best = jnp.argmax(mean, axis=-1)
+    bi = jnp.arange(tokens.shape[0])
+    return tokens[bi, best], mean[bi, best], best

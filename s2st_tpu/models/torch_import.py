@@ -380,6 +380,21 @@ def transformer_text_from_fairseq_state_dict(
     return {"params": {"encoder": enc, "decoder": dec}, "stats": {}}
 
 
+def nat_from_fairseq_state_dict(
+        sd: Dict[str, np.ndarray], share_all_embeddings: bool = True,
+        share_decoder_input_output_embed: bool = False) -> Dict[str, Any]:
+    """fairseq NAT/CMLM checkpoint (fairseq/models/nat/ — a text
+    TransformerModel plus the decoder's length head
+    ``decoder.embed_length.weight``) -> our nat_transformer tree."""
+    sd = dict(sd)
+    embed_length = {"w": sd.pop("decoder.embed_length.weight")}
+    tree = transformer_text_from_fairseq_state_dict(
+        sd, share_all_embeddings=share_all_embeddings,
+        share_decoder_input_output_embed=share_decoder_input_output_embed)
+    tree["params"]["decoder"]["embed_length"] = embed_length
+    return tree
+
+
 def transformer_lm_from_fairseq_state_dict(
         sd: Dict[str, np.ndarray],
         share_decoder_input_output_embed: bool = False) -> Dict[str, Any]:

@@ -90,6 +90,10 @@ def add_task_args(parser: argparse.ArgumentParser):
                    choices=["none", "complete", "complete_doc", "eos"])
     p.add_argument("--tokens-per-sample", type=int, default=1024)
     p.add_argument("--add-bos-token", action="store_true")
+    # translation_lev task (fairseq/tasks/translation_lev.py config)
+    p.add_argument("--noise", default="random_delete",
+                   choices=["random_delete", "random_mask", "no_noise",
+                            "full_mask"])
 
 
 def add_model_args(parser: argparse.ArgumentParser):
@@ -157,6 +161,11 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--share-all-embeddings", action="store_true")
     p.add_argument("--layernorm-embedding", action="store_true")
     p.add_argument("--no-decoder-final-norm", action="store_true")
+    # NAT family (fairseq/models/nat special arguments)
+    p.add_argument("--sg-length-pred", action="store_true")
+    p.add_argument("--pred-length-offset", action="store_true")
+    p.add_argument("--length-loss-factor", type=float, default=0.1)
+    p.add_argument("--src-embedding-copy", action="store_true")
     p.add_argument("--checkpoint-activations", action="store_true",
                    help="remat each transformer layer")
     p.add_argument("--vocab-parallel-embed", action="store_true",
@@ -377,6 +386,12 @@ def add_generation_args(parser: argparse.ArgumentParser):
     p.add_argument("--score-reference", action="store_true",
                    help="score the reference targets instead of decoding "
                         "(SequenceScorer)")
+    # iterative refinement (fairseq IterativeRefinementGenerator flags)
+    p.add_argument("--iter-decode-max-iter", type=int, default=10)
+    p.add_argument("--iter-decode-eos-penalty", type=float, default=0.0)
+    p.add_argument("--iter-decode-with-beam", type=int, default=1)
+    p.add_argument("--iter-decode-force-max-iter", action="store_true")
+    p.add_argument("--retain-iter-history", action="store_true")
     p.add_argument("--max-len-a", type=float, default=0.0,
                    help="text decode max length = a*src_len + b "
                         "(fairseq --max-len-a/b)")
@@ -625,6 +640,33 @@ def transformer_wmt_en_de_big_t2t(args):
     args.attention_dropout = 0.1
     args.activation_dropout = 0.1
     return args
+
+
+def _nat_base(args):
+    """cmlm/NAT base arch (cmlm_transformer.py:113-158,
+    nonautoregressive_transformer.py:405-455): transformer base geometry;
+    cmlm defaults share_all_embeddings=True."""
+    _transformer_text_base(args)
+    args.sg_length_pred = getattr(args, "sg_length_pred", False)
+    args.pred_length_offset = getattr(args, "pred_length_offset", False)
+    return args
+
+
+@register_arch("cmlm_transformer")
+def cmlm_transformer(args):
+    _nat_base(args)
+    args.share_all_embeddings = True
+    return args
+
+
+@register_arch("cmlm_transformer_wmt_en_de")
+def cmlm_transformer_wmt_en_de(args):
+    return cmlm_transformer(args)
+
+
+@register_arch("nonautoregressive_transformer")
+def nonautoregressive_transformer(args):
+    return _nat_base(args)
 
 
 def _lm_base(args):

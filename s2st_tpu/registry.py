@@ -71,4 +71,5 @@ def populate_builtin():
     import s2st_tpu.tasks.audio_pretraining  # noqa: F401
     import s2st_tpu.tasks.translation  # noqa: F401
     import s2st_tpu.tasks.language_modeling  # noqa: F401
+    import s2st_tpu.tasks.translation_lev  # noqa: F401
     import s2st_tpu.benchmark.dummy_s2st  # noqa: F401

@@ -1,0 +1,51 @@
+"""translation_lev: non-autoregressive translation task
+(parity: ``fairseq/tasks/translation_lev.py`` TranslationLevenshteinTask).
+
+Same binarized language-pair data as the translation task with
+``prepend_bos=True`` (load_dataset :48-64), plus the ``--noise`` scaffold
+corruption (random_delete / random_mask / full_mask / no_noise). The noise
+is injected inside the jitted loss from the step rng (the reference's
+train_step/valid_step both call inject_noise on the host, :175-190) so the
+whole train step stays one compiled program.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from ..registry import register_task
+from .translation import TranslationTask
+
+logger = logging.getLogger(__name__)
+
+
+@register_task("translation_lev")
+class TranslationLevenshteinTask(TranslationTask):
+    def load_dataset(self, split: str):
+        ds = super().load_dataset(split)
+        ds.prepend_bos = True
+        ds.src_sizes = ds.src_sizes + 1
+        if ds.tgt_sizes is not None:
+            ds.tgt_sizes = ds.tgt_sizes + 1
+        return ds
+
+    def build_model_and_loss(self):
+        import functools
+        from ..models import nat_transformer as natm
+        from ..options import build_transformer_text_config
+        from ..train import losses as L
+        a = self.args
+        base = build_transformer_text_config(
+            a, len(self.src_dict), len(self.tgt_dict))
+        cfg = natm.NATConfig(
+            base=base,
+            sg_length_pred=getattr(a, "sg_length_pred", False),
+            pred_length_offset=getattr(a, "pred_length_offset", False),
+            length_loss_factor=getattr(a, "length_loss_factor", 0.1),
+            src_embedding_copy=getattr(a, "src_embedding_copy", False))
+        kind = "cmlm" if str(a.arch).startswith("cmlm") else "nat"
+        loss = functools.partial(L.nat_loss,
+                                 noise=getattr(a, "noise", "random_mask"),
+                                 kind=kind)
+        loss.mean_keys = L.nat_loss.mean_keys
+        return cfg, functools.partial(natm.init_nat, cfg=cfg), loss

@@ -358,6 +358,112 @@ def lm_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
 lm_loss.mean_keys = ("loss", "nll_loss")
 
 
+# ---------------------------------------------------------------------------
+# non-autoregressive translation (translation_lev task)
+# ---------------------------------------------------------------------------
+
+def _compact_keep(tokens: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
+    """Left-compact kept tokens preserving order; dropped slots become PAD
+    (the reference's double-gather in _random_delete,
+    tasks/translation_lev.py:95-101)."""
+    t = tokens.shape[1]
+    key = jnp.where(keep, jnp.arange(t)[None, :], t + jnp.arange(t)[None, :])
+    order = jnp.argsort(key, axis=1)
+    gathered = jnp.take_along_axis(tokens, order, axis=1)
+    n_keep = jnp.sum(keep, axis=1, keepdims=True)
+    return jnp.where(jnp.arange(t)[None, :] < n_keep, gathered, PAD)
+
+
+def inject_noise(target: jnp.ndarray, mode: str, rng: jax.Array
+                 ) -> jnp.ndarray:
+    """tasks/translation_lev.py inject_noise parity, fully in-graph.
+    target: (B, T) with BOS ... EOS, right-PAD. BOS=0 EOS=2 UNK=3."""
+    BOS, EOS, UNK = 0, 2, 3
+    b, t = target.shape
+    is_pad = target == PAD
+    special = (target == BOS) | (target == EOS)
+    if mode == "no_noise":
+        return target
+    if mode == "full_mask":
+        return jnp.where(is_pad | special, target, UNK)
+    r1, r2 = jax.random.split(rng)
+    if mode == "random_delete":
+        score = jax.random.uniform(r1, (b, t))
+        score = jnp.where(special, 0.0, score)
+        score = jnp.where(is_pad, 1.0, score)
+        rank = jnp.argsort(jnp.argsort(score, axis=1), axis=1)
+        length = jnp.sum(~is_pad, axis=1, keepdims=True)
+        u = jax.random.uniform(r2, (b, 1))
+        cutoff = 2 + ((length - 2).astype(jnp.float32) * u).astype(jnp.int32)
+        keep = rank < cutoff                 # lowest scores survive
+        return _compact_keep(target, keep & ~is_pad)
+    if mode == "random_mask":
+        maskable = ~(is_pad | special)
+        score = jax.random.uniform(r1, (b, t))
+        score = jnp.where(maskable, score, 2.0)
+        rank = jnp.argsort(jnp.argsort(score, axis=1), axis=1)
+        n = jnp.sum(maskable, axis=1).astype(jnp.float32)
+        u = jax.random.uniform(r2, (b,))
+        n_mask = (n * u + 1.0).astype(jnp.int32)[:, None]
+        return jnp.where(rank < n_mask, UNK, target)
+    raise ValueError(f"unknown noise {mode!r}")
+
+
+def nat_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
+             batch: Dict[str, Any], rng: Optional[jax.Array] = None,
+             train: bool = True, noise: str = "random_mask",
+             kind: str = "cmlm") -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """LabelSmoothedDualImitationCriterion (fairseq/criterions/nat_loss.py):
+    word_ins = MEAN nll over the masked positions with the dual-imitation
+    smoothing form nll*(1-ls) - mean(lprobs)*ls; length = mean CE * factor;
+    sample_size = 1 (the reference normalizes by 1, :126-128). The scaffold
+    noise (translation_lev inject_noise) is applied IN-GRAPH from rng —
+    train_step AND valid_step both inject it in the reference."""
+    from ..models import nat_transformer as natm
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    r_noise, r_model = jax.random.split(rng)
+    tgt = batch["target"]
+    prev_target = inject_noise(tgt, noise, r_noise)
+    net = natm.forward(variables, cfg,
+                       {**batch, "prev_target": prev_target},
+                       rng=r_model, deterministic=not train, train=train)
+    lp = jax.nn.log_softmax(net["word_ins_logits"].astype(jnp.float32), -1)
+    if kind == "cmlm":
+        mask = prev_target == 3          # cmlm: only the masked positions
+    else:
+        mask = tgt != PAD                # vanilla NAT: every real token
+    nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    nll_mean = jnp.sum(jnp.where(mask, nll, 0.0)) / denom
+    ls = lcfg.label_smoothing
+    if ls > 0:
+        mean_lp = jnp.sum(jnp.where(mask[..., None], lp, 0.0)) \
+            / (denom * lp.shape[-1])
+        word_loss = nll_mean * (1.0 - ls) - mean_lp * ls
+    else:
+        word_loss = nll_mean
+    # length head: mean CE over the batch * length_loss_factor
+    llp = jax.nn.log_softmax(net["length_logits"], axis=-1)
+    len_nll = -jnp.take_along_axis(
+        llp, net["length_tgt"][:, None], axis=-1)[:, 0]
+    length_loss = jnp.mean(len_nll) * cfg.length_loss_factor
+    loss = word_loss + length_loss
+    logging = {
+        "loss": loss,
+        "nll_loss": nll_mean,
+        "word_ins-loss": word_loss,
+        "length-loss": length_loss,
+        "ntokens": jnp.sum(tgt != PAD),
+        "nsentences": jnp.int32(tgt.shape[0]),
+        "sample_size": jnp.int32(1),
+    }
+    return loss, {"new_stats": net["new_stats"], "logging": logging,
+                  "sample_size": jnp.int32(1)}
+
+
+nat_loss.mean_keys = ("loss", "nll_loss", "word_ins-loss", "length-loss")
+
+
 def fastspeech2_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
                      batch: Dict[str, Any], rng: Optional[jax.Array] = None,
                      train: bool = True
