@@ -262,11 +262,13 @@ def _main_nat(args, task) -> int:
     from ..train.optim import adam
     from ..train.trainer import create_train_state
 
-    model_cfg = task.build_model_and_loss()[0]
+    model_cfg, init_fn, _ = task.build_model_and_loss()
     src_dict, tgt_dict = task.source_dictionary, task.target_dictionary
-    kind = "cmlm" if str(args.arch).startswith("cmlm") else "nat"
+    arch = str(args.arch)
+    kind = "cmlm" if arch.startswith("cmlm") else \
+        ("levenshtein" if arch.startswith("levenshtein") else "nat")
 
-    template = natm.init_nat(jax.random.PRNGKey(0), model_cfg)
+    template = init_fn(jax.random.PRNGKey(0))
     state = create_train_state(template, adam())
     state, meta = ckpt.restore_state(state, args.path.split(":")[0],
                                      reset_optimizer=True)
@@ -282,7 +284,8 @@ def _main_nat(args, task) -> int:
         max_iter=args.iter_decode_max_iter,
         adaptive=not args.iter_decode_force_max_iter,
         length_beam=max(args.iter_decode_with_beam, 1),
-        max_len=max(max_len, 4)))
+        max_len=max(max_len, 4),
+        eos_penalty=args.iter_decode_eos_penalty))
 
     remove_bpe = getattr(args, "remove_bpe", None)
     scorer = build_scorer(args)

@@ -47,10 +47,26 @@ def _skeptical_unmask(tokens, scores, p):
 
 
 def refine_generate(variables: Dict[str, Any], src_tokens: jnp.ndarray,
-                    *, cfg: nat.NATConfig, kind: str = "cmlm",
+                    *, cfg, kind: str = "cmlm",
                     max_iter: int = 10, adaptive: bool = True,
-                    length_beam: int = 1, max_len: int = 128
+                    length_beam: int = 1, max_len: int = 128,
+                    eos_penalty: float = 0.0, max_ratio: float = 2.0
                     ) -> Dict[str, jnp.ndarray]:
+    if kind == "levenshtein":
+        return _levenshtein_generate(
+            variables, src_tokens, cfg=cfg, max_iter=max_iter,
+            adaptive=adaptive, max_len=max_len, eos_penalty=eos_penalty,
+            max_ratio=max_ratio)
+    return _nat_generate(variables, src_tokens, cfg=cfg, kind=kind,
+                         max_iter=max_iter, adaptive=adaptive,
+                         length_beam=length_beam, max_len=max_len)
+
+
+def _nat_generate(variables: Dict[str, Any], src_tokens: jnp.ndarray,
+                  *, cfg: nat.NATConfig, kind: str = "cmlm",
+                  max_iter: int = 10, adaptive: bool = True,
+                  length_beam: int = 1, max_len: int = 128
+                  ) -> Dict[str, jnp.ndarray]:
     """Returns tokens (B, beam, T), scores (B, beam, T) fp32, steps
     (B, beam). Selection of the best beam (mean positional score over
     non-pad) is left to the caller (finalized_hypos parity)."""
@@ -125,6 +141,89 @@ def refine_generate(variables: Dict[str, Any], src_tokens: jnp.ndarray,
     return {"tokens": out["tokens"].reshape(b, k, t),
             "scores": out["scores"].reshape(b, k, t),
             "steps": out["steps"].reshape(b, k)}
+
+
+def _levenshtein_generate(variables: Dict[str, Any],
+                          src_tokens: jnp.ndarray, *, cfg,
+                          max_iter: int = 10, adaptive: bool = True,
+                          max_len: int = 128, eos_penalty: float = 0.0,
+                          max_ratio: float = 2.0
+                          ) -> Dict[str, jnp.ndarray]:
+    """LevenshteinTransformerModel.forward_decoder (:140-247) as one
+    while_loop: delete words -> insert placeholders (eos-penalized,
+    max_ratio-capped) -> fill words; per-row gates (can_del / can_ins /
+    can_fill) replace the reference's _skip/_fill row compaction."""
+    from ..models import levenshtein_transformer as lev
+
+    enc = tt.encode(variables, cfg.base, src_tokens, deterministic=True)
+    eo, ep = enc["encoder_out"], enc["encoder_padding_mask"]
+    b = src_tokens.shape[0]
+    src_lens = jnp.sum(src_tokens != PAD, axis=1)
+    max_lens = jnp.clip((src_lens.astype(jnp.float32)
+                         * max_ratio).astype(jnp.int32), 10, max_len - 1)
+
+    tokens0 = jnp.full((b, max_len), PAD, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(BOS).at[:, 1].set(EOS)
+    scores0 = jnp.zeros((b, max_len), jnp.float32)
+
+    from ..ops.edit_ops import (apply_del_words, apply_ins_masks,
+                                apply_ins_words)
+
+    def step_fn(tokens, scores):
+        # 1) delete words (rows with > 2 real tokens)
+        can_del = jnp.sum(tokens != PAD, axis=1) > 2
+        del_lp = jax.nn.log_softmax(lev.forward_word_del(
+            variables, cfg, tokens, eo, ep, deterministic=True), axis=-1)
+        del_pred = jnp.argmax(del_lp, axis=-1) == 1
+        dt, ds = apply_del_words(tokens, scores, del_pred)
+        tokens = jnp.where(can_del[:, None], dt, tokens)
+        scores = jnp.where(can_del[:, None], ds, scores)
+        # 2) insert placeholders (rows under their length cap)
+        can_ins = jnp.sum(tokens != PAD, axis=1) < max_lens
+        ins_lp = jax.nn.log_softmax(lev.forward_mask_ins(
+            variables, cfg, tokens, eo, ep, deterministic=True), axis=-1)
+        if eos_penalty > 0.0:
+            ins_lp = ins_lp.at[:, :, 0].add(-eos_penalty)
+        ins_pred = jnp.argmax(ins_lp, axis=-1).astype(jnp.int32)
+        ins_pred = jnp.minimum(ins_pred, max_lens[:, None])
+        it, isc = apply_ins_masks(tokens, scores, ins_pred)
+        tokens = jnp.where(can_ins[:, None], it, tokens)
+        scores = jnp.where(can_ins[:, None], isc, scores)
+        # 3) fill words (rows with placeholders)
+        can_fill = jnp.any(tokens == UNK, axis=1)
+        word_lp = jax.nn.log_softmax(lev.forward_word_ins(
+            variables, cfg, tokens, eo, ep, deterministic=True), axis=-1)
+        w_score = jnp.max(word_lp, axis=-1)
+        w_pred = jnp.argmax(word_lp, axis=-1).astype(jnp.int32)
+        wt, ws = apply_ins_words(tokens, scores, w_pred, w_score)
+        tokens = jnp.where(can_fill[:, None], wt, tokens)
+        scores = jnp.where(can_fill[:, None], ws, scores)
+        return tokens, scores
+
+    def cond(s):
+        return (s["step"] <= max_iter) & ~s["terminated"].all()
+
+    def body(s):
+        new_tokens, new_scores = step_fn(s["tokens"], s["scores"])
+        if adaptive:
+            now_term = (new_tokens == s["tokens"]).all(axis=1)
+        else:
+            now_term = jnp.zeros((b,), bool)
+        now_term = now_term | (s["step"] >= max_iter)
+        freeze = s["terminated"][:, None]
+        return dict(step=s["step"] + 1,
+                    tokens=jnp.where(freeze, s["tokens"], new_tokens),
+                    scores=jnp.where(freeze, s["scores"], new_scores),
+                    terminated=s["terminated"] | now_term,
+                    steps=jnp.where(s["terminated"], s["steps"], s["step"]))
+
+    state = dict(step=jnp.zeros((), jnp.int32), tokens=tokens0,
+                 scores=scores0, terminated=jnp.zeros((b,), bool),
+                 steps=jnp.zeros((b,), jnp.int32))
+    out = jax.lax.while_loop(cond, body, state)
+    return {"tokens": out["tokens"][:, None, :],
+            "scores": out["scores"][:, None, :],
+            "steps": out["steps"][:, None]}
 
 
 def pick_best_beam(tokens, scores):

@@ -395,6 +395,29 @@ def nat_from_fairseq_state_dict(
     return tree
 
 
+def lev_from_fairseq_state_dict(
+        sd: Dict[str, np.ndarray], share_all_embeddings: bool = False,
+        share_decoder_input_output_embed: bool = False) -> Dict[str, Any]:
+    """fairseq levenshtein_transformer checkpoint -> our tree: the text
+    TransformerModel plus ``decoder.embed_mask_ins`` / ``embed_word_del``
+    head tables and optional separate ``decoder.layers_msk/layers_del``
+    trunks."""
+    sd = dict(sd)
+    heads = {"embed_mask_ins": {"w": sd.pop("decoder.embed_mask_ins.weight")},
+             "embed_word_del": {"w": sd.pop("decoder.embed_word_del.weight")}}
+    extra = {}
+    for which in ("layers_msk", "layers_del"):
+        n = _count(sd, re.escape(f"decoder.{which}") + r"\.(\d+)\.fc1\.weight")
+        for i in range(n):
+            extra[f"{which}{i}"] = _dec_layer(sd, f"decoder.{which}.{i}")
+    tree = transformer_text_from_fairseq_state_dict(
+        sd, share_all_embeddings=share_all_embeddings,
+        share_decoder_input_output_embed=share_decoder_input_output_embed)
+    tree["params"]["decoder"].update(heads)
+    tree["params"]["decoder"].update(extra)
+    return tree
+
+
 def transformer_lm_from_fairseq_state_dict(
         sd: Dict[str, np.ndarray],
         share_decoder_input_output_embed: bool = False) -> Dict[str, Any]:

@@ -166,6 +166,14 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--pred-length-offset", action="store_true")
     p.add_argument("--length-loss-factor", type=float, default=0.1)
     p.add_argument("--src-embedding-copy", action="store_true")
+    # levenshtein_transformer special arguments
+    p.add_argument("--early-exit", default="6,6,6",
+                   help="decoder layers before word_del, mask_ins, word_ins")
+    p.add_argument("--no-share-discriminator", action="store_true")
+    p.add_argument("--no-share-maskpredictor", action="store_true")
+    p.add_argument("--share-discriminator-maskpredictor",
+                   action="store_true")
+    p.add_argument("--sampling-for-deletion", action="store_true")
     p.add_argument("--checkpoint-activations", action="store_true",
                    help="remat each transformer layer")
     p.add_argument("--vocab-parallel-embed", action="store_true",
@@ -666,6 +674,18 @@ def cmlm_transformer_wmt_en_de(args):
 
 @register_arch("nonautoregressive_transformer")
 def nonautoregressive_transformer(args):
+    return _nat_base(args)
+
+
+@register_arch("levenshtein_transformer")
+def levenshtein_transformer(args):
+    """levenshtein_base_architecture (levenshtein_transformer.py:427-476):
+    transformer-base geometry, early_exit '6,6,6', shared trunks."""
+    return _nat_base(args)
+
+
+@register_arch("levenshtein_transformer_wmt_en_de")
+def levenshtein_transformer_wmt_en_de(args):
     return _nat_base(args)
 
 

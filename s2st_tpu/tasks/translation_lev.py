@@ -37,6 +37,26 @@ class TranslationLevenshteinTask(TranslationTask):
         a = self.args
         base = build_transformer_text_config(
             a, len(self.src_dict), len(self.tgt_dict))
+        if str(a.arch).startswith("levenshtein"):
+            from ..models import levenshtein_transformer as lev
+            cfg = lev.LevenshteinConfig(
+                base=base,
+                early_exit=tuple(int(x) for x in
+                                 str(getattr(a, "early_exit",
+                                             "6,6,6")).split(",")),
+                no_share_discriminator=getattr(
+                    a, "no_share_discriminator", False),
+                no_share_maskpredictor=getattr(
+                    a, "no_share_maskpredictor", False),
+                share_discriminator_maskpredictor=getattr(
+                    a, "share_discriminator_maskpredictor", False),
+                sampling_for_deletion=getattr(
+                    a, "sampling_for_deletion", False))
+            loss = functools.partial(
+                L.lev_loss, noise=getattr(a, "noise", "random_delete"))
+            loss.mean_keys = L.lev_loss.mean_keys
+            return cfg, functools.partial(lev.init_levenshtein, cfg=cfg), \
+                loss
         cfg = natm.NATConfig(
             base=base,
             sg_length_pred=getattr(a, "sg_length_pred", False),

@@ -464,6 +464,62 @@ def nat_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
 nat_loss.mean_keys = ("loss", "nll_loss", "word_ins-loss", "length-loss")
 
 
+def _nat_term(logits: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray,
+              ls: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One nat_loss term: MEAN nll over masked positions, dual-imitation
+    smoothing (nat_loss.py:33-75). Returns (loss, nll_mean)."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(lp, target[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    nll_mean = jnp.sum(jnp.where(mask, nll, 0.0)) / denom
+    if ls > 0:
+        mean_lp = jnp.sum(jnp.where(mask[..., None], lp, 0.0)) \
+            / (denom * lp.shape[-1])
+        return nll_mean * (1.0 - ls) - mean_lp * ls, nll_mean
+    return nll_mean, nll_mean
+
+
+def lev_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
+             batch: Dict[str, Any], rng: Optional[jax.Array] = None,
+             train: bool = True, noise: str = "random_delete"
+             ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """nat_loss over the Levenshtein model's three heads
+    (levenshtein_transformer.py:118-138: mask_ins ls=0.01 fixed, word_ins
+    ls=--label-smoothing with nll reporting, word_del plain CE).
+    cfg: levenshtein_transformer.LevenshteinConfig."""
+    from ..models import levenshtein_transformer as lev
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    r_noise, r_model = jax.random.split(rng)
+    tgt = batch["target"]
+    prev_target = inject_noise(tgt, noise, r_noise)
+    net = lev.forward(variables, cfg,
+                      {**batch, "prev_target": prev_target},
+                      rng=r_model, deterministic=not train, train=train)
+    ins_loss, _ = _nat_term(net["mask_ins_out"], net["mask_ins_tgt"],
+                            net["mask_ins_mask"], 0.01)
+    word_loss, nll = _nat_term(net["word_ins_out"], net["word_ins_tgt"],
+                               net["word_ins_mask"], lcfg.label_smoothing)
+    del_loss, _ = _nat_term(net["word_del_out"], net["word_del_tgt"],
+                            net["word_del_mask"], 0.0)
+    loss = ins_loss + word_loss + del_loss
+    logging = {
+        "loss": loss,
+        "nll_loss": nll,
+        "mask_ins-loss": ins_loss,
+        "word_ins-loss": word_loss,
+        "word_del-loss": del_loss,
+        "ntokens": jnp.sum(tgt != PAD),
+        "nsentences": jnp.int32(tgt.shape[0]),
+        "sample_size": jnp.int32(1),
+    }
+    return loss, {"new_stats": net["new_stats"], "logging": logging,
+                  "sample_size": jnp.int32(1)}
+
+
+lev_loss.mean_keys = ("loss", "nll_loss", "mask_ins-loss", "word_ins-loss",
+                      "word_del-loss")
+
+
 def fastspeech2_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
                      batch: Dict[str, Any], rng: Optional[jax.Array] = None,
                      train: bool = True
