@@ -265,8 +265,14 @@ def _main_nat(args, task) -> int:
     model_cfg, init_fn, _ = task.build_model_and_loss()
     src_dict, tgt_dict = task.source_dictionary, task.target_dictionary
     arch = str(args.arch)
-    kind = "cmlm" if arch.startswith("cmlm") else \
-        ("levenshtein" if arch.startswith("levenshtein") else "nat")
+    if arch.startswith("cmlm"):
+        kind = "cmlm"
+    elif arch.startswith("levenshtein"):
+        kind = "levenshtein"
+    elif arch.startswith("insertion"):
+        kind = "insertion"
+    else:
+        kind = "nat"
 
     template = init_fn(jax.random.PRNGKey(0))
     state = create_train_state(template, adam())

@@ -57,6 +57,10 @@ def refine_generate(variables: Dict[str, Any], src_tokens: jnp.ndarray,
             variables, src_tokens, cfg=cfg, max_iter=max_iter,
             adaptive=adaptive, max_len=max_len, eos_penalty=eos_penalty,
             max_ratio=max_ratio)
+    if kind == "insertion":
+        return _insertion_generate(
+            variables, src_tokens, cfg=cfg, max_iter=max_iter,
+            adaptive=adaptive, max_len=max_len, eos_penalty=eos_penalty)
     return _nat_generate(variables, src_tokens, cfg=cfg, kind=kind,
                          max_iter=max_iter, adaptive=adaptive,
                          length_beam=length_beam, max_len=max_len)
@@ -199,6 +203,58 @@ def _levenshtein_generate(variables: Dict[str, Any],
         tokens = jnp.where(can_fill[:, None], wt, tokens)
         scores = jnp.where(can_fill[:, None], ws, scores)
         return tokens, scores
+
+    def cond(s):
+        return (s["step"] <= max_iter) & ~s["terminated"].all()
+
+    def body(s):
+        new_tokens, new_scores = step_fn(s["tokens"], s["scores"])
+        if adaptive:
+            now_term = (new_tokens == s["tokens"]).all(axis=1)
+        else:
+            now_term = jnp.zeros((b,), bool)
+        now_term = now_term | (s["step"] >= max_iter)
+        freeze = s["terminated"][:, None]
+        return dict(step=s["step"] + 1,
+                    tokens=jnp.where(freeze, s["tokens"], new_tokens),
+                    scores=jnp.where(freeze, s["scores"], new_scores),
+                    terminated=s["terminated"] | now_term,
+                    steps=jnp.where(s["terminated"], s["steps"], s["step"]))
+
+    state = dict(step=jnp.zeros((), jnp.int32), tokens=tokens0,
+                 scores=scores0, terminated=jnp.zeros((b,), bool),
+                 steps=jnp.zeros((b,), jnp.int32))
+    out = jax.lax.while_loop(cond, body, state)
+    return {"tokens": out["tokens"][:, None, :],
+            "scores": out["scores"][:, None, :],
+            "steps": out["steps"][:, None]}
+
+
+def _insertion_generate(variables: Dict[str, Any],
+                        src_tokens: jnp.ndarray, *, cfg,
+                        max_iter: int = 10, adaptive: bool = True,
+                        max_len: int = 128, eos_penalty: float = 0.0
+                        ) -> Dict[str, jnp.ndarray]:
+    """InsertionTransformerModel.forward_decoder (:178-208): one predicted
+    word per gap per iteration (PAD = no insert, eos-penalizable),
+    coordinate-sort merge; init = [bos, eos]."""
+    from ..models import insertion_transformer as ins
+
+    enc = tt.encode(variables, cfg.base, src_tokens, deterministic=True)
+    eo, ep = enc["encoder_out"], enc["encoder_padding_mask"]
+    b = src_tokens.shape[0]
+    tokens0 = jnp.full((b, max_len), PAD, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(BOS).at[:, 1].set(EOS)
+    scores0 = jnp.zeros((b, max_len), jnp.float32)
+
+    def step_fn(tokens, scores):
+        lp = jax.nn.log_softmax(ins.forward_word_ins(
+            variables, cfg, tokens, eo, ep, deterministic=True), axis=-1)
+        if eos_penalty > 0.0:
+            lp = lp.at[:, :, PAD].add(-eos_penalty)
+        w_score = jnp.max(lp, axis=-1)
+        w_pred = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+        return ins.apply_ins_words_gapwise(tokens, scores, w_pred, w_score)
 
     def cond(s):
         return (s["step"] <= max_iter) & ~s["terminated"].all()

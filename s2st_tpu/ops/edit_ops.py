@@ -76,19 +76,32 @@ def backtrace_edit_ops(d: jnp.ndarray, lx: jnp.ndarray, ly: jnp.ndarray
         ins = active & (j > 0) & (dij1 < dij)
         dele = active & ~ins & (i > 0) & (di1j < dij)
         keep = active & ~ins & ~dele
+        jm = jnp.maximum(j - 1, 0)
         s = dict(
             i=i - (dele | keep).astype(jnp.int32),
             j=j - (ins | keep).astype(jnp.int32),
             ins_count=s["ins_count"].at[bi, i].add(ins.astype(jnp.int32)),
-            y_is_ins=s["y_is_ins"].at[bi, jnp.maximum(j - 1, 0)].max(ins),
+            y_is_ins=s["y_is_ins"].at[bi, jm].max(ins),
             x_deleted=s["x_deleted"].at[bi, jnp.maximum(i - 1, 0)].max(dele),
+            # per-insert bookkeeping for the insertion transformer's soft
+            # labels: the gap an inserted y token lands in and its
+            # reverse rank within that gap's run (the backtrace walks a
+            # gap's insertions right-to-left)
+            y_gap=s["y_gap"].at[bi, jm].max(
+                jnp.where(ins, i, -1).astype(jnp.int32)),
+            y_rev_rank=s["y_rev_rank"].at[bi, jm].max(
+                jnp.where(ins, s["run"], -1).astype(jnp.int32)),
+            run=jnp.where(ins, s["run"] + 1, 0),
         )
         return s, None
 
     state = dict(i=lx.astype(jnp.int32), j=ly.astype(jnp.int32),
                  ins_count=jnp.zeros((b, lx1), jnp.int32),
                  y_is_ins=jnp.zeros((b, ly1 - 1), bool),
-                 x_deleted=jnp.zeros((b, lx1 - 1), bool))
+                 x_deleted=jnp.zeros((b, lx1 - 1), bool),
+                 y_gap=jnp.full((b, ly1 - 1), -1, jnp.int32),
+                 y_rev_rank=jnp.full((b, ly1 - 1), -1, jnp.int32),
+                 run=jnp.zeros((b,), jnp.int32))
     out, _ = jax.lax.scan(step, state, None, length=max_steps)
     return out
 
@@ -123,6 +136,64 @@ def get_del_targets(in_tokens: jnp.ndarray, tgt_tokens: jnp.ndarray
     ops = backtrace_edit_ops(d, lx, ly)
     return jnp.where(in_tokens != PAD,
                      ops["x_deleted"].astype(jnp.int32), 0)
+
+
+def get_insertion_targets(prev_tokens: jnp.ndarray, tgt_tokens: jnp.ndarray,
+                          vocab_size: int, tau: Optional[float] = None
+                          ) -> jnp.ndarray:
+    """Soft insertion labels (B, Tp-1, V) for the insertion transformer
+    (insertion_transformer.py _get_ins_targets:56-100): for gap g the
+    k-th inserted word w gets weight NegativeDistanceScore(k, L_g, tau)
+    (uniform 1/L when tau is None); a gap with NO insertions puts weight
+    1.0 on PAD (the libnat terminal-symbol fill — "insert nothing")."""
+    b, tp = prev_tokens.shape
+    ty = tgt_tokens.shape[1]
+    lx = jnp.sum(prev_tokens != PAD, axis=1)
+    ly = jnp.sum(tgt_tokens != PAD, axis=1)
+    d = levenshtein_dp(prev_tokens, tgt_tokens)
+    ops = backtrace_edit_ops(d, lx, ly)
+    L_of_gap = ops["ins_count"]                              # (B, Tp+1)
+    gap = ops["y_gap"]                                       # (B, Ty)
+    L_j = jnp.take_along_axis(L_of_gap, jnp.maximum(gap, 0), axis=1)
+    k_j = L_j - 1 - ops["y_rev_rank"]
+    # weight table W[L, k] (static): softmax_i(-|L/2 - i|/tau) rows
+    import numpy as np
+    max_l = ty + 1
+    w_tab = np.zeros((max_l, max_l), np.float32)
+    if tau is None or tau > 1000:
+        for L in range(1, max_l):
+            w_tab[L, :L] = 1.0 / L
+    else:
+        for L in range(1, max_l):
+            # quirk-compatible with the reference's NegativeDistanceScore:
+            # for tau in {0.5, 1.0, 2.0} and L <= 50 it reads the
+            # PRECOMPUTED table whose row L uses center (L-1)/2
+            # (compute_score_full: arange(0, L-1)/2); the on-demand
+            # compute_score centers at L/2. Both paths reproduced.
+            if tau in (0.5, 1.0, 2.0) and L <= 50:
+                s = -np.abs((L - 1) / 2 - np.arange(L)) / tau
+            else:
+                s = -np.abs(L / 2 - np.arange(L)) / tau
+            s = np.exp(s - s.max())
+            w_tab[L, :L] = s / s.sum()
+    w_tab = jnp.asarray(w_tab)
+    is_ins = gap >= 0
+    weight = jnp.where(is_ins,
+                       w_tab[jnp.clip(L_j, 0, max_l - 1),
+                             jnp.clip(k_j, 0, max_l - 1)], 0.0)
+    # only gaps 1..Tp-1 carry labels (the [1:-1] slice); column = gap - 1
+    col = jnp.clip(gap - 1, 0, tp - 2)
+    valid = is_ins & (gap >= 1) & (gap <= tp - 1)
+    out = jnp.zeros((b, tp - 1, vocab_size), jnp.float32)
+    bi = jnp.arange(b)[:, None].repeat(ty, 1)
+    out = out.at[bi, jnp.where(valid, col, 0),
+                 jnp.where(valid, tgt_tokens, 0)].add(
+        jnp.where(valid, weight, 0.0))
+    # empty in-sentence gaps -> all mass on PAD ("insert nothing")
+    g_idx = jnp.arange(1, tp)[None, :]
+    empty = (L_of_gap[:, 1:tp] == 0) & (g_idx < lx[:, None])
+    out = out.at[:, :, PAD].add(empty.astype(jnp.float32))
+    return out
 
 
 # ---------------------------------------------------------------------------

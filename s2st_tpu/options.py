@@ -174,6 +174,9 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--share-discriminator-maskpredictor",
                    action="store_true")
     p.add_argument("--sampling-for-deletion", action="store_true")
+    p.add_argument("--label-tau", type=float, default=None,
+                   help="insertion transformer balanced-tree label "
+                        "temperature")
     p.add_argument("--checkpoint-activations", action="store_true",
                    help="remat each transformer layer")
     p.add_argument("--vocab-parallel-embed", action="store_true",
@@ -687,6 +690,14 @@ def levenshtein_transformer(args):
 @register_arch("levenshtein_transformer_wmt_en_de")
 def levenshtein_transformer_wmt_en_de(args):
     return _nat_base(args)
+
+
+@register_arch("insertion_transformer")
+def insertion_transformer(args):
+    """insertion_base_architecture (insertion_transformer.py:241-283)."""
+    _nat_base(args)
+    args.label_tau = getattr(args, "label_tau", None)
+    return args
 
 
 def _lm_base(args):

@@ -37,6 +37,16 @@ class TranslationLevenshteinTask(TranslationTask):
         a = self.args
         base = build_transformer_text_config(
             a, len(self.src_dict), len(self.tgt_dict))
+        if str(a.arch).startswith("insertion"):
+            from ..models import insertion_transformer as insm
+            cfg = insm.InsertionConfig(
+                base=base, label_tau=getattr(a, "label_tau", None))
+            loss = functools.partial(
+                L.insertion_loss,
+                noise=getattr(a, "noise", "random_delete"))
+            loss.mean_keys = L.insertion_loss.mean_keys
+            return cfg, functools.partial(insm.init_insertion, cfg=cfg), \
+                loss
         if str(a.arch).startswith("levenshtein"):
             from ..models import levenshtein_transformer as lev
             cfg = lev.LevenshteinConfig(

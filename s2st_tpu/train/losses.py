@@ -520,6 +520,50 @@ lev_loss.mean_keys = ("loss", "nll_loss", "mask_ins-loss", "word_ins-loss",
                       "word_del-loss")
 
 
+def insertion_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
+                   batch: Dict[str, Any], rng: Optional[jax.Array] = None,
+                   train: bool = True, noise: str = "random_delete"
+                   ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """nat_loss over the insertion transformer's soft per-gap labels
+    (nat_loss.py:60-64 kl_div branch: sum_w t*(log t - log p), mean over
+    the gap mask). cfg: insertion_transformer.InsertionConfig."""
+    from ..models import insertion_transformer as ins
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    r_noise, r_model = jax.random.split(rng)
+    tgt = batch["target"]
+    prev_target = inject_noise(tgt, noise, r_noise)
+    net = ins.forward(variables, cfg,
+                      {**batch, "prev_target": prev_target},
+                      rng=r_model, deterministic=not train, train=train)
+    lp = jax.nn.log_softmax(net["word_ins_out"].astype(jnp.float32), -1)
+    t = net["word_ins_tgt"]
+    log_t = jnp.where(t > 0, jnp.log(jnp.maximum(t, 1e-30)), 0.0)
+    kl = jnp.sum(t * (log_t - lp), axis=-1)        # (B, T-1)
+    mask = net["word_ins_mask"]
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    nll_mean = jnp.sum(jnp.where(mask, kl, 0.0)) / denom
+    ls = lcfg.label_smoothing
+    if ls > 0:
+        mean_lp = jnp.sum(jnp.where(mask[..., None], lp, 0.0)) \
+            / (denom * lp.shape[-1])
+        loss = nll_mean * (1.0 - ls) - mean_lp * ls
+    else:
+        loss = nll_mean
+    logging = {
+        "loss": loss,
+        "nll_loss": nll_mean,
+        "word_ins-loss": loss,
+        "ntokens": jnp.sum(tgt != PAD),
+        "nsentences": jnp.int32(tgt.shape[0]),
+        "sample_size": jnp.int32(1),
+    }
+    return loss, {"new_stats": net["new_stats"], "logging": logging,
+                  "sample_size": jnp.int32(1)}
+
+
+insertion_loss.mean_keys = ("loss", "nll_loss", "word_ins-loss")
+
+
 def fastspeech2_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
                      batch: Dict[str, Any], rng: Optional[jax.Array] = None,
                      train: bool = True
