@@ -23,10 +23,11 @@ import numpy as np
 logger = logging.getLogger("s2st_tpu.generate")
 
 
-def load_text_model_ensemble(paths: List[str], model_cfg):
+def load_text_model_ensemble(paths: List[str], model_cfg, init_fn=None):
     """':'-separated checkpoint paths -> list of variables trees.
     ``.pt`` files go through the fairseq importer; ``.npz`` through the
-    native checkpoint reader."""
+    native checkpoint reader (template from init_fn, default: the text
+    transformer)."""
     import jax
     from ..models import transformer_text as tt
     from ..models.torch_import import (load_fairseq_checkpoint,
@@ -35,6 +36,9 @@ def load_text_model_ensemble(paths: List[str], model_cfg):
     from ..train.optim import adam
     from ..train.trainer import create_train_state
 
+    if init_fn is None:
+        import functools
+        init_fn = functools.partial(tt.init_transformer, cfg=model_cfg)
     ens = []
     for path in paths:
         if path.endswith(".pt") or path.endswith(".bin"):
@@ -47,7 +51,7 @@ def load_text_model_ensemble(paths: List[str], model_cfg):
             v = jax.tree_util.tree_map(np.asarray, v)
             logger.info(f"loaded fairseq checkpoint {path}")
         else:
-            template = tt.init_transformer(jax.random.PRNGKey(0), model_cfg)
+            template = init_fn(jax.random.PRNGKey(0))
             state = create_train_state(template, adam())
             state, meta = ckpt.restore_state(state, path,
                                              reset_optimizer=True)
@@ -80,11 +84,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         # NAT family decodes by iterative refinement, not beam search
         # (fairseq task.build_generator -> IterativeRefinementGenerator)
         return _main_nat(args, task)
-    model_cfg = task.build_model_config()
+    model_cfg, init_fn, _ = task.build_model_and_loss()
     src_dict, tgt_dict = task.source_dictionary, task.target_dictionary
+    is_lstm = str(args.arch).startswith("lstm")
 
-    ens_vars = load_text_model_ensemble(args.path.split(":"), model_cfg)
-    gen_vars = [tt.generation_variables(v, model_cfg) for v in ens_vars]
+    ens_vars = load_text_model_ensemble(args.path.split(":"), model_cfg,
+                                        init_fn)
+    gen_vars = ens_vars if is_lstm else \
+        [tt.generation_variables(v, model_cfg) for v in ens_vars]
 
     strategy = "beam"
     if args.sampling:
@@ -115,17 +122,35 @@ def main(argv: Optional[List[str]] = None) -> int:
                         diversity_strength=args.diverse_beam_strength,
                         diversity_rate=max(args.diversity_rate, 0.0))
     nbest = min(args.nbest, args.beam)
-    shim = tt._aux_cfg(model_cfg)
+    shim = None if is_lstm else tt._aux_cfg(model_cfg)
 
     @partial(jax.jit, static_argnames=("has_prefix",))
     def infer(gen_vars, src_tokens, tgt_tokens, rng, has_prefix=False):
+        prefix = tgt_tokens[:, :args.prefix_size] if has_prefix else None
+        src_lens = jnp.sum(src_tokens != 1, axis=1)
+        if is_lstm:
+            from ..models import lstm as lstm_m
+            step_fns, caches, pads = [], [], []
+            for v in gen_vars:
+                enc = lstm_m.encode(v, model_cfg, src_tokens,
+                                    deterministic=True)
+                k = bs_cfg.beam
+                eo = jnp.repeat(enc["encoder_out"], k, axis=0)
+                ep = jnp.repeat(enc["encoder_padding_mask"], k, axis=0)
+                step_fns.append(lstm_m.make_beam_step(v, model_cfg, eo, ep))
+                caches.append(lstm_m.init_beam_cache(v, model_cfg, enc, k))
+                pads.append(enc["encoder_padding_mask"])
+            return beam_search_aux(
+                gen_vars, shim, "decoder",
+                [jnp.zeros((src_tokens.shape[0], 1, 1))] * len(gen_vars),
+                pads, bs_cfg, prefix_tokens=prefix, src_lengths=src_lens,
+                rng=rng, step_fns=step_fns, init_caches=caches,
+                vocab_size=len(tgt_dict))
         taps, pads = [], []
         for v in gen_vars:
             enc = tt.encode(v, model_cfg, src_tokens, deterministic=True)
             taps.append(enc["encoder_out"])
             pads.append(enc["encoder_padding_mask"])
-        prefix = tgt_tokens[:, :args.prefix_size] if has_prefix else None
-        src_lens = jnp.sum(src_tokens != 1, axis=1)
         return beam_search_aux(gen_vars, shim, "decoder", taps, pads,
                                bs_cfg, prefix_tokens=prefix,
                                src_lengths=src_lens, rng=rng)
@@ -133,12 +158,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     @jax.jit
     def score_ref(gen_vars, src_tokens, prev_tokens, target):
         """SequenceScorer parity: positional lprobs of the reference."""
+        from ..models import lstm as lstm_m
+        fwd = lstm_m.forward if is_lstm else tt.forward
         lps = []
         for v in gen_vars:
-            out = tt.forward(v, model_cfg,
-                             {"src_tokens": src_tokens,
-                              "prev_output_tokens": prev_tokens},
-                             deterministic=True)
+            out = fwd(v, model_cfg,
+                      {"src_tokens": src_tokens,
+                       "prev_output_tokens": prev_tokens},
+                      deterministic=True)
             lps.append(jax.nn.log_softmax(
                 out["logits"].astype(jnp.float32), axis=-1))
         lp = lps[0] if len(lps) == 1 else \

@@ -275,7 +275,8 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
                     enc_tap: jnp.ndarray, enc_pad: jnp.ndarray,
                     bs_cfg: BeamConfig, prefix_tokens=None,
                     src_lengths=None, rng=None,
-                    constraints=None) -> Dict[str, jnp.ndarray]:
+                    constraints=None, step_fns=None, init_caches=None,
+                    vocab_size=None) -> Dict[str, jnp.ndarray]:
     """Beam-decode text from one aux decoder.
 
     which: "aux_asr_decoder" | "aux_st_decoder"; enc_tap (B, Ts, C) is the
@@ -303,34 +304,49 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
     ens_taps = enc_tap if isinstance(enc_tap, (list, tuple)) else [enc_tap]
     ens_pads = enc_pad if isinstance(enc_pad, (list, tuple)) else [enc_pad]
     n_models = len(ens_vars)
-    ps = [v["params"][which] for v in ens_vars]
-    p = ps[0]
-    dim = cfg.asr_decoder_embed_dim if which == "aux_asr_decoder" \
-        else cfg.st_decoder_embed_dim
-    n_layers = cfg.asr_decoder_layers if which == "aux_asr_decoder" \
-        else cfg.st_decoder_layers
-    vocab = p["out_proj"]["w"].shape[1]
     k = bs_cfg.beam
     max_len = bs_cfg.max_len
-    b, ts, cdim = ens_taps[0].shape
-    heads = cfg.decoder_attention_heads
-    head_dim = dim // heads
-    table = sinusoidal_table(max_len + PAD + 8, dim, PAD)
+    b, ts = ens_taps[0].shape[0], ens_taps[0].shape[1]
+    if step_fns is not None:
+        # generic step-function interface (e.g. the LSTM decoder): each
+        # step_fns[mi](tokens_t (N,1), step, cache) -> (lprobs fp32 (N,V),
+        # new cache); cache pytree leaves lead with N = B*K and reorder
+        # under the beam gather like the transformer KV caches do.
+        if init_caches is None or vocab_size is None:
+            raise ValueError("step_fns needs init_caches and vocab_size")
+        vocab = vocab_size
+        caches_ens = tuple(init_caches)
+        _model_step = lambda mi, last, t, cache: step_fns[mi](last, t, cache)
+    else:
+        ps = [v["params"][which] for v in ens_vars]
+        p = ps[0]
+        dim = cfg.asr_decoder_embed_dim if which == "aux_asr_decoder" \
+            else cfg.st_decoder_embed_dim
+        n_layers = cfg.asr_decoder_layers if which == "aux_asr_decoder" \
+            else cfg.st_decoder_layers
+        vocab = p["out_proj"]["w"].shape[1]
+        heads = cfg.decoder_attention_heads
+        head_dim = dim // heads
+        table = sinusoidal_table(max_len + PAD + 8, dim, PAD)
 
-    # tile encoder state to B*K (per model)
-    enc_pads_k = [jnp.repeat(ep, k, axis=0) for ep in ens_pads]
-    cross_kvs_ens = []
-    caches_ens = []
-    for mi in range(n_models):
-        tap_k = jnp.repeat(ens_taps[mi], k, axis=0)        # (B*K, Ts, C)
-        cross_kvs_ens.append(tuple(
-            cross_attn_precompute(ps[mi][f"layer{i}"]["cross_attn"],
-                                  tap_k, heads)
-            for i in range(n_layers)))
-        caches_ens.append(tuple(
-            self_attn_cache_init(b * k, max_len + 1, heads, head_dim,
-                                 cfg.dtype) for _ in range(n_layers)))
-    caches_ens = tuple(caches_ens)
+        # tile encoder state to B*K (per model)
+        enc_pads_k = [jnp.repeat(ep, k, axis=0) for ep in ens_pads]
+        cross_kvs_ens = []
+        caches_ens = []
+        for mi in range(n_models):
+            tap_k = jnp.repeat(ens_taps[mi], k, axis=0)    # (B*K, Ts, C)
+            cross_kvs_ens.append(tuple(
+                cross_attn_precompute(ps[mi][f"layer{i}"]["cross_attn"],
+                                      tap_k, heads)
+                for i in range(n_layers)))
+            caches_ens.append(tuple(
+                self_attn_cache_init(b * k, max_len + 1, heads, head_dim,
+                                     cfg.dtype) for _ in range(n_layers)))
+        caches_ens = tuple(caches_ens)
+
+        def _model_step(mi, last, t, cache):
+            return _aux_step(ps[mi], cfg, dim, n_layers, table, last, t,
+                             cache, cross_kvs_ens[mi], enc_pads_k[mi])
 
     tokens0 = jnp.full((b, k, max_len + 2), PAD, jnp.int32)
     tokens0 = tokens0.at[:, :, 0].set(EOS)                 # bos = eos
@@ -390,9 +406,7 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
         lps = []
         new_caches = []
         for mi in range(n_models):
-            lp_m, c_m = _aux_step(ps[mi], cfg, dim, n_layers, table, last, t,
-                                  s["caches"][mi], cross_kvs_ens[mi],
-                                  enc_pads_k[mi])
+            lp_m, c_m = _model_step(mi, last, t, s["caches"][mi])
             lps.append(lp_m)
             new_caches.append(c_m)
         new_caches = tuple(new_caches)
@@ -529,9 +543,7 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
         s["alive_tokens"].reshape(b * k, -1), t, 1, axis=1)
     final_lps = []
     for mi in range(n_models):
-        lp_m, _ = _aux_step(ps[mi], cfg, dim, n_layers, table, last, t,
-                            s["caches"][mi], cross_kvs_ens[mi],
-                            enc_pads_k[mi])
+        lp_m, _ = _model_step(mi, last, t, s["caches"][mi])
         final_lps.append(lp_m)
     if n_models == 1:
         final_lp = final_lps[0]

@@ -418,6 +418,61 @@ def lev_from_fairseq_state_dict(
     return tree
 
 
+def _lstm_block(sd, prefix):
+    """torch LSTM/LSTMCell params (w_ih/w_hh 4H blocks) kept in torch
+    layout (our lstm_cell multiplies by .T)."""
+    out = {}
+    for name in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+        ours = name.replace("weight", "w").replace("bias", "b")
+        out[ours] = sd.pop(f"{prefix}.{name}")
+    return out
+
+
+def lstm_from_fairseq_state_dict(sd: Dict[str, np.ndarray],
+                                 share_all_embeddings: bool = False,
+                                 share_decoder_input_output_embed:
+                                 bool = False) -> Dict[str, Any]:
+    """fairseq/models/lstm.py checkpoint -> our LSTM tree (torch-layout
+    gate blocks preserved)."""
+    sd = dict(sd)
+    enc: Dict[str, Any] = {
+        "embed": {"w": sd.pop("encoder.embed_tokens.weight")}}
+    n_enc = _count(sd, r"encoder\.lstm\.weight_ih_l(\d+)$")
+    for k in range(n_enc):
+        enc[f"l{k}"] = {
+            "w_ih": sd.pop(f"encoder.lstm.weight_ih_l{k}"),
+            "w_hh": sd.pop(f"encoder.lstm.weight_hh_l{k}"),
+            "b_ih": sd.pop(f"encoder.lstm.bias_ih_l{k}"),
+            "b_hh": sd.pop(f"encoder.lstm.bias_hh_l{k}"),
+        }
+        if f"encoder.lstm.weight_ih_l{k}_reverse" in sd:
+            enc[f"l{k}_rev"] = {
+                "w_ih": sd.pop(f"encoder.lstm.weight_ih_l{k}_reverse"),
+                "w_hh": sd.pop(f"encoder.lstm.weight_hh_l{k}_reverse"),
+                "b_ih": sd.pop(f"encoder.lstm.bias_ih_l{k}_reverse"),
+                "b_hh": sd.pop(f"encoder.lstm.bias_hh_l{k}_reverse"),
+            }
+    dec: Dict[str, Any] = {}
+    if "decoder.embed_tokens.weight" in sd:
+        w = sd.pop("decoder.embed_tokens.weight")
+        if not share_all_embeddings:
+            dec["embed"] = {"w": w}
+    n_dec = _count(sd, r"decoder\.layers\.(\d+)\.weight_ih$")
+    for k in range(n_dec):
+        dec[f"cell{k}"] = _lstm_block(sd, f"decoder.layers.{k}")
+    for ours, theirs in (("enc_hidden_proj", "decoder.encoder_hidden_proj"),
+                         ("enc_cell_proj", "decoder.encoder_cell_proj"),
+                         ("attn_input_proj", "decoder.attention.input_proj"),
+                         ("attn_output_proj",
+                          "decoder.attention.output_proj"),
+                         ("additional_fc", "decoder.additional_fc"),
+                         ("fc_out", "decoder.fc_out")):
+        if f"{theirs}.weight" in sd:
+            dec[ours] = _lin(sd, theirs, {})
+    _warn_leftover(sd, "lstm")
+    return {"params": {"encoder": enc, "decoder": dec}, "stats": {}}
+
+
 def transformer_lm_from_fairseq_state_dict(
         sd: Dict[str, np.ndarray],
         share_decoder_input_output_embed: bool = False) -> Dict[str, Any]:

@@ -177,6 +177,16 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--label-tau", type=float, default=None,
                    help="insertion transformer balanced-tree label "
                         "temperature")
+    # lstm family (fairseq/models/lstm.py flags)
+    p.add_argument("--encoder-hidden-size", type=int, default=None)
+    p.add_argument("--encoder-bidirectional", type=_str2bool, default=False)
+    p.add_argument("--encoder-dropout-in", type=float, default=None)
+    p.add_argument("--encoder-dropout-out", type=float, default=None)
+    p.add_argument("--decoder-hidden-size", type=int, default=None)
+    p.add_argument("--decoder-out-embed-dim", type=int, default=None)
+    p.add_argument("--decoder-attention", type=_str2bool, default=True)
+    p.add_argument("--decoder-dropout-in", type=float, default=None)
+    p.add_argument("--decoder-dropout-out", type=float, default=None)
     p.add_argument("--checkpoint-activations", action="store_true",
                    help="remat each transformer layer")
     p.add_argument("--vocab-parallel-embed", action="store_true",
@@ -698,6 +708,79 @@ def insertion_transformer(args):
     _nat_base(args)
     args.label_tau = getattr(args, "label_tau", None)
     return args
+
+
+@register_arch("lstm")
+def lstm(args):
+    """fairseq/models/lstm.py base_architecture: 1x512 uni-directional
+    encoder, input-feeding attention decoder."""
+    args.encoder_embed_dim = 512
+    args.encoder_layers = 1
+    args.decoder_embed_dim = 512
+    args.decoder_layers = 1
+    args.dropout = 0.1
+    return args
+
+
+@register_arch("lstm_wiseman_iwslt_de_en")
+def lstm_wiseman_iwslt_de_en(args):
+    lstm(args)
+    args.encoder_embed_dim = 256
+    args.decoder_embed_dim = 256
+    args.decoder_out_embed_dim = 256
+    args.encoder_dropout_in = 0.0
+    args.encoder_dropout_out = 0.0
+    args.decoder_dropout_in = 0.0
+    return args
+
+
+@register_arch("lstm_luong_wmt_en_de")
+def lstm_luong_wmt_en_de(args):
+    lstm(args)
+    args.encoder_embed_dim = 1000
+    args.encoder_layers = 4
+    args.decoder_embed_dim = 1000
+    args.decoder_layers = 4
+    args.decoder_out_embed_dim = 1000
+    args.encoder_dropout_out = 0.0
+    args.decoder_dropout_out = 0.0
+    return args
+
+
+def build_lstm_config(args, src_vocab: int, tgt_vocab: int):
+    """args -> LSTMConfig (fairseq LSTMModel.build_model arg plumbing:
+    hidden sizes default to embed dims, dropout_in/out default to
+    --dropout)."""
+    import jax.numpy as jnp
+    from .models.lstm import LSTMConfig
+
+    def dflt(v, d):
+        return d if v is None else v
+
+    return LSTMConfig(
+        src_vocab_size=src_vocab,
+        tgt_vocab_size=tgt_vocab,
+        encoder_embed_dim=args.encoder_embed_dim,
+        encoder_hidden_size=dflt(args.encoder_hidden_size,
+                                 args.encoder_embed_dim),
+        encoder_layers=args.encoder_layers,
+        encoder_bidirectional=args.encoder_bidirectional,
+        encoder_dropout_in=dflt(args.encoder_dropout_in, args.dropout),
+        encoder_dropout_out=dflt(args.encoder_dropout_out, args.dropout),
+        decoder_embed_dim=args.decoder_embed_dim,
+        decoder_hidden_size=dflt(args.decoder_hidden_size,
+                                 args.decoder_embed_dim),
+        decoder_layers=args.decoder_layers,
+        decoder_out_embed_dim=dflt(args.decoder_out_embed_dim, 512),
+        decoder_attention=args.decoder_attention,
+        decoder_dropout_in=dflt(args.decoder_dropout_in, args.dropout),
+        decoder_dropout_out=dflt(args.decoder_dropout_out, args.dropout),
+        share_decoder_input_output_embed=getattr(
+            args, "share_decoder_input_output_embed", False),
+        share_all_embeddings=getattr(args, "share_all_embeddings", False),
+        max_source_positions=args.max_source_positions,
+        max_target_positions=args.max_target_positions,
+        dtype=jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32)
 
 
 def _lm_base(args):

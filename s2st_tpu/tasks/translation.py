@@ -178,8 +178,15 @@ class TranslationTask:
 
     def build_model_and_loss(self):
         import functools
-        from ..models import transformer_text as tt
         from ..train import losses as L
+        if str(getattr(self.args, "arch", "")).startswith("lstm"):
+            from ..models import lstm as lstm_m
+            from ..options import build_lstm_config
+            cfg = build_lstm_config(self.args, len(self.src_dict),
+                                    len(self.tgt_dict))
+            return cfg, functools.partial(lstm_m.init_lstm, cfg=cfg), \
+                L.translation_loss
+        from ..models import transformer_text as tt
         cfg = self.build_model_config()
         return cfg, functools.partial(tt.init_transformer, cfg=cfg), \
             L.translation_loss

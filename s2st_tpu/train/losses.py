@@ -293,13 +293,17 @@ def translation_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
     fairseq/criterions/label_smoothed_cross_entropy.py — sum-reduced loss,
     sample_size = ntokens unless --sentence-avg).
 
-    cfg: transformer_text.TransformerTextConfig. ntokens is computed
-    in-graph from the pad mask (identical to the collated count: every
-    non-pad target token, including EOS) so padded snap rows cost nothing.
+    cfg: transformer_text.TransformerTextConfig (or lstm.LSTMConfig —
+    dispatched by config type). ntokens is computed in-graph from the pad
+    mask (identical to the collated count: every non-pad target token,
+    including EOS) so padded snap rows cost nothing.
     """
+    from ..models import lstm as lstm_m
     from ..models import transformer_text as tt
-    net = tt.forward(variables, cfg, batch, rng=rng,
-                     deterministic=not train, train=train)
+    fwd = lstm_m.forward if isinstance(cfg, lstm_m.LSTMConfig) else \
+        tt.forward
+    net = fwd(variables, cfg, batch, rng=rng,
+              deterministic=not train, train=train)
     tgt = batch["target"]
     lp = jax.nn.log_softmax(net["logits"].astype(jnp.float32), axis=-1)
     loss_sum, nll_sum = label_smoothed_nll_loss(
