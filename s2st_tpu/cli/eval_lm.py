@@ -62,10 +62,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     def score(ens, src_tokens, target):
         lps = []
         for v in ens:
-            out = tlm.forward(v, model_cfg, {"src_tokens": src_tokens},
-                              deterministic=True)
-            lps.append(jax.nn.log_softmax(
-                out["logits"].astype(jnp.float32), axis=-1))
+            lps.append(tlm.log_probs(v, model_cfg,
+                                     {"src_tokens": src_tokens}))
         lp = lps[0] if len(lps) == 1 else \
             jax.nn.logsumexp(jnp.stack(lps), axis=0) - np.log(len(lps))
         pos = jnp.take_along_axis(lp, target[..., None], axis=-1)[..., 0]

@@ -48,6 +48,14 @@ class TransformerLMConfig:
     share_decoder_input_output_embed: bool = False
     add_bos_token: bool = False
     max_target_positions: int = 1024
+    # adaptive input/softmax (wiki103/gbw archs; models/adaptive.py)
+    adaptive_input: bool = False
+    adaptive_input_cutoff: tuple = ()
+    adaptive_input_factor: float = 4.0
+    adaptive_softmax_cutoff: tuple = ()
+    adaptive_softmax_factor: float = 4.0
+    tie_adaptive_weights: bool = False
+    tie_adaptive_proj: bool = False
     dtype: Any = jnp.float32
 
     def replace(self, **kw) -> "TransformerLMConfig":
@@ -55,10 +63,19 @@ class TransformerLMConfig:
 
 
 def init_transformer_lm(key, cfg: TransformerLMConfig) -> Dict[str, Params]:
-    ks = iter(jax.random.split(key, cfg.decoder_layers + 3))
-    dec: Params = {"embed": embedding_init(next(ks), cfg.vocab_size,
-                                           cfg.decoder_embed_dim,
-                                           padding_idx=PAD)}
+    ks = iter(jax.random.split(key, cfg.decoder_layers + 5))
+    dec: Params = {}
+    if cfg.adaptive_input:
+        from .adaptive import init_adaptive_input, init_adaptive_softmax
+        from ..nn.core import xavier_uniform
+        dec["adaptive_input"] = init_adaptive_input(
+            next(ks), cfg.vocab_size, cfg.adaptive_input_cutoff,
+            cfg.decoder_embed_dim, cfg.adaptive_input_factor,
+            cfg.decoder_embed_dim)
+    else:
+        dec["embed"] = embedding_init(next(ks), cfg.vocab_size,
+                                      cfg.decoder_embed_dim,
+                                      padding_idx=PAD)
     for i in range(cfg.decoder_layers):
         # no-cross-attn decoder layer == encoder layer param set
         dec[f"layer{i}"] = encoder_layer_init(
@@ -66,7 +83,27 @@ def init_transformer_lm(key, cfg: TransformerLMConfig) -> Dict[str, Params]:
             cfg.decoder_attention_heads)
     if cfg.decoder_normalize_before and not cfg.no_decoder_final_norm:
         dec["final_ln"] = layer_norm_init(cfg.decoder_embed_dim)
-    if not cfg.share_decoder_input_output_embed:
+    if cfg.adaptive_softmax_cutoff:
+        from .adaptive import init_adaptive_softmax, _bands
+        from ..nn.core import xavier_uniform
+        asm = init_adaptive_softmax(
+            next(ks), cfg.vocab_size, cfg.decoder_embed_dim,
+            cfg.adaptive_softmax_cutoff, cfg.adaptive_softmax_factor)
+        if cfg.tie_adaptive_weights:
+            # TiedHeadModule: only the class projection is a free param
+            n_tails = len(_bands(cfg.adaptive_softmax_cutoff,
+                                 cfg.vocab_size)) - 1
+            asm = {"class_proj": {"w": xavier_uniform(
+                next(ks), (cfg.decoder_embed_dim, n_tails),
+                cfg.decoder_embed_dim, n_tails)}}
+            if not cfg.tie_adaptive_proj:
+                base = init_adaptive_softmax(
+                    next(ks), cfg.vocab_size, cfg.decoder_embed_dim,
+                    cfg.adaptive_softmax_cutoff, cfg.adaptive_softmax_factor)
+                for i in range(n_tails):
+                    asm[f"tail{i}"] = {"proj": base[f"tail{i}"]["proj"]}
+        dec["adaptive_softmax"] = asm
+    elif not cfg.share_decoder_input_output_embed:
         dec["out_proj"] = {"w": jax.random.normal(
             next(ks), (cfg.decoder_embed_dim, cfg.vocab_size))
             * (cfg.decoder_embed_dim ** -0.5)}
@@ -84,8 +121,14 @@ def forward(variables: Dict[str, Params], cfg: TransformerLMConfig,
     b, t = tokens.shape
     dim = cfg.decoder_embed_dim
     scale = 1.0 if cfg.no_scale_embedding else dim ** 0.5
-    x = embedding(p["embed"], tokens, cfg.dtype) * jnp.asarray(scale,
-                                                               cfg.dtype)
+    if cfg.adaptive_input:
+        from .adaptive import adaptive_input_forward
+        x = adaptive_input_forward(p["adaptive_input"], tokens,
+                                   cfg.adaptive_input_cutoff,
+                                   cfg.vocab_size, cfg.dtype)
+    else:
+        x = embedding(p["embed"], tokens, cfg.dtype)
+    x = x * jnp.asarray(scale, cfg.dtype)
     table = sinusoidal_table(cfg.max_target_positions + PAD + 1, dim, PAD)
     is_pad = tokens == PAD
     cum = jnp.cumsum((~is_pad).astype(jnp.int32), axis=1)
@@ -106,7 +149,36 @@ def forward(variables: Dict[str, Params], cfg: TransformerLMConfig,
             rng=rngs[i], deterministic=deterministic)
     if "final_ln" in p:
         x = layer_norm(p["final_ln"], x)
+    if cfg.adaptive_softmax_cutoff:
+        # adaptive softmax: expose features; lprobs/nll come from
+        # models.adaptive (the criterion never forms full-vocab logits)
+        return {"features": x, "new_stats": {},
+                "adaptive_tied": _tied(variables, cfg)}
     w_out = p["out_proj"]["w"] if "out_proj" in p else p["embed"]["w"].T
     logits = jnp.dot(x, w_out.astype(x.dtype),
                      preferred_element_type=jnp.float32)
     return {"logits": logits, "new_stats": {}}
+
+
+def _tied(variables, cfg: TransformerLMConfig):
+    if not cfg.tie_adaptive_weights:
+        return None
+    from .adaptive import tied_views
+    return tied_views(variables["params"]["decoder"]["adaptive_input"],
+                      cfg.tie_adaptive_proj)
+
+
+def log_probs(variables: Dict[str, Params], cfg: TransformerLMConfig,
+              batch: Dict[str, Any]) -> jnp.ndarray:
+    """Full-vocab log-probs (B, T, V) for eval_lm — regular or adaptive."""
+    out = forward(variables, cfg, batch, deterministic=True)
+    if "logits" in out:
+        return jax.nn.log_softmax(out["logits"].astype(jnp.float32), -1)
+    from .adaptive import adaptive_log_probs
+    feats = out["features"]
+    b, t, d = feats.shape
+    lp = adaptive_log_probs(
+        variables["params"]["decoder"]["adaptive_softmax"],
+        feats.reshape(b * t, d), cfg.adaptive_softmax_cutoff,
+        cfg.vocab_size, out["adaptive_tied"])
+    return lp.reshape(b, t, -1)

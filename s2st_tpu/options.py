@@ -177,6 +177,16 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--label-tau", type=float, default=None,
                    help="insertion transformer balanced-tree label "
                         "temperature")
+    # adaptive input/softmax (transformer_lm wiki103/gbw archs)
+    p.add_argument("--adaptive-input", type=_str2bool, default=False)
+    p.add_argument("--adaptive-input-factor", type=float, default=4.0)
+    p.add_argument("--adaptive-input-cutoff", default=None,
+                   help="comma-separated, e.g. 20000,60000")
+    p.add_argument("--adaptive-softmax-cutoff", default=None)
+    p.add_argument("--adaptive-softmax-factor", type=float, default=4.0)
+    p.add_argument("--adaptive-softmax-dropout", type=float, default=0.0)
+    p.add_argument("--tie-adaptive-weights", type=_str2bool, default=False)
+    p.add_argument("--tie-adaptive-proj", type=_str2bool, default=False)
     # lstm family (fairseq/models/lstm.py flags)
     p.add_argument("--encoder-hidden-size", type=int, default=None)
     p.add_argument("--encoder-bidirectional", type=_str2bool, default=False)
@@ -822,6 +832,41 @@ def transformer_lm_gpt(args):
     args.decoder_attention_heads = 12
     args.attention_dropout = 0.1
     args.activation_fn = "gelu"
+    return args
+
+
+@register_arch("transformer_lm_wiki103")
+def transformer_lm_wiki103(args):
+    """transformer_lm_baevski_wiki103 (transformer_lm.py:382-399): big LM
+    with fully tied adaptive input + adaptive softmax."""
+    _lm_base(args)
+    args.decoder_layers = 16
+    args.decoder_embed_dim = 1024
+    args.decoder_ffn_embed_dim = 4096
+    args.decoder_attention_heads = 8
+    args.dropout = 0.3
+    args.adaptive_input = True
+    args.tie_adaptive_weights = True
+    args.adaptive_input_cutoff = "20000,60000"
+    args.adaptive_softmax_cutoff = "20000,60000"
+    args.adaptive_softmax_dropout = 0.2
+    args.attention_dropout = 0.1
+    args.activation_dropout = 0.1
+    args.no_decoder_final_norm = True
+    args.tie_adaptive_proj = True
+    return args
+
+
+@register_arch("transformer_lm_gbw")
+def transformer_lm_gbw(args):
+    """transformer_lm_baevski_gbw (transformer_lm.py:402-409)."""
+    _lm_base(args)
+    args.decoder_layers = 12
+    args.decoder_embed_dim = 512
+    args.decoder_ffn_embed_dim = 4096
+    args.decoder_attention_heads = 16
+    args.attention_dropout = 0.1
+    args.no_decoder_final_norm = True
     return args
 
 

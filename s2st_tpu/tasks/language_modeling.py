@@ -21,6 +21,12 @@ from ..registry import register_task
 logger = logging.getLogger(__name__)
 
 
+def _cutoff(spec) -> tuple:
+    if not spec:
+        return ()
+    return tuple(int(x) for x in str(spec).split(","))
+
+
 @register_task("language_modeling")
 class LanguageModelingTask:
     def __init__(self, args, dictionary: Dictionary):
@@ -104,6 +110,16 @@ class LanguageModelingTask:
             max_target_positions=max(
                 a.max_target_positions,
                 getattr(a, "tokens_per_sample", 1024) + 2),
+            adaptive_input=getattr(a, "adaptive_input", False),
+            adaptive_input_cutoff=_cutoff(
+                getattr(a, "adaptive_input_cutoff", None)),
+            adaptive_input_factor=getattr(a, "adaptive_input_factor", 4.0),
+            adaptive_softmax_cutoff=_cutoff(
+                getattr(a, "adaptive_softmax_cutoff", None)),
+            adaptive_softmax_factor=getattr(
+                a, "adaptive_softmax_factor", 4.0),
+            tie_adaptive_weights=getattr(a, "tie_adaptive_weights", False),
+            tie_adaptive_proj=getattr(a, "tie_adaptive_proj", False),
             dtype=jnp.bfloat16 if (a.fp16 or a.bf16) else jnp.float32)
 
     def build_loss_config(self):

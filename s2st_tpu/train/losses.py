@@ -340,9 +340,23 @@ def lm_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
     net = tlm.forward(variables, cfg, batch, rng=rng,
                       deterministic=not train, train=train)
     tgt = batch["target"]
-    lp = jax.nn.log_softmax(net["logits"].astype(jnp.float32), axis=-1)
-    loss_sum, nll_sum = label_smoothed_nll_loss(
-        lp.reshape(-1, lp.shape[-1]), tgt.reshape(-1), lcfg.label_smoothing)
+    if "features" in net:
+        # adaptive softmax (adaptive_loss criterion): band-wise CE, never
+        # forming full-vocab logits
+        from ..models.adaptive import adaptive_nll
+        b, t, d = net["features"].shape
+        nll = adaptive_nll(
+            variables["params"]["decoder"]["adaptive_softmax"],
+            net["features"].reshape(b * t, d), tgt.reshape(-1),
+            cfg.adaptive_softmax_cutoff, cfg.vocab_size,
+            net["adaptive_tied"])
+        keep_flat = tgt.reshape(-1) != PAD
+        loss_sum = nll_sum = jnp.sum(jnp.where(keep_flat, nll, 0.0))
+    else:
+        lp = jax.nn.log_softmax(net["logits"].astype(jnp.float32), axis=-1)
+        loss_sum, nll_sum = label_smoothed_nll_loss(
+            lp.reshape(-1, lp.shape[-1]), tgt.reshape(-1),
+            lcfg.label_smoothing)
     keep = tgt != PAD
     ntokens = jnp.sum(keep).astype(jnp.float32)
     nsent = jnp.sum(jnp.any(keep, axis=1)).astype(jnp.int32)
