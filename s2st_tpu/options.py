@@ -94,6 +94,13 @@ def add_task_args(parser: argparse.ArgumentParser):
     p.add_argument("--noise", default="random_delete",
                    choices=["random_delete", "random_mask", "no_noise",
                             "full_mask"])
+    # translation_multi_simple_epoch task
+    p.add_argument("--lang-pairs", default=None,
+                   help="comma-separated, e.g. de-en,fr-en")
+    p.add_argument("--encoder-langtok", default=None,
+                   choices=[None, "src", "tgt"])
+    p.add_argument("--decoder-langtok", action="store_true")
+    p.add_argument("--sampling-temperature", type=float, default=1.0)
 
 
 def add_model_args(parser: argparse.ArgumentParser):

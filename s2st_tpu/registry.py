@@ -72,4 +72,5 @@ def populate_builtin():
     import s2st_tpu.tasks.translation  # noqa: F401
     import s2st_tpu.tasks.language_modeling  # noqa: F401
     import s2st_tpu.tasks.translation_lev  # noqa: F401
+    import s2st_tpu.tasks.translation_multi_epoch  # noqa: F401
     import s2st_tpu.benchmark.dummy_s2st  # noqa: F401
