@@ -38,6 +38,10 @@ class NATConfig:
     pred_length_offset: bool = False
     length_loss_factor: float = 0.1
     src_embedding_copy: bool = False
+    # iterative NAT (iterative_nonautoregressive_transformer.py)
+    train_step: int = 1
+    dae_ratio: float = 0.5
+    stochastic_approx: bool = False
 
     def replace(self, **kw) -> "NATConfig":
         return dataclasses.replace(self, **kw)
@@ -179,6 +183,104 @@ def forward(variables: Dict[str, Params], cfg: NATConfig,
         "new_stats": {},
     }
     return out
+
+
+def sequential_poisoning(tgt: jnp.ndarray, vocab: int, rng: jax.Array,
+                         beta: float = 0.33) -> jnp.ndarray:
+    """DAE corruption (_sequential_poisoning,
+    iterative_nonautoregressive_transformer.py:11-42): left-to-right,
+    each position replaced by a random word, repeated into, or swapped
+    with its right neighbor with probability beta/3 each. Quirk-compatible
+    with the reference: the swap/repeat guard compares the NEXT word to
+    the literal 3 (the signature's eos default — the call site passes the
+    real eos=2, which the body ignores). The sequential column
+    interdependence is a lax.scan carrying the evolving current column."""
+    b, t = tgt.shape
+    r1, r2 = jax.random.split(rng)
+    rand_words = jax.random.randint(r1, (b, t), 4, vocab, jnp.int32)
+    choices = jax.random.uniform(r2, (b, t))
+    return poison_with(tgt, rand_words, choices, beta)
+
+
+def poison_with(tgt: jnp.ndarray, rand_words: jnp.ndarray,
+                choices: jnp.ndarray, beta: float = 0.33) -> jnp.ndarray:
+    """Deterministic poisoning core given the random draws (testable
+    against a spec oracle of the reference loop)."""
+    protected = (tgt == PAD) | (tgt == BOS) | (tgt == EOS)
+    choices = jnp.where(protected, 1.0, choices)
+    replace = choices < beta / 3
+    repeat = (choices >= beta / 3) & (choices < beta * 2 / 3)
+    swap = (choices >= beta * 2 / 3) & (choices < beta)
+    safe = choices >= beta
+
+    def step(cur, xs):
+        nxt, rw, rep, rpt, sw, sf = xs
+        sw_i = sw & (nxt != 3)
+        rpt_i = rpt & (nxt != 3)
+        sf_i = sf | ((nxt == 3) & ~rep)
+        out_i = (cur * (sf_i | rpt_i) + nxt * sw_i + rw * rep).astype(
+            jnp.int32)
+        # aliasing-compatible with the reference: its `self_word` is a
+        # VIEW of s[:, i] already overwritten by the first assignment, so
+        # the i+1 write reads the NEW value (a "swap" duplicates the next
+        # word into both slots)
+        new_next = (nxt * (sf_i | rep) + out_i * (sw_i | rpt_i)).astype(
+            jnp.int32)
+        return new_next, out_i
+
+    xs = (tgt[:, 1:].T, rand_words[:, :-1].T, replace[:, :-1].T,
+          repeat[:, :-1].T, swap[:, :-1].T, safe[:, :-1].T)
+    last, outs = jax.lax.scan(step, tgt[:, 0], xs)
+    return jnp.concatenate([outs.T, last[:, None]], axis=1)
+
+
+def inat_forward(variables: Dict[str, Params], cfg: NATConfig,
+                 batch: Dict[str, Any], rng: Optional[jax.Array] = None,
+                 deterministic: bool = True, train: bool = False
+                 ) -> Dict[str, Any]:
+    """Iterative NAT training forward (IterNATransformerModel.forward
+    :86-168): train_step rounds of word prediction, each round feeding its
+    (optionally gumbel-sampled) predictions — or a DAE-corrupted target
+    with probability dae_ratio per sentence — as the next scaffold.
+    Outputs are stacked along a leading step axis for the joint loss."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    rngs = jax.random.split(rng, 2 + 3 * cfg.train_step)
+    enc = tt.encode(variables, cfg.base, batch["src_tokens"], rng=rngs[0],
+                    deterministic=deterministic)
+    src_lens = jnp.sum(batch["src_tokens"] != PAD, axis=1)
+    length_logits = forward_length(variables, cfg, enc["encoder_out"],
+                                   enc["encoder_padding_mask"])
+    tgt = batch["target"]
+    prev = batch["prev_target"]
+    b = tgt.shape[0]
+    outs = []
+    for t in range(cfg.train_step):
+        w = nat_decode(variables, cfg, prev, enc["encoder_out"],
+                       enc["encoder_padding_mask"], rng=rngs[1 + 3 * t],
+                       deterministic=deterministic)
+        outs.append(w)
+        if t < cfg.train_step - 1:
+            logits = w
+            if cfg.stochastic_approx:
+                g = -jnp.log(-jnp.log(jax.random.uniform(
+                    rngs[2 + 3 * t], logits.shape) + 1e-8) + 1e-8)
+                logits = logits + g
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            mask = tgt != PAD
+            prev = jnp.where(mask, pred, prev)
+            if cfg.dae_ratio > 0:
+                r_c, r_p = jax.random.split(rngs[3 + 3 * t])
+                corrupted = jax.random.uniform(r_c, (b,)) < cfg.dae_ratio
+                poisoned = sequential_poisoning(
+                    tgt, cfg.base.tgt_vocab_size, r_p)
+                prev = jnp.where(corrupted[:, None], poisoned, prev)
+    return {
+        "word_ins_logits": jnp.concatenate(outs, axis=0),
+        "word_ins_tgt": jnp.tile(tgt, (cfg.train_step, 1)),
+        "length_logits": length_logits,
+        "length_tgt": length_target(cfg, tgt, src_lens),
+        "new_stats": {},
+    }
 
 
 def initialize_output_tokens(cfg: NATConfig, length_tgt: jnp.ndarray,

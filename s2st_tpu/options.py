@@ -173,6 +173,11 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--pred-length-offset", action="store_true")
     p.add_argument("--length-loss-factor", type=float, default=0.1)
     p.add_argument("--src-embedding-copy", action="store_true")
+    # iterative NAT special arguments
+    p.add_argument("--train-step", type=int, default=4,
+                   help="iNAT refinement iterations during training")
+    p.add_argument("--dae-ratio", type=float, default=0.5)
+    p.add_argument("--stochastic-approx", action="store_true")
     # levenshtein_transformer special arguments
     p.add_argument("--early-exit", default="6,6,6",
                    help="decoder layers before word_del, mask_ins, word_ins")
@@ -717,6 +722,16 @@ def levenshtein_transformer(args):
 @register_arch("levenshtein_transformer_wmt_en_de")
 def levenshtein_transformer_wmt_en_de(args):
     return _nat_base(args)
+
+
+@register_arch("iterative_nonautoregressive_transformer")
+def iterative_nonautoregressive_transformer(args):
+    """inat_base_architecture: NAT base + multi-step training knobs."""
+    _nat_base(args)
+    args.train_step = getattr(args, "train_step", 4)
+    args.dae_ratio = getattr(args, "dae_ratio", 0.5)
+    args.stochastic_approx = getattr(args, "stochastic_approx", False)
+    return args
 
 
 @register_arch("insertion_transformer")

@@ -67,12 +67,16 @@ class TranslationLevenshteinTask(TranslationTask):
             loss.mean_keys = L.lev_loss.mean_keys
             return cfg, functools.partial(lev.init_levenshtein, cfg=cfg), \
                 loss
+        is_inat = str(a.arch).startswith("iterative")
         cfg = natm.NATConfig(
             base=base,
             sg_length_pred=getattr(a, "sg_length_pred", False),
             pred_length_offset=getattr(a, "pred_length_offset", False),
             length_loss_factor=getattr(a, "length_loss_factor", 0.1),
-            src_embedding_copy=getattr(a, "src_embedding_copy", False))
+            src_embedding_copy=getattr(a, "src_embedding_copy", False),
+            train_step=(getattr(a, "train_step", 4) or 4) if is_inat else 1,
+            dae_ratio=getattr(a, "dae_ratio", 0.5),
+            stochastic_approx=getattr(a, "stochastic_approx", False))
         kind = "cmlm" if str(a.arch).startswith("cmlm") else "nat"
         loss = functools.partial(L.nat_loss,
                                  noise=getattr(a, "noise", "random_mask"),

@@ -442,15 +442,16 @@ def nat_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
     r_noise, r_model = jax.random.split(rng)
     tgt = batch["target"]
     prev_target = inject_noise(tgt, noise, r_noise)
-    net = natm.forward(variables, cfg,
-                       {**batch, "prev_target": prev_target},
-                       rng=r_model, deterministic=not train, train=train)
+    fwd = natm.inat_forward if cfg.train_step > 1 else natm.forward
+    net = fwd(variables, cfg, {**batch, "prev_target": prev_target},
+              rng=r_model, deterministic=not train, train=train)
     lp = jax.nn.log_softmax(net["word_ins_logits"].astype(jnp.float32), -1)
+    loss_tgt = net.get("word_ins_tgt", tgt)   # inat stacks steps
     if kind == "cmlm":
         mask = prev_target == 3          # cmlm: only the masked positions
     else:
-        mask = tgt != PAD                # vanilla NAT: every real token
-    nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        mask = loss_tgt != PAD           # vanilla NAT/iNAT: every token
+    nll = -jnp.take_along_axis(lp, loss_tgt[..., None], axis=-1)[..., 0]
     denom = jnp.maximum(jnp.sum(mask), 1)
     nll_mean = jnp.sum(jnp.where(mask, nll, 0.0)) / denom
     ls = lcfg.label_smoothing

@@ -261,3 +261,88 @@ def test_translation_lev_e2e(tmp_path, capsys):
         "--scoring", "sacrebleu"]) == 0
     out = capsys.readouterr().out
     assert out.count("H-") == 6 and "Generate test" in out
+
+
+def test_sequential_poisoning_matches_reference_loop():
+    """poison_with == the reference's _sequential_poisoning run on the
+    SAME random draws (the reference torch fn consumes its own RNG, so the
+    comparison drives the reference's loop via a direct call with
+    monkeypatched draws)."""
+    torch = pytest.importorskip("torch")
+    from tests.ref_loader import load_reference, reference_available
+    if not reference_available():
+        pytest.skip("reference not present")
+    load_reference()
+    import fairseq.models.nat.iterative_nonautoregressive_transformer as it
+
+    r = np.random.RandomState(0)
+    b, t, vocab = 4, 9, 20
+    tgt = np.full((b, t), 1, np.int64)
+    for i in range(b):
+        L = r.randint(4, t + 1)
+        tgt[i, 0] = 0
+        tgt[i, 1:L - 1] = r.randint(4, vocab, size=L - 2)
+        tgt[i, L - 1] = 2
+    rand_words = r.randint(4, vocab, size=(b, t)).astype(np.int64)
+    choices = r.rand(b, t).astype(np.float32)
+
+    # drive the reference loop with pinned draws
+    orig_randint, orig_rand = torch.randint, torch.rand
+    try:
+        torch.randint = lambda *a, **k: torch.from_numpy(rand_words.copy())
+        torch.rand = lambda *a, **k: torch.from_numpy(choices.copy())
+        ref = it._sequential_poisoning(
+            torch.from_numpy(tgt.copy()), vocab, 0.33, 0, 2, 1).numpy()
+    finally:
+        torch.randint, torch.rand = orig_randint, orig_rand
+
+    ours = np.asarray(natm.poison_with(
+        jnp.asarray(tgt.astype(np.int32)),
+        jnp.asarray(rand_words.astype(np.int32)), jnp.asarray(choices)))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_inat_e2e(tmp_path, capsys):
+    d = str(tmp_path)
+    random.seed(0)
+    for split, n in (("train", 80), ("valid", 8), ("test", 6)):
+        with open(f"{d}/{split}.src", "w") as fs, \
+                open(f"{d}/{split}.tgt", "w") as ft:
+            for _ in range(n):
+                L = random.randint(3, 6)
+                idx = [random.randrange(8) for _ in range(L)]
+                fs.write(" ".join(f"w{i}" for i in idx) + "\n")
+                ft.write(" ".join(f"w{i}" for i in idx) + "\n")
+    from s2st_tpu.cli.preprocess import main as pp
+    bin_dir = f"{d}/bin"
+    pp(["--source-lang", "src", "--target-lang", "tgt",
+        "--joined-dictionary", "--trainpref", f"{d}/train",
+        "--validpref", f"{d}/valid", "--testpref", f"{d}/test",
+        "--destdir", bin_dir, "--workers", "1"])
+    common = ["--encoder-layers", "1", "--decoder-layers", "1",
+              "--encoder-embed-dim", "16", "--decoder-embed-dim", "16",
+              "--encoder-ffn-embed-dim", "32", "--decoder-ffn-embed-dim",
+              "32", "--encoder-attention-heads", "2",
+              "--decoder-attention-heads", "2"]
+    from s2st_tpu.cli.train import main as train_main
+    assert train_main([
+        bin_dir, "--task", "translation_lev",
+        "--arch", "iterative_nonautoregressive_transformer",
+        "--noise", "full_mask", "--criterion", "nat_loss",
+        "--train-step", "2", "--stochastic-approx", *common,
+        "--optimizer", "adam", "--lr", "0.003",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "5",
+        "--max-tokens", "400", "--max-epoch", "2",
+        "--save-dir", f"{d}/ckpt", "--seed", "1",
+        "--no-epoch-checkpoints"]) == 0
+    capsys.readouterr()
+    from s2st_tpu.cli.generate import main as gen_main
+    assert gen_main([
+        bin_dir, "--task", "translation_lev",
+        "--arch", "iterative_nonautoregressive_transformer", *common,
+        "--path", f"{d}/ckpt/checkpoint_last.npz",
+        "--gen-subset", "test", "--iter-decode-max-iter", "2",
+        "--max-tokens", "400", "--max-len-b", "12",
+        "--scoring", "sacrebleu"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("H-") == 6 and "Generate test" in out
