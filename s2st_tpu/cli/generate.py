@@ -298,6 +298,8 @@ def _main_nat(args, task) -> int:
         kind = "levenshtein"
     elif arch.startswith("insertion"):
         kind = "insertion"
+    elif arch.startswith("nacrf"):
+        kind = "nacrf"
     else:
         kind = "nat"
 

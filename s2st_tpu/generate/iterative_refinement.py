@@ -97,10 +97,21 @@ def _nat_generate(variables: Dict[str, Any], src_tokens: jnp.ndarray,
     scores0 = jnp.zeros(tokens0.shape, jnp.float32)
 
     def decode_step(tokens, scores, step):
-        lp = jax.nn.log_softmax(nat.nat_decode(
+        logits = nat.nat_decode(
             variables, cfg, tokens, enc_out, enc_pad, deterministic=True,
             src_tokens=(src_rep if (cfg.src_embedding_copy and kind == "nat")
-                        else None)), axis=-1)
+                        else None))
+        if kind == "nacrf":
+            # NAT-CRF decode (nat_crf_transformer.py:88-104): Viterbi over
+            # the emission beam instead of per-position argmax
+            from ..ops.crf import crf_viterbi
+            mask = tokens != PAD
+            v_scores, v_tokens = crf_viterbi(
+                variables["params"]["crf"], logits, mask,
+                cfg.crf_beam_approx)
+            return (jnp.where(mask, v_tokens.astype(jnp.int32), tokens),
+                    jnp.where(mask, v_scores, scores))
+        lp = jax.nn.log_softmax(logits, axis=-1)
         best = jnp.argmax(lp, axis=-1).astype(jnp.int32)
         best_score = jnp.max(lp, axis=-1)
         if kind == "cmlm":

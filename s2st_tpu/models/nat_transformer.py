@@ -42,18 +42,27 @@ class NATConfig:
     train_step: int = 1
     dae_ratio: float = 0.5
     stochastic_approx: bool = False
+    # NAT-CRF (nat_crf_transformer.py + dynamic_crf_layer.py)
+    crf: bool = False
+    crf_lowrank_approx: int = 32
+    crf_beam_approx: int = 64
+    word_ins_loss_factor: float = 0.5
 
     def replace(self, **kw) -> "NATConfig":
         return dataclasses.replace(self, **kw)
 
 
 def init_nat(key, cfg: NATConfig) -> Dict[str, Params]:
-    k_base, k_len = jax.random.split(key)
+    k_base, k_len, k_crf = jax.random.split(key, 3)
     variables = tt.init_transformer(k_base, cfg.base)
     # length head: Embedding(256, enc_dim) used as a projection
     # (nonautoregressive_transformer.py:226 embed_length)
     variables["params"]["decoder"]["embed_length"] = embedding_init(
         k_len, 256, cfg.base.encoder_embed_dim)
+    if cfg.crf:
+        from ..ops.crf import init_crf
+        variables["params"]["crf"] = init_crf(
+            k_crf, cfg.base.tgt_vocab_size, cfg.crf_lowrank_approx)
     return variables
 
 

@@ -173,6 +173,10 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--pred-length-offset", action="store_true")
     p.add_argument("--length-loss-factor", type=float, default=0.1)
     p.add_argument("--src-embedding-copy", action="store_true")
+    # NAT-CRF special arguments (nacrf_transformer)
+    p.add_argument("--crf-lowrank-approx", type=int, default=32)
+    p.add_argument("--crf-beam-approx", type=int, default=64)
+    p.add_argument("--word-ins-loss-factor", type=float, default=0.5)
     # iterative NAT special arguments
     p.add_argument("--train-step", type=int, default=4,
                    help="iNAT refinement iterations during training")
@@ -722,6 +726,15 @@ def levenshtein_transformer(args):
 @register_arch("levenshtein_transformer_wmt_en_de")
 def levenshtein_transformer_wmt_en_de(args):
     return _nat_base(args)
+
+
+@register_arch("nacrf_transformer")
+def nacrf_transformer(args):
+    """nacrf_base_architecture (nat_crf_transformer.py:113-121)."""
+    _nat_base(args)
+    args.encoder_normalize_before = True
+    args.decoder_normalize_before = True
+    return args
 
 
 @register_arch("iterative_nonautoregressive_transformer")

@@ -68,7 +68,12 @@ class TranslationLevenshteinTask(TranslationTask):
             return cfg, functools.partial(lev.init_levenshtein, cfg=cfg), \
                 loss
         is_inat = str(a.arch).startswith("iterative")
+        is_crf = str(a.arch).startswith("nacrf")
         cfg = natm.NATConfig(
+            crf=is_crf,
+            crf_lowrank_approx=getattr(a, "crf_lowrank_approx", 32),
+            crf_beam_approx=getattr(a, "crf_beam_approx", 64),
+            word_ins_loss_factor=getattr(a, "word_ins_loss_factor", 0.5),
             base=base,
             sg_length_pred=getattr(a, "sg_length_pred", False),
             pred_length_offset=getattr(a, "pred_length_offset", False),

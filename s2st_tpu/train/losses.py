@@ -476,11 +476,26 @@ def nat_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
         "nsentences": jnp.int32(tgt.shape[0]),
         "sample_size": jnp.int32(1),
     }
+    if getattr(cfg, "crf", False):
+        # NAT-CRF (nat_crf_transformer.py:66-85): word_ins is co-trained
+        # at word_ins_loss_factor; the CRF nll is per-token-normalized
+        # then batch-averaged
+        from ..ops.crf import crf_log_likelihood
+        word_mask = tgt != PAD
+        crf_ll = crf_log_likelihood(
+            variables["params"]["crf"], net["word_ins_logits"], tgt,
+            word_mask, cfg.crf_beam_approx)
+        crf_nll = jnp.mean(-crf_ll / jnp.maximum(
+            jnp.sum(word_mask, axis=1).astype(jnp.float32), 1.0))
+        loss = word_loss * cfg.word_ins_loss_factor + length_loss + crf_nll
+        logging = {**logging, "loss": loss, "word_crf-loss": crf_nll,
+                   "word_ins-loss": word_loss * cfg.word_ins_loss_factor}
     return loss, {"new_stats": net["new_stats"], "logging": logging,
                   "sample_size": jnp.int32(1)}
 
 
-nat_loss.mean_keys = ("loss", "nll_loss", "word_ins-loss", "length-loss")
+nat_loss.mean_keys = ("loss", "nll_loss", "word_ins-loss", "length-loss",
+                      "word_crf-loss")
 
 
 def _nat_term(logits: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray,
