@@ -87,10 +87,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     model_cfg, init_fn, _ = task.build_model_and_loss()
     src_dict, tgt_dict = task.source_dictionary, task.target_dictionary
     is_lstm = str(args.arch).startswith("lstm")
+    is_conv = str(args.arch).startswith(("lightconv", "dynamicconv"))
 
     ens_vars = load_text_model_ensemble(args.path.split(":"), model_cfg,
                                         init_fn)
-    gen_vars = ens_vars if is_lstm else \
+    gen_vars = ens_vars if (is_lstm or is_conv) else \
         [tt.generation_variables(v, model_cfg) for v in ens_vars]
 
     strategy = "beam"
@@ -103,9 +104,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     # fairseq max_len = min(a*src_len + b, max_positions - 1): the static
     # buffer takes the worst case; per-sentence bounds ride the
     # LengthConstrained path (BeamConfig.max_len_a/b) when a != 0
-    hard_max = model_cfg.max_target_positions - 2
+    pos_cfg = getattr(model_cfg, "base", model_cfg)  # conv cfg nests base
+    hard_max = pos_cfg.max_target_positions - 2
     static_max = min(hard_max,
-                     int(args.max_len_a * model_cfg.max_source_positions
+                     int(args.max_len_a * pos_cfg.max_source_positions
                          + args.max_len_b))
     bs_cfg = BeamConfig(beam=args.beam,
                         max_len=max(static_max, 2),
@@ -122,23 +124,35 @@ def main(argv: Optional[List[str]] = None) -> int:
                         diversity_strength=args.diverse_beam_strength,
                         diversity_rate=max(args.diversity_rate, 0.0))
     nbest = min(args.nbest, args.beam)
-    shim = None if is_lstm else tt._aux_cfg(model_cfg)
+    shim = None if (is_lstm or is_conv) else tt._aux_cfg(model_cfg)
 
     @partial(jax.jit, static_argnames=("has_prefix",))
     def infer(gen_vars, src_tokens, tgt_tokens, rng, has_prefix=False):
         prefix = tgt_tokens[:, :args.prefix_size] if has_prefix else None
         src_lens = jnp.sum(src_tokens != 1, axis=1)
-        if is_lstm:
+        if is_lstm or is_conv:
+            from ..models import lightconv_model as lc
             from ..models import lstm as lstm_m
             step_fns, caches, pads = [], [], []
+            k = bs_cfg.beam
             for v in gen_vars:
-                enc = lstm_m.encode(v, model_cfg, src_tokens,
+                if is_lstm:
+                    enc = lstm_m.encode(v, model_cfg, src_tokens,
+                                        deterministic=True)
+                    eo = jnp.repeat(enc["encoder_out"], k, axis=0)
+                    ep = jnp.repeat(enc["encoder_padding_mask"], k, axis=0)
+                    step_fns.append(
+                        lstm_m.make_beam_step(v, model_cfg, eo, ep))
+                    caches.append(
+                        lstm_m.init_beam_cache(v, model_cfg, enc, k))
+                else:
+                    enc = lc.encode(v, model_cfg, src_tokens,
                                     deterministic=True)
-                k = bs_cfg.beam
-                eo = jnp.repeat(enc["encoder_out"], k, axis=0)
-                ep = jnp.repeat(enc["encoder_padding_mask"], k, axis=0)
-                step_fns.append(lstm_m.make_beam_step(v, model_cfg, eo, ep))
-                caches.append(lstm_m.init_beam_cache(v, model_cfg, enc, k))
+                    eo = jnp.repeat(enc["encoder_out"], k, axis=0)
+                    ep = jnp.repeat(enc["encoder_padding_mask"], k, axis=0)
+                    step_fns.append(lc.make_beam_step(v, model_cfg, eo, ep))
+                    caches.append(lc.init_beam_cache(
+                        model_cfg, src_tokens.shape[0] * k))
                 pads.append(enc["encoder_padding_mask"])
             return beam_search_aux(
                 gen_vars, shim, "decoder",
@@ -158,8 +172,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     @jax.jit
     def score_ref(gen_vars, src_tokens, prev_tokens, target):
         """SequenceScorer parity: positional lprobs of the reference."""
+        from ..models import lightconv_model as lc
         from ..models import lstm as lstm_m
-        fwd = lstm_m.forward if is_lstm else tt.forward
+        fwd = lstm_m.forward if is_lstm else \
+            (lc.forward if is_conv else tt.forward)
         lps = []
         for v in gen_vars:
             out = fwd(v, model_cfg,

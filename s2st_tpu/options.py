@@ -193,6 +193,22 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--label-tau", type=float, default=None,
                    help="insertion transformer balanced-tree label "
                         "temperature")
+    # lightconv/dynamicconv family (fairseq/models/lightconv.py flags)
+    p.add_argument("--encoder-conv-dim", type=int, default=None)
+    p.add_argument("--decoder-conv-dim", type=int, default=None)
+    p.add_argument("--encoder-glu", type=_str2bool, default=True)
+    p.add_argument("--decoder-glu", type=_str2bool, default=True)
+    p.add_argument("--encoder-conv-type", default="lightweight",
+                   choices=["lightweight", "dynamic"])
+    p.add_argument("--decoder-conv-type", default="lightweight",
+                   choices=["lightweight", "dynamic"])
+    p.add_argument("--weight-softmax", type=_str2bool, default=True)
+    p.add_argument("--weight-dropout", type=float, default=None)
+    p.add_argument("--input-dropout", type=float, default=0.1)
+    p.add_argument("--relu-dropout", type=float, default=0.0)
+    p.add_argument("--encoder-kernel-size-list", default=None,
+                   help="comma-separated per-layer kernel sizes")
+    p.add_argument("--decoder-kernel-size-list", default=None)
     # adaptive input/softmax (transformer_lm wiki103/gbw archs)
     p.add_argument("--adaptive-input", type=_str2bool, default=False)
     p.add_argument("--adaptive-input-factor", type=float, default=4.0)
@@ -753,6 +769,88 @@ def insertion_transformer(args):
     _nat_base(args)
     args.label_tau = getattr(args, "label_tau", None)
     return args
+
+
+def _lightconv_base(args):
+    """lightconv base_architecture (lightconv.py:906-969)."""
+    _transformer_text_base(args)
+    args.encoder_layers = 7
+    args.dropout = 0.1
+    args.attention_dropout = 0.0
+    return args
+
+
+@register_arch("lightconv")
+def lightconv(args):
+    return _lightconv_base(args)
+
+
+@register_arch("lightconv_iwslt_de_en")
+def lightconv_iwslt_de_en(args):
+    """lightconv.py:971-986."""
+    _lightconv_base(args)
+    args.encoder_layers = 7
+    args.encoder_ffn_embed_dim = 1024
+    args.encoder_attention_heads = 4
+    args.decoder_layers = 6
+    args.decoder_ffn_embed_dim = 1024
+    args.decoder_attention_heads = 4
+    args.attention_dropout = 0.1
+    args.weight_dropout = 0.1
+    args.encoder_glu = False
+    args.decoder_glu = False
+    args.input_dropout = 0.0
+    return args
+
+
+@register_arch("lightconv_wmt_en_de")
+def lightconv_wmt_en_de(args):
+    return _lightconv_base(args)
+
+
+@register_arch("dynamicconv")
+def dynamicconv_arch(args):
+    _lightconv_base(args)
+    args.encoder_conv_type = "dynamic"
+    args.decoder_conv_type = "dynamic"
+    return args
+
+
+def build_lightconv_config(args, src_vocab: int, tgt_vocab: int):
+    """args -> LightConvConfig (LightConvModel.build_model plumbing)."""
+    from .models.lightconv_model import LightConvConfig
+    base = build_transformer_text_config(args, src_vocab, tgt_vocab)
+
+    def klist(spec, default, n):
+        ks = default if spec is None else \
+            tuple(int(x) for x in str(spec).split(","))
+        if len(ks) == 1:
+            ks = ks * n
+        assert len(ks) == n, "kernel_size_list doesn't match layers"
+        return tuple(ks)
+
+    wd = args.weight_dropout
+    return LightConvConfig(
+        base=base,
+        conv_type=getattr(args, "encoder_conv_type", "lightweight"),
+        encoder_kernel_sizes=klist(args.encoder_kernel_size_list,
+                                   (3, 7, 15, 31, 31, 31, 31)[
+                                       :args.encoder_layers]
+                                   if args.encoder_layers <= 7 else None,
+                                   args.encoder_layers),
+        decoder_kernel_sizes=klist(args.decoder_kernel_size_list,
+                                   (3, 7, 15, 31, 31, 31)[
+                                       :args.decoder_layers]
+                                   if args.decoder_layers <= 6 else None,
+                                   args.decoder_layers),
+        encoder_conv_dim=args.encoder_conv_dim or args.encoder_embed_dim,
+        decoder_conv_dim=args.decoder_conv_dim or args.decoder_embed_dim,
+        encoder_glu=args.encoder_glu,
+        decoder_glu=args.decoder_glu,
+        weight_softmax=args.weight_softmax,
+        weight_dropout=wd if wd is not None else args.attention_dropout,
+        input_dropout=args.input_dropout,
+        relu_dropout=args.relu_dropout)
 
 
 @register_arch("lstm")

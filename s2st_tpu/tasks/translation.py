@@ -179,12 +179,20 @@ class TranslationTask:
     def build_model_and_loss(self):
         import functools
         from ..train import losses as L
-        if str(getattr(self.args, "arch", "")).startswith("lstm"):
+        arch = str(getattr(self.args, "arch", ""))
+        if arch.startswith("lstm"):
             from ..models import lstm as lstm_m
             from ..options import build_lstm_config
             cfg = build_lstm_config(self.args, len(self.src_dict),
                                     len(self.tgt_dict))
             return cfg, functools.partial(lstm_m.init_lstm, cfg=cfg), \
+                L.translation_loss
+        if arch.startswith(("lightconv", "dynamicconv")):
+            from ..models import lightconv_model as lc
+            from ..options import build_lightconv_config
+            cfg = build_lightconv_config(self.args, len(self.src_dict),
+                                         len(self.tgt_dict))
+            return cfg, functools.partial(lc.init_lightconv, cfg=cfg), \
                 L.translation_loss
         from ..models import transformer_text as tt
         cfg = self.build_model_config()

@@ -298,10 +298,15 @@ def translation_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
     mask (identical to the collated count: every non-pad target token,
     including EOS) so padded snap rows cost nothing.
     """
+    from ..models import lightconv_model as lc
     from ..models import lstm as lstm_m
     from ..models import transformer_text as tt
-    fwd = lstm_m.forward if isinstance(cfg, lstm_m.LSTMConfig) else \
-        tt.forward
+    if isinstance(cfg, lstm_m.LSTMConfig):
+        fwd = lstm_m.forward
+    elif isinstance(cfg, lc.LightConvConfig):
+        fwd = lc.forward
+    else:
+        fwd = tt.forward
     net = fwd(variables, cfg, batch, rng=rng,
               deterministic=not train, train=train)
     tgt = batch["target"]
