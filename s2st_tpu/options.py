@@ -90,6 +90,11 @@ def add_task_args(parser: argparse.ArgumentParser):
                    choices=["none", "complete", "complete_doc", "eos"])
     p.add_argument("--tokens-per-sample", type=int, default=1024)
     p.add_argument("--add-bos-token", action="store_true")
+    # masked_lm task (fairseq/tasks/masked_lm.py config;
+    # --mask-prob is shared with the wav2vec2 group)
+    p.add_argument("--leave-unmasked-prob", type=float, default=0.1)
+    p.add_argument("--random-token-prob", type=float, default=0.1)
+    p.add_argument("--untie-weights-roberta", action="store_true")
     # translation_lev task (fairseq/tasks/translation_lev.py config)
     p.add_argument("--noise", default="random_delete",
                    choices=["random_delete", "random_mask", "no_noise",
@@ -944,6 +949,36 @@ def _lm_base(args):
 @register_arch("transformer_lm")
 def transformer_lm(args):
     return _lm_base(args)
+
+
+@register_arch("roberta")
+def roberta(args):
+    """roberta base_architecture (roberta/model.py:524-547): 12x768 gelu
+    post-norm encoder with learned positions + embedding layernorm."""
+    args.encoder_layers = 12
+    args.encoder_embed_dim = 768
+    args.encoder_ffn_embed_dim = 3072
+    args.encoder_attention_heads = 12
+    args.dropout = 0.1
+    args.attention_dropout = 0.1
+    args.activation_dropout = 0.0
+    args.activation_fn = "gelu"
+    return args
+
+
+@register_arch("roberta_base")
+def roberta_base(args):
+    return roberta(args)
+
+
+@register_arch("roberta_large")
+def roberta_large(args):
+    roberta(args)
+    args.encoder_layers = 24
+    args.encoder_embed_dim = 1024
+    args.encoder_ffn_embed_dim = 4096
+    args.encoder_attention_heads = 16
+    return args
 
 
 @register_arch("transformer_lm_big")

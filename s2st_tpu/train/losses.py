@@ -381,6 +381,38 @@ def lm_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
 lm_loss.mean_keys = ("loss", "nll_loss")
 
 
+def masked_lm_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
+                   batch: Dict[str, Any], rng: Optional[jax.Array] = None,
+                   train: bool = True
+                   ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Masked-LM cross-entropy over the masked positions only
+    (fairseq/criterions/masked_lm.py: sample_size = masked token count;
+    the reference gathers the masked rows — here a mask selects with
+    static shapes). cfg: roberta.RobertaConfig."""
+    from ..models import roberta
+    net = roberta.forward(variables, cfg, batch, rng=rng,
+                          deterministic=not train, train=train)
+    tgt = batch["target"]
+    keep = tgt != PAD
+    lp = jax.nn.log_softmax(net["logits"].astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+    loss_sum = jnp.sum(jnp.where(keep, nll, 0.0))
+    n_masked = jnp.sum(keep)
+    sample_size = n_masked.astype(jnp.int32)
+    logging = {
+        "loss": loss_sum / jnp.maximum(n_masked, 1),
+        "nll_loss": loss_sum / jnp.maximum(n_masked, 1),
+        "ntokens": jnp.sum(batch["src_tokens"] != PAD),
+        "nsentences": jnp.int32(tgt.shape[0]),
+        "sample_size": sample_size,
+    }
+    return loss_sum, {"new_stats": net["new_stats"], "logging": logging,
+                      "sample_size": sample_size}
+
+
+masked_lm_loss.mean_keys = ("loss", "nll_loss")
+
+
 # ---------------------------------------------------------------------------
 # non-autoregressive translation (translation_lev task)
 # ---------------------------------------------------------------------------
