@@ -95,6 +95,9 @@ def add_task_args(parser: argparse.ArgumentParser):
     p.add_argument("--leave-unmasked-prob", type=float, default=0.1)
     p.add_argument("--random-token-prob", type=float, default=0.1)
     p.add_argument("--untie-weights-roberta", action="store_true")
+    # sentence_prediction task (fairseq/tasks/sentence_prediction.py)
+    p.add_argument("--num-classes", type=int, default=-1)
+    p.add_argument("--pooler-dropout", type=float, default=0.0)
     # translation_lev task (fairseq/tasks/translation_lev.py config)
     p.add_argument("--noise", default="random_delete",
                    choices=["random_delete", "random_mask", "no_noise",

