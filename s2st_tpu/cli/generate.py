@@ -130,6 +130,26 @@ def main(argv: Optional[List[str]] = None) -> int:
     def infer(gen_vars, src_tokens, tgt_tokens, rng, has_prefix=False):
         prefix = tgt_tokens[:, :args.prefix_size] if has_prefix else None
         src_lens = jnp.sum(src_tokens != 1, axis=1)
+        if getattr(model_cfg, "decoder_learned_pos", False):
+            # BART family: learned-position decoder steps through the
+            # generic step-fn beam interface
+            k = bs_cfg.beam
+            step_fns, caches, pads = [], [], []
+            for v in gen_vars:
+                enc = tt.encode(v, model_cfg, src_tokens,
+                                deterministic=True)
+                eo = jnp.repeat(enc["encoder_out"], k, axis=0)
+                ep = jnp.repeat(enc["encoder_padding_mask"], k, axis=0)
+                step_fns.append(tt.make_beam_step(v, model_cfg, eo, ep))
+                caches.append(tt.init_beam_cache(
+                    model_cfg, src_tokens.shape[0] * k, bs_cfg.max_len))
+                pads.append(enc["encoder_padding_mask"])
+            return beam_search_aux(
+                gen_vars, shim, "decoder",
+                [jnp.zeros((src_tokens.shape[0], 1, 1))] * len(gen_vars),
+                pads, bs_cfg, prefix_tokens=prefix, src_lengths=src_lens,
+                rng=rng, step_fns=step_fns, init_caches=caches,
+                vocab_size=len(tgt_dict))
         if is_lstm or is_conv:
             from ..models import lightconv_model as lc
             from ..models import lstm as lstm_m

@@ -59,6 +59,8 @@ class TransformerTextConfig:
     activation_fn: str = "relu"
     no_scale_embedding: bool = False
     layernorm_embedding: bool = False
+    encoder_learned_pos: bool = False
+    decoder_learned_pos: bool = False
     share_decoder_input_output_embed: bool = False
     share_all_embeddings: bool = False
     max_source_positions: int = 1024
@@ -90,6 +92,11 @@ def init_transformer(key, cfg: TransformerTextConfig) -> Dict[str, Params]:
     enc: Params = {"embed": embedding_init(next(ks), cfg.src_vocab_size,
                                            cfg.encoder_embed_dim,
                                            padding_idx=PAD)}
+    if cfg.encoder_learned_pos:
+        enc["embed_positions"] = embedding_init(
+            jax.random.fold_in(key, 101),
+            cfg.max_source_positions + PAD + 1, cfg.encoder_embed_dim,
+            padding_idx=PAD)
     for i in range(cfg.encoder_layers):
         enc[f"layer{i}"] = encoder_layer_init(
             next(ks), cfg.encoder_embed_dim, cfg.encoder_ffn_embed_dim,
@@ -103,6 +110,11 @@ def init_transformer(key, cfg: TransformerTextConfig) -> Dict[str, Params]:
     if not cfg.share_all_embeddings:
         dec["embed"] = embedding_init(next(ks), cfg.tgt_vocab_size,
                                       cfg.decoder_embed_dim, padding_idx=PAD)
+    if cfg.decoder_learned_pos:
+        dec["embed_positions"] = embedding_init(
+            jax.random.fold_in(key, 102),
+            cfg.max_target_positions + PAD + 1, cfg.decoder_embed_dim,
+            padding_idx=PAD)
     for i in range(cfg.decoder_layers):
         dec[f"layer{i}"] = decoder_layer_init(
             next(ks), cfg.decoder_embed_dim, cfg.decoder_ffn_embed_dim,
@@ -151,8 +163,14 @@ def encode(variables: Dict[str, Params], cfg: TransformerTextConfig,
     scale = 1.0 if cfg.no_scale_embedding else cfg.encoder_embed_dim ** 0.5
     x = embedding(p["embed"], src_tokens, cfg.dtype) \
         * jnp.asarray(scale, cfg.dtype)
-    x = x + _positions(src_tokens, cfg.encoder_embed_dim,
-                       cfg.max_source_positions, cfg.dtype)
+    if cfg.encoder_learned_pos:
+        is_pad0 = src_tokens == PAD
+        cum = jnp.cumsum((~is_pad0).astype(jnp.int32), axis=1)
+        idx = jnp.where(is_pad0, PAD, cum + PAD)
+        x = x + embedding(p["embed_positions"], idx, cfg.dtype)
+    else:
+        x = x + _positions(src_tokens, cfg.encoder_embed_dim,
+                           cfg.max_source_positions, cfg.dtype)
     if "embed_ln" in p:
         x = layer_norm(p["embed_ln"], x)
     rngs = split_rngs(rng, cfg.encoder_layers + 1)
@@ -179,12 +197,98 @@ def decode(variables: Dict[str, Params], cfg: TransformerTextConfig,
     ``aux_decode`` (the shared fairseq-TransformerDecoder implementation)
     over the view-materialized decoder params."""
     dec = decoder_view(variables["params"], cfg)
+    if cfg.decoder_learned_pos:
+        return _decode_learned_pos(dec, cfg, prev_output_tokens, enc_out,
+                                   enc_padding_mask, rng, deterministic)
     shim = _aux_cfg(cfg)
     return s2st.aux_decode(dec, shim, cfg.decoder_embed_dim,
                            cfg.decoder_layers, prev_output_tokens, enc_out,
                            enc_padding_mask,
                            max_positions=cfg.max_target_positions,
                            rng=rng, deterministic=deterministic)
+
+
+def _decode_learned_pos(p: Params, cfg: TransformerTextConfig,
+                        prev_tokens, enc_out, enc_padding_mask, rng,
+                        deterministic) -> jnp.ndarray:
+    """aux_decode with LEARNED pad-aware positions (fairseq
+    LearnedPositionalEmbedding — the BART/mBART decoder setting)."""
+    from ..nn.transformer import causal_mask, decoder_layer
+    dim = cfg.decoder_embed_dim
+    b, tt_ = prev_tokens.shape
+    scale = 1.0 if cfg.no_scale_embedding else dim ** 0.5
+    x = embedding(p["embed"], prev_tokens, cfg.dtype) \
+        * jnp.asarray(scale, cfg.dtype)
+    is_pad = prev_tokens == PAD
+    cum = jnp.cumsum((~is_pad).astype(jnp.int32), axis=1)
+    x = x + embedding(p["embed_positions"],
+                      jnp.where(is_pad, PAD, cum + PAD), cfg.dtype)
+    if "embed_ln" in p:
+        x = layer_norm(p["embed_ln"], x)
+    rngs = split_rngs(rng, cfg.decoder_layers + 1)
+    x = dropout(x, cfg.dropout, rngs[-1], deterministic)
+    mask = causal_mask(tt_)
+    for i in range(cfg.decoder_layers):
+        x, _ = decoder_layer(
+            p[f"layer{i}"], x, enc_out, enc_padding_mask, mask, is_pad,
+            cfg.decoder_attention_heads,
+            normalize_before=cfg.decoder_normalize_before,
+            activation=cfg.activation_fn, dropout_rate=cfg.dropout,
+            attn_dropout=cfg.attention_dropout,
+            act_dropout=cfg.activation_dropout,
+            rng=rngs[i], deterministic=deterministic)
+    if "final_ln" in p:
+        x = layer_norm(p["final_ln"], x)
+    return jnp.dot(x, p["out_proj"]["w"].astype(x.dtype),
+                   preferred_element_type=x.dtype)
+
+
+def make_beam_step(variables: Dict[str, Params],
+                   cfg: TransformerTextConfig, enc_out, enc_pad):
+    """Generic beam step fn for learned-position decoders (BART family):
+    full-cache decoder steps with the learned position row at step+PAD+1.
+    enc_out/enc_pad tiled to N = B*K."""
+    from ..nn.attention import cross_attn_precompute, self_attn_cache_init
+    from ..nn.transformer import decoder_layer_step
+    p = decoder_view(variables["params"], cfg)
+    dim = cfg.decoder_embed_dim
+    heads = cfg.decoder_attention_heads
+    scale = 1.0 if cfg.no_scale_embedding else dim ** 0.5
+    cross_kvs = tuple(
+        cross_attn_precompute(p[f"layer{i}"]["cross_attn"], enc_out, heads)
+        for i in range(cfg.decoder_layers))
+
+    def step_fn(tokens_t, step, caches):
+        x = embedding(p["embed"], tokens_t, cfg.dtype) \
+            * jnp.asarray(scale, cfg.dtype)
+        x = x + embedding(p["embed_positions"],
+                          jnp.asarray(step + PAD + 1), cfg.dtype)[None, None]
+        if "embed_ln" in p:
+            x = layer_norm(p["embed_ln"], x)
+        new_caches = []
+        for i in range(cfg.decoder_layers):
+            x, c, _ = decoder_layer_step(
+                p[f"layer{i}"], x, caches[i], step, cross_kvs[i], enc_pad,
+                heads, normalize_before=cfg.decoder_normalize_before,
+                activation=cfg.activation_fn)
+            new_caches.append(c)
+        if "final_ln" in p:
+            x = layer_norm(p["final_ln"], x)
+        logits = jnp.dot(x[:, 0], p["out_proj"]["w"].astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+        return (jax.nn.log_softmax(logits.astype(jnp.float32), -1),
+                tuple(new_caches))
+
+    return step_fn
+
+
+def init_beam_cache(cfg: TransformerTextConfig, n: int, max_len: int):
+    from ..nn.attention import self_attn_cache_init
+    heads = cfg.decoder_attention_heads
+    return tuple(
+        self_attn_cache_init(n, max_len + 1, heads,
+                             cfg.decoder_embed_dim // heads, cfg.dtype)
+        for _ in range(cfg.decoder_layers))
 
 
 def _aux_cfg(cfg: TransformerTextConfig) -> s2st.S2STConfig:

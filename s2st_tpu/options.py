@@ -98,6 +98,16 @@ def add_task_args(parser: argparse.ArgumentParser):
     # sentence_prediction task (fairseq/tasks/sentence_prediction.py)
     p.add_argument("--num-classes", type=int, default=-1)
     p.add_argument("--pooler-dropout", type=float, default=0.0)
+    # denoising task (fairseq/tasks/denoising.py; BART pretraining)
+    p.add_argument("--mask", type=float, default=0.0)
+    p.add_argument("--mask-random", type=float, default=0.0)
+    p.add_argument("--insert", type=float, default=0.0)
+    p.add_argument("--rotate", type=float, default=0.5)
+    p.add_argument("--permute-sentences", type=float, default=0.0)
+    p.add_argument("--poisson-lambda", type=float, default=3.0)
+    # --mask-length is shared with the wav2vec2 group (int there,
+    # subword/span-poisson here) — declared once as str in that group
+    p.add_argument("--replace-length", type=int, default=-1)
     # translation_lev task (fairseq/tasks/translation_lev.py config)
     p.add_argument("--noise", default="random_delete",
                    choices=["random_delete", "random_mask", "no_noise",
@@ -176,6 +186,8 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--share-all-embeddings", action="store_true")
     p.add_argument("--layernorm-embedding", action="store_true")
     p.add_argument("--no-decoder-final-norm", action="store_true")
+    p.add_argument("--encoder-learned-pos", action="store_true")
+    p.add_argument("--decoder-learned-pos", action="store_true")
     # NAT family (fairseq/models/nat special arguments)
     p.add_argument("--sg-length-pred", action="store_true")
     p.add_argument("--pred-length-offset", action="store_true")
@@ -267,7 +279,7 @@ def add_wav2vec2_args(parser: argparse.ArgumentParser):
     p.add_argument("--latent-dim", type=int, default=0)
     p.add_argument("--latent-temp", default="(2.0,0.5,0.999995)")
     p.add_argument("--mask-prob", type=float, default=0.65)
-    p.add_argument("--mask-length", type=int, default=10)
+    p.add_argument("--mask-length", default="10", help="wav2vec2: span length (int); denoising: subword|span-poisson")
     p.add_argument("--num-negatives", type=int, default=100)
     p.add_argument("--cross-sample-negatives", type=int, default=0)
     p.add_argument("--dropout-input", type=float, default=0.1)
@@ -601,7 +613,7 @@ def build_wav2vec2_config(args):
         latent_dim=args.latent_dim,
         latent_temp=tuple(ast.literal_eval(str(args.latent_temp))),
         mask_prob=args.mask_prob,
-        mask_length=args.mask_length,
+        mask_length=int(args.mask_length),
         num_negatives=args.num_negatives,
         cross_sample_negatives=args.cross_sample_negatives,
         dropout=args.dropout,
@@ -954,6 +966,52 @@ def transformer_lm(args):
     return _lm_base(args)
 
 
+@register_arch("bart_large")
+def bart_large(args):
+    """bart_large_architecture (bart/model.py:316-356): 12+12 x 1024
+    gelu, learned positions, layernorm_embedding, fully shared embeds."""
+    _transformer_text_base(args)
+    args.encoder_layers = 12
+    args.encoder_embed_dim = 1024
+    args.encoder_ffn_embed_dim = 4096
+    args.encoder_attention_heads = 16
+    args.decoder_layers = 12
+    args.decoder_embed_dim = 1024
+    args.decoder_ffn_embed_dim = 4096
+    args.decoder_attention_heads = 16
+    args.share_decoder_input_output_embed = True
+    args.share_all_embeddings = True
+    args.layernorm_embedding = True
+    args.no_scale_embedding = True
+    args.activation_fn = "gelu"
+    args.encoder_learned_pos = True
+    args.decoder_learned_pos = True
+    return args
+
+
+@register_arch("bart_base")
+def bart_base(args):
+    bart_large(args)
+    args.encoder_layers = 6
+    args.encoder_embed_dim = 768
+    args.encoder_ffn_embed_dim = 3072
+    args.encoder_attention_heads = 12
+    args.decoder_layers = 6
+    args.decoder_embed_dim = 768
+    args.decoder_ffn_embed_dim = 3072
+    args.decoder_attention_heads = 12
+    return args
+
+
+@register_arch("mbart_large")
+def mbart_large(args):
+    """mbart_large_architecture: bart_large + pre-norm + final LNs."""
+    bart_large(args)
+    args.encoder_normalize_before = True
+    args.decoder_normalize_before = True
+    return args
+
+
 @register_arch("roberta")
 def roberta(args):
     """roberta base_architecture (roberta/model.py:524-547): 12x768 gelu
@@ -1084,6 +1142,8 @@ def build_transformer_text_config(args, src_vocab: int, tgt_vocab: int):
         activation_fn=args.activation_fn,
         no_scale_embedding=args.no_scale_embedding,
         layernorm_embedding=getattr(args, "layernorm_embedding", False),
+        encoder_learned_pos=getattr(args, "encoder_learned_pos", False),
+        decoder_learned_pos=getattr(args, "decoder_learned_pos", False),
         share_decoder_input_output_embed=getattr(
             args, "share_decoder_input_output_embed", False),
         share_all_embeddings=getattr(args, "share_all_embeddings", False),
