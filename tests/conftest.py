@@ -134,6 +134,12 @@ SMOKE_TESTS = {
     "test_reference_parity.py::test_teacher_forced_forward_parity",
     "test_data.py::test_utterance_cmvn_and_specaugment",
     "test_checkpoint.py",  # whole file (fast)
+    # round-3 NLP verticals (fast representatives)
+    "test_translation.py::test_collate_matches_reference",
+    "test_language_modeling.py::test_slice_indices_complete_mode",
+    "test_nat.py::test_inject_noise_semantics",
+    "test_bmuf.py",  # whole file (fast)
+    "test_base_layer.py::test_balanced_and_near_optimal",
 }
 
 
