@@ -625,6 +625,33 @@ def build_wav2vec2_config(args):
         dtype=jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32)
 
 
+@register_arch("convtransformer")
+def convtransformer(args):
+    """convtransformer.py:401-437 base arch: 2D-conv frontend S2T."""
+    args.encoder_layers = 6
+    args.encoder_embed_dim = 512
+    args.encoder_ffn_embed_dim = 2048
+    args.encoder_attention_heads = 8
+    args.decoder_layers = 6
+    args.decoder_embed_dim = 512
+    args.decoder_ffn_embed_dim = 2048
+    args.decoder_attention_heads = 8
+    args.dropout = 0.1
+    args.attention_dropout = 0.0
+    args.activation_dropout = 0.0
+    args.conv_out_channels = getattr(args, "conv_out_channels", 256)
+    return args
+
+
+@register_arch("convtransformer_espnet")
+def convtransformer_espnet(args):
+    convtransformer(args)
+    args.encoder_layers = 12
+    args.encoder_attention_heads = 4
+    args.decoder_attention_heads = 4
+    return args
+
+
 @register_arch("s2t_transformer_hubert")
 def s2t_transformer_hubert(args):
     """s2t_transformer_me.py:82 — S2T with the frozen HuBERT frontend

@@ -165,6 +165,22 @@ class S2STranslationTask:
                 dtype=base.dtype)
             return cfg, functools.partial(fs2.init_fs2, cfg=cfg), \
                 L.fastspeech2_loss
+        if arch.startswith("convtransformer"):
+            from ..models import convtransformer as ct
+            test_type = getattr(self.args, "test_type", "st")
+            vocab = len(self.src_dict) if test_type == "asr" \
+                else len(self.tgt_dict)
+            cfg = ct.ConvTransformerConfig(
+                base=base,
+                conv_out_channels=getattr(self.args, "conv_out_channels",
+                                          256),
+                decoder_layers=self.args.decoder_layers,
+                decoder_embed_dim=self.args.decoder_embed_dim)
+            loss = functools.partial(L.s2t_loss, test_type=test_type,
+                                     forward_module="convtransformer")
+            loss.mean_keys = L.s2t_loss.mean_keys
+            return cfg, functools.partial(
+                ct.init_convtransformer, cfg=cfg, vocab_size=vocab), loss
         if arch.startswith("s2t_transformer"):
             from ..models import s2t_transformer as s2t
             test_type = getattr(self.args, "test_type", "st")

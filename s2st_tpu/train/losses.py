@@ -128,12 +128,17 @@ def t2s_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
 
 def s2t_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
              batch: Dict[str, Any], rng: Optional[jax.Array] = None,
-             train: bool = True, test_type: str = "st"
+             train: bool = True, test_type: str = "st",
+             forward_module: str = "s2t"
              ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Label-smoothed CE for ST/ASR pretraining (registered ``s2t_loss``,
     s2t_loss.py:57 parity; test_type picks asr=src_text vs st=tgt_text
-    targets, :88-94). cfg: s2t_transformer.S2TConfig."""
-    from ..models import s2t_transformer as s2t
+    targets, :88-94). cfg: s2t_transformer.S2TConfig (or the
+    ConvTransformerConfig via forward_module="convtransformer")."""
+    if forward_module == "convtransformer":
+        from ..models import convtransformer as s2t
+    else:
+        from ..models import s2t_transformer as s2t
     b = {**batch}
     if test_type == "asr":
         b["prev_text_tokens"] = batch["prev_src_text_tokens"]

@@ -509,3 +509,108 @@ def test_fs2_loss_parity(fs2_setup):
                               ("loss", "loss", 2e-3)):
         np.testing.assert_allclose(float(logs[ours]), log_ref[theirs],
                                    atol=tol, err_msg=ours)
+
+
+# ---------------------------------------------------------------------------
+# convtransformer
+# ---------------------------------------------------------------------------
+
+CT = dict(vocab=30, feat=8, conv_ch=8, enc_layers=2, dec_layers=2,
+          dim=16, ffn=32, heads=2)
+
+
+def test_convtransformer_forward_parity():
+    """2D-conv frontend S2T: logits agree with the reference
+    ConvTransformerModel on the same batch (imported weights)."""
+    ref = load_reference()
+    from fairseq.models.speech_to_text.convtransformer import \
+        ConvTransformerModel
+
+    torch.manual_seed(0)
+    g = CT
+    a = argparse.Namespace()
+    a.input_feat_per_channel = g["feat"]
+    a.input_channels = 1
+    a.conv_out_channels = g["conv_ch"]
+    a.encoder_layers = g["enc_layers"]
+    a.encoder_embed_dim = g["dim"]
+    a.encoder_ffn_embed_dim = g["ffn"]
+    a.encoder_attention_heads = g["heads"]
+    a.decoder_layers = g["dec_layers"]
+    a.decoder_embed_dim = g["dim"]
+    a.decoder_ffn_embed_dim = g["ffn"]
+    a.decoder_attention_heads = g["heads"]
+    a.dropout = 0.0
+    a.attention_dropout = 0.0
+    a.activation_dropout = 0.0
+    a.max_source_positions = 256
+    a.max_target_positions = 256
+
+    class _Task:
+        target_dictionary = _dictionary(ref, g["vocab"])
+
+    model = ConvTransformerModel.build_model(a, _Task)
+    model.eval()
+
+    import jax
+    import jax.numpy as jnp
+
+    from s2st_tpu.models import convtransformer as ct
+    from s2st_tpu.models import s2st_transformer as s2st_m
+    from s2st_tpu.models.torch_import import (_dec_layer, _enc_layer,
+                                              _lin, _ln)
+
+    sd = _sd(model)
+    enc = {}
+    enc["conv1"] = {"w": np.transpose(sd.pop("encoder.conv.0.weight"),
+                                      (2, 3, 1, 0)).copy(),
+                    "b": sd.pop("encoder.conv.0.bias")}
+    enc["conv2"] = {"w": np.transpose(sd.pop("encoder.conv.2.weight"),
+                                      (2, 3, 1, 0)).copy(),
+                    "b": sd.pop("encoder.conv.2.bias")}
+    enc["out"] = _lin(sd, "encoder.out", {})
+    for i in range(g["enc_layers"]):
+        enc[f"layer{i}"] = _enc_layer(sd, f"encoder.transformer_layers.{i}")
+    dec = {"embed": {"w": sd.pop("decoder.embed_tokens.weight")}}
+    for i in range(g["dec_layers"]):
+        dec[f"layer{i}"] = _dec_layer(sd, f"decoder.layers.{i}")
+    if "decoder.layer_norm.weight" in sd:
+        dec["final_ln"] = _ln(sd, "decoder.layer_norm")
+    dec["out_proj"] = {
+        "w": sd.pop("decoder.output_projection.weight").T.copy()}
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, {"params": {"encoder": enc, "decoder": dec},
+                      "stats": {}})
+
+    base = s2st_m.S2STConfig(
+        src_vocab_size=g["vocab"], tgt_vocab_size=g["vocab"],
+        input_feat_per_channel=g["feat"], encoder_layers=g["enc_layers"],
+        encoder_embed_dim=g["dim"], encoder_ffn_embed_dim=g["ffn"],
+        encoder_attention_heads=g["heads"], encoder_normalize_before=False,
+        decoder_embed_dim=g["dim"], decoder_ffn_embed_dim=g["ffn"],
+        decoder_attention_heads=g["heads"], decoder_normalize_before=False,
+        middle_layers=(), ctc=False, aux_asr=False, aux_st=False,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        max_source_positions=256, max_target_positions=256,
+        dtype=jnp.float32)
+    cfg = ct.ConvTransformerConfig(base=base,
+                                   conv_out_channels=g["conv_ch"],
+                                   decoder_layers=g["dec_layers"],
+                                   decoder_embed_dim=g["dim"])
+
+    r = np.random.RandomState(0)
+    b, src_t, tgt_t = 3, 20, 7
+    src = r.randn(b, src_t, g["feat"]).astype(np.float32)
+    src_lens = np.full((b,), src_t, np.int64)
+    prev, _ = _tokens(r, b, tgt_t, g["vocab"])
+    with torch.no_grad():
+        logits_ref, _ = model(torch.from_numpy(src),
+                              torch.from_numpy(src_lens),
+                              torch.from_numpy(prev))
+    out = ct.forward(variables, cfg,
+                     {"src_speech": src,
+                      "src_speech_lens": src_lens.astype(np.int32),
+                      "prev_text_tokens": prev.astype(np.int32)},
+                     deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               logits_ref.numpy(), atol=2e-4)
