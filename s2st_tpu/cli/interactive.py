@@ -100,12 +100,30 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     @jax.jit
     def infer(gen_vars, src_tokens):
+        src_lens = jnp.sum(src_tokens != 1, axis=1)
+        if getattr(model_cfg, "decoder_learned_pos", False):
+            # BART family: learned-position decoder step fns
+            k = bs_cfg.beam
+            step_fns, caches, pads = [], [], []
+            for v in gen_vars:
+                enc = tt.encode(v, model_cfg, src_tokens,
+                                deterministic=True)
+                eo = jnp.repeat(enc["encoder_out"], k, axis=0)
+                ep = jnp.repeat(enc["encoder_padding_mask"], k, axis=0)
+                step_fns.append(tt.make_beam_step(v, model_cfg, eo, ep))
+                caches.append(tt.init_beam_cache(
+                    model_cfg, src_tokens.shape[0] * k, bs_cfg.max_len))
+                pads.append(enc["encoder_padding_mask"])
+            return beam_search_aux(
+                gen_vars, shim, "decoder",
+                [jnp.zeros((src_tokens.shape[0], 1, 1))] * len(gen_vars),
+                pads, bs_cfg, src_lengths=src_lens, step_fns=step_fns,
+                init_caches=caches, vocab_size=len(tgt_dict))
         taps, pads = [], []
         for v in gen_vars:
             enc = tt.encode(v, model_cfg, src_tokens, deterministic=True)
             taps.append(enc["encoder_out"])
             pads.append(enc["encoder_padding_mask"])
-        src_lens = jnp.sum(src_tokens != 1, axis=1)
         return beam_search_aux(gen_vars, shim, "decoder", taps, pads,
                                bs_cfg, src_lengths=src_lens)
 

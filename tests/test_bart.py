@@ -185,3 +185,47 @@ def test_denoising_e2e(tmp_path, capsys):
         "--no-epoch-checkpoints"]) == 0
     import os
     assert os.path.exists(f"{d}/ckpt/checkpoint_last.npz")
+
+
+def test_bart_translation_generate_e2e(tmp_path, capsys):
+    """bart_base as a translation model: train + beam-generate through the
+    learned-position step-fn beam path."""
+    d = str(tmp_path)
+    random.seed(0)
+    for split, n in (("train", 80), ("valid", 8), ("test", 6)):
+        with open(f"{d}/{split}.src", "w") as fs, \
+                open(f"{d}/{split}.tgt", "w") as ft:
+            for _ in range(n):
+                L = random.randint(3, 6)
+                idx = [random.randrange(8) for _ in range(L)]
+                fs.write(" ".join(f"w{i}" for i in idx) + "\n")
+                ft.write(" ".join(f"w{i}" for i in reversed(idx)) + "\n")
+    from s2st_tpu.cli.preprocess import main as pp
+    bin_dir = f"{d}/bin"
+    pp(["--source-lang", "src", "--target-lang", "tgt",
+        "--joined-dictionary", "--trainpref", f"{d}/train",
+        "--validpref", f"{d}/valid", "--testpref", f"{d}/test",
+        "--destdir", bin_dir, "--workers", "1"])
+    common = ["--encoder-layers", "1", "--decoder-layers", "1",
+              "--encoder-embed-dim", "16", "--decoder-embed-dim", "16",
+              "--encoder-ffn-embed-dim", "32", "--decoder-ffn-embed-dim",
+              "32", "--encoder-attention-heads", "2",
+              "--decoder-attention-heads", "2"]
+    from s2st_tpu.cli.train import main as train_main
+    assert train_main([
+        bin_dir, "--task", "translation", "--arch", "bart_base",
+        "--criterion", "label_smoothed_cross_entropy", *common,
+        "--optimizer", "adam", "--lr", "0.003",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "5",
+        "--max-tokens", "400", "--max-epoch", "2",
+        "--save-dir", f"{d}/ckpt", "--seed", "1",
+        "--no-epoch-checkpoints"]) == 0
+    capsys.readouterr()
+    from s2st_tpu.cli.generate import main as gen_main
+    assert gen_main([
+        bin_dir, "--task", "translation", "--arch", "bart_base", *common,
+        "--path", f"{d}/ckpt/checkpoint_last.npz", "--gen-subset", "test",
+        "--beam", "2", "--max-tokens", "400", "--max-len-b", "12",
+        "--scoring", "sacrebleu"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("H-") == 6 and "Generate test" in out
