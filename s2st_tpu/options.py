@@ -625,6 +625,31 @@ def build_wav2vec2_config(args):
         dtype=jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32)
 
 
+@register_arch("s2t_berard")
+def s2t_berard(args):
+    """berard.py:546-566: tanh MLP + conv pyramid + biLSTM encoder,
+    MLP-attention LSTM decoder."""
+    args.input_layers = getattr(args, "input_layers", "[256, 128]")
+    args.conv_layers = getattr(args, "conv_layers",
+                               "[(16, 3, 2), (16, 3, 2)]")
+    args.num_blstm_layers = getattr(args, "num_blstm_layers", 3)
+    args.lstm_size = getattr(args, "lstm_size", 256)
+    args.dropout = 0.2
+    args.decoder_embed_dim = 128
+    args.decoder_num_layers = getattr(args, "decoder_num_layers", 2)
+    args.decoder_hidden_dim = getattr(args, "decoder_hidden_dim", 512)
+    args.attention_dim = getattr(args, "attention_dim", 512)
+    args.output_layer_dim = getattr(args, "output_layer_dim", 128)
+    return args
+
+
+@register_arch("s2t_berard_256_3_3")
+def s2t_berard_256_3_3(args):
+    s2t_berard(args)
+    args.decoder_num_layers = 3
+    return args
+
+
 @register_arch("convtransformer")
 def convtransformer(args):
     """convtransformer.py:401-437 base arch: 2D-conv frontend S2T."""

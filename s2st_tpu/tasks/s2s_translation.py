@@ -165,6 +165,33 @@ class S2STranslationTask:
                 dtype=base.dtype)
             return cfg, functools.partial(fs2.init_fs2, cfg=cfg), \
                 L.fastspeech2_loss
+        if arch.startswith("s2t_berard"):
+            import ast
+            from ..models import berard as brd
+            test_type = getattr(self.args, "test_type", "st")
+            vocab = len(self.src_dict) if test_type == "asr" \
+                else len(self.tgt_dict)
+            a = self.args
+            cfg = brd.BerardConfig(
+                vocab_size=vocab,
+                input_feat_per_channel=base.input_feat_per_channel,
+                input_layers=tuple(ast.literal_eval(
+                    str(getattr(a, "input_layers", "[256, 128]")))),
+                conv_layers=tuple(tuple(t) for t in ast.literal_eval(
+                    str(getattr(a, "conv_layers",
+                                "[(16, 3, 2), (16, 3, 2)]")))),
+                num_blstm_layers=getattr(a, "num_blstm_layers", 3),
+                lstm_size=getattr(a, "lstm_size", 256),
+                decoder_embed_dim=a.decoder_embed_dim,
+                decoder_num_layers=getattr(a, "decoder_num_layers", 2),
+                decoder_hidden_dim=getattr(a, "decoder_hidden_dim", 512),
+                attention_dim=getattr(a, "attention_dim", 512),
+                output_layer_dim=getattr(a, "output_layer_dim", 128),
+                dropout=a.dropout, dtype=base.dtype)
+            loss = functools.partial(L.s2t_loss, test_type=test_type,
+                                     forward_module="berard")
+            loss.mean_keys = L.s2t_loss.mean_keys
+            return cfg, functools.partial(brd.init_berard, cfg=cfg), loss
         if arch.startswith("convtransformer"):
             from ..models import convtransformer as ct
             test_type = getattr(self.args, "test_type", "st")

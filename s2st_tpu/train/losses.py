@@ -137,6 +137,8 @@ def s2t_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
     ConvTransformerConfig via forward_module="convtransformer")."""
     if forward_module == "convtransformer":
         from ..models import convtransformer as s2t
+    elif forward_module == "berard":
+        from ..models import berard as s2t
     else:
         from ..models import s2t_transformer as s2t
     b = {**batch}

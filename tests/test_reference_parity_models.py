@@ -614,3 +614,113 @@ def test_convtransformer_forward_parity():
                      deterministic=True)
     np.testing.assert_allclose(np.asarray(out["logits"]),
                                logits_ref.numpy(), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# s2t_berard
+# ---------------------------------------------------------------------------
+
+def test_berard_forward_parity():
+    """MLP+conv+biLSTM encoder and MLP-attention LSTM decoder logits agree
+    with the reference BerardModel (imported weights, full-length rows —
+    the berard conv reads batch padding at boundaries like the s2t conv)."""
+    ref = load_reference()
+    from fairseq.models.speech_to_text.berard import BerardModel
+
+    torch.manual_seed(0)
+    vocab, feat = 30, 8
+    a = argparse.Namespace()
+    a.input_layers = "[16, 8]"
+    a.conv_layers = "[(4, 3, 2)]"
+    a.num_blstm_layers = 2
+    a.lstm_size = 8
+    a.dropout = 0.0
+    a.decoder_embed_dim = 8
+    a.decoder_num_layers = 2
+    a.decoder_hidden_dim = 16
+    a.attention_dim = 12
+    a.output_layer_dim = 8
+    a.input_feat_per_channel = feat
+    a.input_channels = 1
+    a.load_pretrained_encoder_from = None
+    a.load_pretrained_decoder_from = None
+
+    class _Task:
+        target_dictionary = _dictionary(ref, vocab)
+
+    model = BerardModel.build_model(a, _Task)
+    model.eval()
+
+    import jax
+    import jax.numpy as jnp
+
+    from s2st_tpu.models import berard as brd
+
+    sd = _sd(model)
+    enc = {}
+    for i in range(2):
+        pre = f"encoder.input_layers.{i}"
+        enc[f"input{i}"] = {"w": sd.pop(f"{pre}.weight").T.copy(),
+                            "b": sd.pop(f"{pre}.bias")}
+    enc["conv0"] = {"w": np.transpose(sd.pop("encoder.conv_layers.0.weight"),
+                                      (2, 3, 1, 0)).copy(),
+                    "b": sd.pop("encoder.conv_layers.0.bias")}
+    for k in range(2):
+        enc[f"l{k}"] = {
+            "w_ih": sd.pop(f"encoder.lstm.weight_ih_l{k}"),
+            "w_hh": sd.pop(f"encoder.lstm.weight_hh_l{k}"),
+            "b_ih": sd.pop(f"encoder.lstm.bias_ih_l{k}"),
+            "b_hh": sd.pop(f"encoder.lstm.bias_hh_l{k}"),
+        }
+        enc[f"l{k}_rev"] = {
+            "w_ih": sd.pop(f"encoder.lstm.weight_ih_l{k}_reverse"),
+            "w_hh": sd.pop(f"encoder.lstm.weight_hh_l{k}_reverse"),
+            "b_ih": sd.pop(f"encoder.lstm.bias_ih_l{k}_reverse"),
+            "b_hh": sd.pop(f"encoder.lstm.bias_hh_l{k}_reverse"),
+        }
+    dec = {"embed": {"w": sd.pop("decoder.embed_tokens.weight")}}
+    for i in range(2):
+        pre = f"decoder.layers.{i}"
+        dec[f"cell{i}"] = {
+            "w_ih": sd.pop(f"{pre}.weight_ih"),
+            "w_hh": sd.pop(f"{pre}.weight_hh"),
+            "b_ih": sd.pop(f"{pre}.bias_ih"),
+            "b_hh": sd.pop(f"{pre}.bias_hh"),
+        }
+    def lin(name):
+        return {"w": sd.pop(f"{name}.weight").T.copy(),
+                "b": sd.pop(f"{name}.bias")}
+    dec["attn_encoder_proj"] = lin("decoder.attention.encoder_proj")
+    dec["attn_decoder_proj"] = {
+        "w": sd.pop("decoder.attention.decoder_proj.weight").T.copy()}
+    dec["attn_to_scores"] = {
+        "w": sd.pop("decoder.attention.to_scores.weight").T.copy()}
+    dec["deep_output"] = lin("decoder.deep_output_layer")
+    dec["out_proj"] = lin("decoder.output_projection")
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, {"params": {"encoder": enc, "decoder": dec},
+                      "stats": {}})
+
+    cfg = brd.BerardConfig(
+        vocab_size=vocab, input_feat_per_channel=feat,
+        input_layers=(16, 8), conv_layers=((4, 3, 2),),
+        num_blstm_layers=2, lstm_size=8, decoder_embed_dim=8,
+        decoder_num_layers=2, decoder_hidden_dim=16, attention_dim=12,
+        output_layer_dim=8, dropout=0.0, dtype=jnp.float32)
+
+    r = np.random.RandomState(0)
+    b, src_t, tgt_t = 3, 16, 7
+    src = r.randn(b, src_t, feat).astype(np.float32)
+    src_lens = np.full((b,), src_t, np.int64)
+    prev, _ = _tokens(r, b, tgt_t, vocab)
+    with torch.no_grad():
+        logits_ref, _ = model(torch.from_numpy(src),
+                              torch.from_numpy(src_lens),
+                              torch.from_numpy(prev))
+    out = brd.forward(variables, cfg,
+                      {"src_speech": src,
+                       "src_speech_lens": src_lens.astype(np.int32),
+                       "prev_text_tokens": prev.astype(np.int32)},
+                      deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               logits_ref.numpy(), atol=2e-4)
