@@ -625,6 +625,24 @@ def build_wav2vec2_config(args):
         dtype=jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32)
 
 
+@register_arch("xm_transformer")
+def xm_transformer(args):
+    """xm_transformer.py base arch: frozen wav2vec2 trunk + Conv1dAdaptor
+    + mBART decoder (12 x 1024, pre-norm, learned pos)."""
+    args.use_hubert = True       # raw-audio input pipeline
+    args.decoder_layers = 12
+    args.decoder_embed_dim = 1024
+    args.decoder_ffn_embed_dim = 4096
+    args.decoder_attention_heads = 16
+    args.decoder_normalize_before = True
+    args.activation_fn = "gelu"
+    args.adaptor_n_layers = getattr(args, "adaptor_n_layers", 3)
+    args.adaptor_kernel_size = getattr(args, "adaptor_kernel_size", 3)
+    args.adaptor_stride = getattr(args, "adaptor_stride", 2)
+    args.adaptor_layernorm = getattr(args, "adaptor_layernorm", False)
+    return args
+
+
 @register_arch("s2t_berard")
 def s2t_berard(args):
     """berard.py:546-566: tanh MLP + conv pyramid + biLSTM encoder,

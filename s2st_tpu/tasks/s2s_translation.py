@@ -165,6 +165,37 @@ class S2STranslationTask:
                 dtype=base.dtype)
             return cfg, functools.partial(fs2.init_fs2, cfg=cfg), \
                 L.fastspeech2_loss
+        if arch.startswith("xm_transformer"):
+            from ..models import xm_transformer as xm
+            from ..models.hubert import HubertConfig
+            test_type = getattr(self.args, "test_type", "st")
+            vocab = len(self.src_dict) if test_type == "asr" \
+                else len(self.tgt_dict)
+            a = self.args
+            trunk = HubertConfig(encoder_embed_dim=a.hubert_hidden,
+                                 encoder_layers=a.hubert_layers,
+                                 encoder_ffn_embed_dim=a.hubert_ffn,
+                                 encoder_attention_heads=a.hubert_heads,
+                                 dtype=base.dtype)
+            cfg = xm.XMConfig(
+                trunk=trunk, vocab_size=vocab,
+                decoder_layers=a.decoder_layers,
+                decoder_embed_dim=a.decoder_embed_dim,
+                decoder_ffn_embed_dim=a.decoder_ffn_embed_dim,
+                decoder_attention_heads=a.decoder_attention_heads,
+                adaptor_n_layers=getattr(a, "adaptor_n_layers", 3),
+                adaptor_kernel_size=getattr(a, "adaptor_kernel_size", 3),
+                adaptor_stride=getattr(a, "adaptor_stride", 2),
+                adaptor_layernorm=getattr(a, "adaptor_layernorm", False),
+                dropout=a.dropout,
+                attention_dropout=a.attention_dropout,
+                activation_dropout=a.activation_dropout,
+                max_target_positions=min(a.max_target_positions, 1024),
+                dtype=base.dtype)
+            loss = functools.partial(L.s2t_loss, test_type=test_type,
+                                     forward_module="xm")
+            loss.mean_keys = L.s2t_loss.mean_keys
+            return cfg, functools.partial(xm.init_xm, cfg=cfg), loss
         if arch.startswith("s2t_berard"):
             import ast
             from ..models import berard as brd

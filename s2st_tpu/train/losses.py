@@ -139,6 +139,8 @@ def s2t_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
         from ..models import convtransformer as s2t
     elif forward_module == "berard":
         from ..models import berard as s2t
+    elif forward_module == "xm":
+        from ..models import xm_transformer as s2t
     else:
         from ..models import s2t_transformer as s2t
     b = {**batch}
