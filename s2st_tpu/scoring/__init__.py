@@ -183,6 +183,29 @@ class BleuScorer:
             return f"BLEU4 = {self.score():.2f}"
 
 
+class ChrFScorer:
+    """fairseq/scoring/chrf.py parity: corpus chrF via sacrebleu."""
+
+    def __init__(self):
+        self.refs = []
+        self.hyps = []
+
+    def add_string(self, ref: str, pred: str):
+        self.refs.append(ref)
+        self.hyps.append(pred)
+
+    def score(self) -> float:
+        import sacrebleu
+        return sacrebleu.corpus_chrf(self.hyps, [self.refs]).score
+
+    def result_string(self) -> str:
+        try:
+            import sacrebleu
+            return sacrebleu.corpus_chrf(self.hyps, [self.refs]).format()
+        except ImportError:
+            return f"chrF = {self.score():.2f}"
+
+
 def build_scorer(args):
     name = getattr(args, "scoring", "sacrebleu")
     if name == "wer":
@@ -191,4 +214,6 @@ def build_scorer(args):
                          tokenizer=getattr(args, "wer_tokenizer", "none"))
     if name in ("bleu", "sacrebleu"):
         return BleuScorer()
+    if name == "chrf":
+        return ChrFScorer()
     raise ValueError(f"unknown scorer {name}")
