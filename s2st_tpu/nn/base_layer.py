@@ -48,10 +48,14 @@ def init_base_layer(key, cfg: BaseLayerConfig) -> Params:
     p: Params = {"expert_centroids": centroids}
     for e in range(cfg.num_experts):
         for s in range(cfg.sublayers):
+            fc2 = linear_init(next(ks), cfg.ffn_dim, cfg.embed_dim)
+            # BaseSublayer zero-inits ff2 (base_layer.py:111): the expert
+            # starts as identity and the gate learns when to use it
+            fc2["w"] = jnp.zeros_like(fc2["w"])
             p[f"expert{e}_sub{s}"] = {
                 "ln": layer_norm_init(cfg.embed_dim),
                 "fc1": linear_init(next(ks), cfg.embed_dim, cfg.ffn_dim),
-                "fc2": linear_init(next(ks), cfg.ffn_dim, cfg.embed_dim),
+                "fc2": fc2,
             }
     return p
 
@@ -73,7 +77,10 @@ def base_layer_forward(p: Params, cfg: BaseLayerConfig, x: jnp.ndarray,
     n, c = x.shape
     e = cfg.num_experts
     assert n % e == 0, "token count must divide num_experts"
-    affinities = jnp.dot(x, p["expert_centroids"].T)        # (N, E)
+    # routing scores carry NO gradient (reference computes them under
+    # no_grad, base_layer.py:40-42); the gate's dot product below does
+    affinities = jax.lax.stop_gradient(
+        jnp.dot(x, p["expert_centroids"].T))                # (N, E)
 
     def host_assign(scores):
         return balanced_assignment(
@@ -88,12 +95,13 @@ def base_layer_forward(p: Params, cfg: BaseLayerConfig, x: jnp.ndarray,
     outs = jnp.stack([_expert_ffn(p, cfg, ei, blocks[ei])
                       for ei in range(e)])
     routed_out = outs.reshape(n, c)
-    # sigmoid-gated combination at the token's expert affinity
-    gate_aff = jnp.take_along_axis(
-        affinities[sort_by_expert],
-        jnp.repeat(jnp.arange(e), n // e)[:, None], axis=1)[:, 0]
-    routed_out = jax.nn.sigmoid(gate_aff)[:, None] * routed_out \
-        + (1 - jax.nn.sigmoid(gate_aff))[:, None] * routed
+    # gate: sigmoid(routed · expert centroid), DIFFERENTIABLE into the
+    # centroids (base_layer.py:52-53 recomputes the dot outside no_grad)
+    expert_of_row = jnp.repeat(jnp.arange(e), n // e)
+    gate_aff = jnp.sum(routed * p["expert_centroids"][expert_of_row],
+                       axis=-1)
+    alpha = jax.nn.sigmoid(gate_aff)[:, None]
+    routed_out = alpha * routed_out + (1 - alpha) * routed
     # return tokens to their original positions
     out = jnp.zeros_like(x).at[sort_by_expert].set(routed_out)
     return out
