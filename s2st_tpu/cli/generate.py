@@ -14,6 +14,7 @@ per-model encoders run inside the same program.
 from __future__ import annotations
 
 import logging
+import math
 import sys
 from functools import partial
 from typing import List, Optional
@@ -252,9 +253,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                 n = int(lens[row])
                 print(f"S-{sid}\t{src_str}", file=out_file)
                 print(f"T-{sid}\t{ref}", file=out_file)
-                print(f"H-{sid}\t{sc[row]:.4f}\t{hyp}", file=out_file)
+                # fairseq prints scores in base 2 (generate.py:274,293)
+                print(f"H-{sid}\t{sc[row] / math.log(2):.4f}\t{hyp}",
+                      file=out_file)
                 print(f"P-{sid}\t" + " ".join(
-                    f"{x:.4f}" for x in pos[row, :n]), file=out_file)
+                    f"{x / math.log(2):.4f}" for x in pos[row, :n]),
+                    file=out_file)
                 # fairseq still feeds the scorer (hyp == reference here)
                 scorer.add_string(ref, hyp)
                 gen_tokens += n
@@ -269,6 +273,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         tokens = np.asarray(out["tokens"])
         lengths = np.asarray(out["lengths"])
         scores = np.asarray(out["scores"])
+        pos_all = np.asarray(out["pos_scores"])
         has_target = "target" in batch
         tgt_np = np.asarray(batch["target"]) if has_target else None
         for row in range(len(ids)):
@@ -286,10 +291,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                 hyp_ids = hyp_ids[hyp_ids != 2][:n]
                 hyp_raw = tgt_dict.string(hyp_ids)
                 hyp = tgt_dict.string(hyp_ids, remove_bpe)
-                print(f"H-{sid}\t{scores[row, j]:.4f}\t{hyp_raw}",
-                      file=out_file)
-                print(f"D-{sid}\t{scores[row, j]:.4f}\t{hyp}",
-                      file=out_file)
+                sc2 = scores[row, j] / math.log(2)   # base-2 parity
+                print(f"H-{sid}\t{sc2:.4f}\t{hyp_raw}", file=out_file)
+                print(f"D-{sid}\t{sc2:.4f}\t{hyp}", file=out_file)
+                print(f"P-{sid}\t" + " ".join(
+                    f"{x / math.log(2):.4f}"
+                    for x in pos_all[row, j, 1:1 + n]), file=out_file)
                 if j == 0:
                     gen_tokens += n
                     if ref is not None:
@@ -389,8 +396,9 @@ def _main_nat(args, task) -> int:
             keep = (ids_row != 1) & (ids_row != 0) & (ids_row != 2)
             hyp_raw = tgt_dict.string(ids_row[keep])
             hyp = tgt_dict.string(ids_row[keep], remove_bpe)
-            print(f"H-{sid}\t{sc[row]:.4f}\t{hyp_raw}")
-            print(f"D-{sid}\t{sc[row]:.4f}\t{hyp}")
+            sc2 = sc[row] / math.log(2)             # base-2 parity
+            print(f"H-{sid}\t{sc2:.4f}\t{hyp_raw}")
+            print(f"D-{sid}\t{sc2:.4f}\t{hyp}")
             gen_tokens += int(keep.sum())
             if ref is not None:
                 scorer.add_string(ref, hyp)

@@ -12,6 +12,7 @@ tab-separated constraint phrases after the source text
 from __future__ import annotations
 
 import logging
+import math
 import sys
 import time
 from typing import List, Optional
@@ -155,8 +156,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 hyp_ids = tokens[i, j, 1:1 + n]
                 hyp_ids = hyp_ids[hyp_ids != 2][:n]
                 hyp_raw = tgt_dict.string(hyp_ids)
-                print(f"H-{sid}\t{scores[i, j]:.4f}\t{hyp_raw}")
-                print(f"D-{sid}\t{scores[i, j]:.4f}\t{decode_str(hyp_ids)}")
+                sc2 = scores[i, j] / math.log(2)    # base-2 parity
+                print(f"H-{sid}\t{sc2:.4f}\t{hyp_raw}")
+                print(f"D-{sid}\t{sc2:.4f}\t{decode_str(hyp_ids)}")
         start_id += len(lines)
     return 0
 

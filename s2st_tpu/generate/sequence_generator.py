@@ -72,12 +72,15 @@ class BeamConfig:
 # ---------------------------------------------------------------------------
 
 def _fill_finished_slots(fin_scores, fin_tokens, fin_lens, fin_flags,
-                         cand_scores, cand_tokens, length, k):
+                         cand_scores, cand_tokens, length, k,
+                         fin_pos=None, cand_pos=None):
     """Append eos candidates (best-first) into the free finished slots of
     each sentence, fairseq finalize_hypos-style: slots fill in arrival
     order and are never replaced; a sentence with all K slots filled is
     frozen. cand_scores (B, C) with NEG_INF for non-candidates;
-    cand_tokens (B, C, L); length: scalar/int hypothesis length."""
+    cand_tokens (B, C, L); length: scalar/int hypothesis length.
+    fin_pos/cand_pos: optional per-position score buffers (B, K|C, L)
+    carried alongside (the P- output lines)."""
     filled = fin_flags.sum(axis=1)                          # (B,)
     take = min(k, cand_scores.shape[1])
     cs, ci = jax.lax.top_k(cand_scores, take)               # sorted desc
@@ -94,7 +97,13 @@ def _fill_finished_slots(fin_scores, fin_tokens, fin_lens, fin_flags,
                            fin_tokens)
     out_lens = jnp.where(valid, jnp.asarray(length, jnp.int32), fin_lens)
     out_flags = fin_flags | valid
-    return out_scores, out_tokens, out_lens, out_flags
+    if fin_pos is None:
+        return out_scores, out_tokens, out_lens, out_flags
+    cp = jnp.take_along_axis(cand_pos, ci[:, :, None], 1)
+    out_pos = jnp.where(valid[:, :, None],
+                        jnp.take_along_axis(cp, rc[:, :, None], 1),
+                        fin_pos)
+    return out_scores, out_tokens, out_lens, out_flags, out_pos
 
 
 def _step_beam(t, lprobs, alive_scores, k):
@@ -384,6 +393,10 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
         fin_scores=jnp.full((b, k), NEG_INF, jnp.float32), # normalized
         fin_lens=jnp.zeros((b, k), jnp.int32),
         fin_flags=jnp.zeros((b, k), bool),
+        # per-position score deltas along each hypothesis (fairseq's
+        # positional_scores, the P- lines: cum-score differences)
+        alive_pos=jnp.zeros((b, k, max_len + 2), jnp.float32),
+        fin_pos=jnp.zeros((b, k, max_len + 2), jnp.float32),
     )
     if constraints is not None:
         from .constrained import init_constraint_state
@@ -482,6 +495,12 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
         write = jax.nn.one_hot(t + 1, cand_tokens.shape[2],
                                dtype=jnp.int32)[None, None, :]
         cand_tokens = cand_tokens * (1 - write) + tok[:, :, None] * write
+        # per-position deltas: this step's lprob = cum - source beam's cum
+        prev_cum = jnp.take_along_axis(s["alive_scores"], beam_idx, 1)
+        cand_pscore = jnp.take_along_axis(
+            s["alive_pos"], beam_idx[:, :, None], axis=1)
+        cand_pscore = cand_pscore * (1 - write) \
+            + (top_scores - prev_cum)[:, :, None] * write
 
         is_eos = tok == EOS
         # ----- finished pool update: ARRIVAL-ORDER slot filling -----
@@ -497,9 +516,11 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
         # would win — parity requires reproducing that, not improving it
         cand_pos = jnp.arange(2 * k)[None, :]
         eos_scores = jnp.where(is_eos & (cand_pos < k), norm, NEG_INF)
-        fin_top, fin_tokens, fin_lens, fin_flags = _fill_finished_slots(
-            s["fin_scores"], s["fin_tokens"], s["fin_lens"], s["fin_flags"],
-            eos_scores, cand_tokens, t + 1, k)
+        fin_top, fin_tokens, fin_lens, fin_flags, fin_pos = \
+            _fill_finished_slots(
+                s["fin_scores"], s["fin_tokens"], s["fin_lens"],
+                s["fin_flags"], eos_scores, cand_tokens, t + 1, k,
+                fin_pos=s["fin_pos"], cand_pos=cand_pscore)
 
         # ----- alive pool: top K non-eos -----
         if bs_cfg.strategy == "diverse_beam" or constraints is not None:
@@ -521,12 +542,15 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
         sel_beam = jnp.take_along_axis(beam_idx, alive_sel, 1)   # (B,K)
         alive_tokens = jnp.take_along_axis(
             cand_tokens, alive_sel[:, :, None], axis=1)
+        alive_pos = jnp.take_along_axis(
+            cand_pscore, alive_sel[:, :, None], axis=1)
         new_caches = _gather_beams(new_caches, sel_beam, b, k)
 
         out = dict(step=t + 1, alive_tokens=alive_tokens,
                    alive_scores=alive_top, caches=new_caches,
                    fin_tokens=fin_tokens, fin_scores=fin_top,
-                   fin_lens=fin_lens, fin_flags=fin_flags)
+                   fin_lens=fin_lens, fin_flags=fin_flags,
+                   alive_pos=alive_pos, fin_pos=fin_pos)
         if cand_cstate is not None:
             out["cnode"] = jnp.take_along_axis(cand_cstate[0], alive_sel, 1)
             out["cmet"] = jnp.take_along_axis(
@@ -556,17 +580,21 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
     write = jax.nn.one_hot(t + 1, s["alive_tokens"].shape[2],
                            dtype=jnp.int32)[None, None, :]
     alive_tokens = (s["alive_tokens"] * (1 - write) + EOS * write)
+    alive_pos = s["alive_pos"] * (1 - write) + eos_lp[:, :, None] * write
     # forced-eos leftovers only FILL a sentence's remaining free slots
     # (done sentences are frozen — fairseq dropped them from the batch)
-    fin_scores, fin_tokens, fin_lens, _ = _fill_finished_slots(
+    fin_scores, fin_tokens, fin_lens, _, fin_pos = _fill_finished_slots(
         s["fin_scores"], s["fin_tokens"], s["fin_lens"], s["fin_flags"],
-        norm, alive_tokens, t + 1, k)
+        norm, alive_tokens, t + 1, k,
+        fin_pos=s["fin_pos"], cand_pos=alive_pos)
     # output sorted by score desc per sentence (fairseq sorts finalized)
     top, idx = jax.lax.top_k(fin_scores, k)
     return {
         "tokens": jnp.take_along_axis(fin_tokens, idx[:, :, None], 1),
         "scores": top,
         "lengths": jnp.take_along_axis(fin_lens, idx, 1),
+        # deltas at positions 1..len (position 0 is the bos-EOS seed)
+        "pos_scores": jnp.take_along_axis(fin_pos, idx[:, :, None], 1),
     }
 
 

@@ -266,8 +266,8 @@ def decoder_step(variables: Dict[str, Params], cfg: LSTMConfig,
     p = variables["params"]["decoder"]
     inp = jnp.concatenate([tok_embed, state["input_feed"]], axis=-1)
     hiddens, cells = [], []
-    rngs = jax.random.split(rng, cfg.decoder_layers) \
-        if rng is not None else [None] * cfg.decoder_layers
+    rngs = jax.random.split(rng, cfg.decoder_layers + 1) \
+        if rng is not None else [None] * (cfg.decoder_layers + 1)
     for i in range(cfg.decoder_layers):
         h, c = lstm_cell(p[f"cell{i}"], inp, state["hiddens"][i],
                          state["cells"][i])
@@ -278,6 +278,10 @@ def decoder_step(variables: Dict[str, Params], cfg: LSTMConfig,
         out, attn_w = _attention(p, h, enc_out, enc_pad)
     else:
         out, attn_w = h, None
+    # fairseq drops the step output ONCE and feeds the SAME dropped tensor
+    # back as input_feed (lstm.py:569-574) — the emitted out and the
+    # recurrent input must share the dropout mask
+    out = dropout(out, cfg.decoder_dropout_out, rngs[-1], deterministic)
     new_state = {"hiddens": jnp.stack(hiddens), "cells": jnp.stack(cells),
                  "input_feed": out}
     return out, attn_w, new_state
@@ -314,10 +318,6 @@ def forward(variables: Dict[str, Params], cfg: LSTMConfig,
             enc["encoder_padding_mask"],
             rng=(r_t if r_steps is not None else None),
             deterministic=deterministic)
-        # dropout_out on the step output (:573) — shares the step rng
-        out = dropout(out, cfg.decoder_dropout_out,
-                      (jax.random.fold_in(r_t, 1)
-                       if r_steps is not None else None), deterministic)
         return new_state, out
 
     _, outs = jax.lax.scan(step, state,

@@ -218,6 +218,7 @@ def test_beam_search_parity_vs_reference_generator():
     tokens = np.asarray(out["tokens"])
     lengths = np.asarray(out["lengths"])
     scores = np.asarray(out["scores"])
+    pos_scores = np.asarray(out["pos_scores"])
 
     for b in range(tokens.shape[0]):
         for k in range(4):
@@ -227,6 +228,11 @@ def test_beam_search_parity_vs_reference_generator():
             np.testing.assert_array_equal(ours_toks, ref_toks,
                                           err_msg=f"hypo[{b}][{k}] tokens")
             assert abs(scores[b, k] - float(hypos[b][k]["score"])) <= 1e-4
+            # positional scores (the P- lines) match fairseq's
+            np.testing.assert_allclose(
+                pos_scores[b, k, 1:n + 1],
+                hypos[b][k]["positional_scores"].numpy(), atol=1e-4,
+                err_msg=f"hypo[{b}][{k}] positional scores")
 
 
 def test_checkpoint_roundtrip_through_real_pt(tmp_path):
