@@ -292,6 +292,20 @@ def add_wav2vec2_args(parser: argparse.ArgumentParser):
     p.add_argument("--infonce", action="store_true")
     p.add_argument("--loss-weights", default="0.1,10",
                    help="prob_ppl,features_pen weights")
+    # HuBERT pretraining (HubertPretrainingConfig, tasks/
+    # hubert_pretraining.py:36-107 + HubertConfig, models/hubert/
+    # hubert.py:40-230 + HubertCriterionConfig, hubert_criterion.py:19-35)
+    p.add_argument("--labels", default="km",
+                   help="comma list of frame-label suffixes")
+    p.add_argument("--label-dir", default=None,
+                   help="dir of {split}.{label} + dict.{label}.txt "
+                        "(default: --data)")
+    p.add_argument("--label-rate", type=float, default=50.0)
+    p.add_argument("--untie-final-proj", action="store_true")
+    p.add_argument("--skip-masked", action="store_true")
+    p.add_argument("--skip-nomask", action="store_true")
+    p.add_argument("--pred-masked-weight", type=float, default=1.0)
+    p.add_argument("--pred-nomask-weight", type=float, default=0.0)
 
 
 def add_criterion_args(parser: argparse.ArgumentParser):
@@ -622,6 +636,51 @@ def build_wav2vec2_config(args):
         dropout_input=args.dropout_input,
         dropout_features=args.dropout_features,
         feature_grad_mult=args.feature_grad_mult,
+        dtype=jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32)
+
+
+@register_arch("hubert")
+def hubert_base(args):
+    """HuBERT base pretraining arch (HubertConfig defaults, models/hubert/
+    hubert.py:40-230 = the hubert_base_librispeech recipe): 12x768
+    post-LN encoder over the 7-conv 512-d extractor."""
+    args.encoder_layers = 12
+    args.encoder_embed_dim = 768
+    args.encoder_ffn_embed_dim = 3072
+    args.encoder_attention_heads = 12
+    args.dropout = 0.1
+    args.attention_dropout = 0.1
+    args.activation_dropout = 0.0
+    args.mask_prob = 0.8           # HubertConfig default (hubert.py:96-99)
+    args.loss_weights = "10"       # [features_pen] (base recipe yaml)
+    return args
+
+
+def build_hubert_pretrain_config(args, num_classes):
+    """args -> models.hubert.HubertConfig with the pretraining fields
+    (HubertModel.__init__, hubert.py:232-310)."""
+    import jax.numpy as jnp
+    from .options import build_wav2vec2_config  # conv-spec parser reuse
+    w2v = build_wav2vec2_config(args)
+    trunk = w2v.trunk
+    import dataclasses
+    return dataclasses.replace(
+        trunk,
+        label_rate=getattr(args, "label_rate", 50),
+        sample_rate=getattr(args, "sample_rate", 16000),
+        final_dim=args.final_dim,
+        logit_temp=args.logit_temp,
+        num_classes=tuple(num_classes),
+        untie_final_proj=getattr(args, "untie_final_proj", False),
+        skip_masked=getattr(args, "skip_masked", False),
+        skip_nomask=getattr(args, "skip_nomask", False),
+        feature_grad_mult=args.feature_grad_mult,
+        mask_prob=args.mask_prob,
+        mask_length=int(args.mask_length),
+        dropout_input=args.dropout_input,
+        dropout_features=args.dropout_features,
+        dropout=args.dropout,
+        activation_dropout=args.activation_dropout,
         dtype=jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32)
 
 

@@ -69,6 +69,7 @@ def populate_builtin():
     """Import built-in tasks/criteria so their registrations run."""
     import s2st_tpu.tasks.s2s_translation  # noqa: F401
     import s2st_tpu.tasks.audio_pretraining  # noqa: F401
+    import s2st_tpu.tasks.hubert_pretraining  # noqa: F401
     import s2st_tpu.tasks.translation  # noqa: F401
     import s2st_tpu.tasks.language_modeling  # noqa: F401
     import s2st_tpu.tasks.translation_lev  # noqa: F401

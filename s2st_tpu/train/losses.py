@@ -820,3 +820,76 @@ def wav2vec_loss(variables, cfg, lcfg: Wav2VecLossConfig, batch,
 
 
 wav2vec_loss.mean_keys = ("prob_perplexity", "code_perplexity", "temp")
+
+
+# ---------------------------------------------------------------------------
+# HuBERT pretraining criterion
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class HubertLossConfig:
+    """Mirrors HubertCriterionConfig (hubert_criterion.py:19-35).
+    ``loss_weights`` in the reference is the coefficient list for
+    get_extra_losses — HuBERT exposes exactly one extra loss
+    (features_pen, hubert.py:551-559), so it collapses to a scalar."""
+    pred_masked_weight: float = 1.0
+    pred_nomask_weight: float = 0.0
+    features_pen_weight: float = 10.0
+
+
+def _hubert_stream_ce(logits: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """sum-reduced F.cross_entropy(logits, 0) over frames where w=1.
+
+    ``logits`` is (B, T, 1+V) with column 0 the positive and -inf holes
+    for the negative equal to the positive; the reference gathers the
+    selected frames first (dynamic shape) — we weight instead."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.sum(lp[:, :, 0] * w)
+
+
+def hubert_loss(variables, cfg, lcfg: HubertLossConfig, batch,
+                rng=None, train: bool = True):
+    """HubertCriterion.forward (hubert_criterion.py:47-135): per-stream
+    masked/unmasked NCE cross-entropy with the positive at column 0,
+    sample_size = frame count of the first active branch (counted once,
+    NOT per stream — :67,:81), features_pen scaled by sample_size
+    (:84-98), and the reference's correct/count accuracy meters
+    (argmax==0 minus the argmax&argmin degenerate tie, :112-123)."""
+    from ..models import hubert as hub
+    params, stats = variables["params"], variables["stats"]
+    net = hub.forward_pretrain(params, cfg, batch["source"],
+                               batch["source_lens"],
+                               list(batch["target_list"]), rng, train=train)
+    pad = net["padding_mask"]
+    w_m = (net["mask"] & ~pad).astype(jnp.float32)
+    w_u = (~net["mask"] & ~pad).astype(jnp.float32)
+    loss = jnp.float32(0.0)
+    sample_size = jnp.float32(0.0)
+    logging: Dict[str, Any] = {}
+    for branch, w, wt in (("m", w_m, lcfg.pred_masked_weight),
+                          ("u", w_u, lcfg.pred_nomask_weight)):
+        if wt <= 0 or (branch == "m" and cfg.skip_masked) or \
+                (branch == "u" and cfg.skip_nomask):
+            continue
+        n = jnp.sum(w)
+        for i, lg in enumerate(net["logits"]):
+            li = _hubert_stream_ce(lg, w)
+            logging[f"loss_{branch}_{i}"] = li
+            loss = loss + wt * li
+            # accuracy meters (:112-123)
+            amax = jnp.argmax(lg, axis=-1) == 0
+            amin = jnp.argmin(lg, axis=-1) == 0
+            logging[f"correct_{branch}_{i}"] = jnp.sum(
+                (amax & ~(amax & amin)) * w)
+            logging[f"count_{branch}_{i}"] = n
+        sample_size = sample_size + n
+    if lcfg.features_pen_weight != 0.0:
+        pen = lcfg.features_pen_weight * net["features_pen"] * sample_size
+        loss = loss + pen
+        logging["loss_features_pen"] = pen
+    logging["loss"] = loss
+    logging["ntokens"] = sample_size
+    logging["nsentences"] = jnp.int32(batch["source"].shape[0])
+    logging["sample_size"] = sample_size
+    return loss, {"new_stats": dict(stats), "logging": logging,
+                  "sample_size": sample_size}
