@@ -266,6 +266,14 @@ def load_torch_hubert(path: str, cfg: Optional[HubertConfig] = None
     sd = state["model"] if "model" in state else state
     sd = {k: np.asarray(v, np.float32) if not torch.is_tensor(v)
           else v.detach().float().numpy() for k, v in sd.items()}
+    return trunk_params_from_sd(sd, cfg), cfg
+
+
+def trunk_params_from_sd(sd: Dict[str, np.ndarray], cfg: HubertConfig
+                         ) -> Params:
+    """fairseq state_dict (numpy leaves, trunk-level key names) -> our
+    param tree. Shared by the pretraining, fine-tuned-ASR
+    (models/ctc_asr.py) and xm_transformer import paths."""
 
     def ln(prefix):
         return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
@@ -314,10 +322,11 @@ def load_torch_hubert(path: str, cfg: Optional[HubertConfig] = None
         }
     if "mask_emb" in sd:                       # pretraining checkpoints
         p["mask_emb"] = sd["mask_emb"]
-        p["final_proj"] = lin("final_proj")
+        if "final_proj.weight" in sd:
+            p["final_proj"] = lin("final_proj")
         if "label_embs_concat" in sd:
             p["label_embs"] = sd["label_embs_concat"]
-    return jax.tree_util.tree_map(jnp.asarray, p), cfg
+    return jax.tree_util.tree_map(jnp.asarray, p)
 
 
 # ---------------------------------------------------------------------------

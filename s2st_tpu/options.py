@@ -306,6 +306,20 @@ def add_wav2vec2_args(parser: argparse.ArgumentParser):
     p.add_argument("--skip-nomask", action="store_true")
     p.add_argument("--pred-masked-weight", type=float, default=1.0)
     p.add_argument("--pred-nomask-weight", type=float, default=0.0)
+    # CTC ASR fine-tuning (Wav2Vec2AsrConfig, wav2vec2_asr.py:40-160 +
+    # CtcCriterionConfig, criterions/ctc.py:24-64 + AudioFinetuningConfig)
+    p.add_argument("--w2v-path", default=None,
+                   help="pretrained SSL trunk (.pt or our .npz)")
+    p.add_argument("--final-dropout", type=float, default=0.0)
+    p.add_argument("--apply-mask", action="store_true",
+                   help="apply the SSL span mask during fine-tuning")
+    p.add_argument("--mask-channel-prob", type=float, default=0.0)
+    p.add_argument("--mask-channel-length", type=int, default=10)
+    p.add_argument("--freeze-finetune-updates", type=int, default=0)
+    p.add_argument("--blank-weight", type=float, default=0.0)
+    p.add_argument("--blank-mode", default="add", choices=["add", "set"])
+    p.add_argument("--no-zero-infinity", dest="zero_infinity",
+                   action="store_false", default=True)
 
 
 def add_criterion_args(parser: argparse.ArgumentParser):
@@ -681,6 +695,47 @@ def build_hubert_pretrain_config(args, num_classes):
         dropout_features=args.dropout_features,
         dropout=args.dropout,
         activation_dropout=args.activation_dropout,
+        dtype=jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32)
+
+
+@register_arch("wav2vec_ctc")
+@register_arch("hubert_ctc")
+def ssl_ctc_arch(args):
+    """wav2vec_ctc / hubert_ctc fine-tuning archs (wav2vec2_asr.py /
+    hubert_asr.py): the base 12x768 trunk + vocabulary projection. The
+    two reference classes share every numeric; only checkpoint layout
+    differs (handled in models/ctc_asr.load_w2v_trunk)."""
+    args.encoder_layers = 12
+    args.encoder_embed_dim = 768
+    args.encoder_ffn_embed_dim = 3072
+    args.encoder_attention_heads = 12
+    args.dropout = 0.0
+    args.attention_dropout = 0.0
+    args.activation_dropout = 0.0
+    args.dropout_input = 0.0
+    args.dropout_features = 0.0
+    args.feature_grad_mult = 0.0   # conv extractor frozen at fine-tune
+    args.mask_prob = 0.65
+    return args
+
+
+def build_ctc_asr_config(args, vocab_size: int):
+    """args -> models.ctc_asr.CtcAsrConfig (trunk reuses the shared
+    encoder flags via build_wav2vec2_config)."""
+    import jax.numpy as jnp
+    from .models.ctc_asr import CtcAsrConfig
+    # the pretrain builder fills the mask/dropout/grad-mult trunk fields
+    trunk = build_hubert_pretrain_config(args, ())
+    return CtcAsrConfig(
+        trunk=trunk,
+        vocab_size=vocab_size,
+        final_dropout=getattr(args, "final_dropout", 0.0),
+        apply_mask=getattr(args, "apply_mask", False),
+        mask_channel_prob=getattr(args, "mask_channel_prob", 0.0),
+        mask_channel_length=getattr(args, "mask_channel_length", 10),
+        freeze_finetune_updates=getattr(args, "freeze_finetune_updates", 0),
+        blank_weight=getattr(args, "blank_weight", 0.0),
+        blank_mode=getattr(args, "blank_mode", "add"),
         dtype=jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32)
 
 

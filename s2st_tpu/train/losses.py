@@ -893,3 +893,136 @@ def hubert_loss(variables, cfg, lcfg: HubertLossConfig, batch,
     logging["sample_size"] = sample_size
     return loss, {"new_stats": dict(stats), "logging": logging,
                   "sample_size": sample_size}
+
+
+# ---------------------------------------------------------------------------
+# CTC ASR fine-tuning criterion
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CtcLossConfig:
+    """CtcCriterionConfig (ctc.py:24-64). post_process="letter" is the
+    only mode wired (the recipes' mode): word boundaries at the "|"
+    unit."""
+    zero_infinity: bool = True
+    sentence_avg: bool = False
+    pad_idx: int = 1
+    eos_idx: int = 2
+    blank_idx: int = 0
+    sep_idx: int = -1          # dictionary index of "|" (-1: no word sep)
+
+
+def _levenshtein_unit(x: jnp.ndarray, xlen: jnp.ndarray, y: jnp.ndarray,
+                      ylen: jnp.ndarray) -> jnp.ndarray:
+    """Batched unit-cost edit distance (editdistance.eval semantics used
+    by ctc.py:200-218). x: (B, Lx) int32, y: (B, Ly); padded tails are
+    never visited because we read the table at (xlen, ylen)."""
+    b, lx = x.shape
+    ly = y.shape[1]
+    j_idx = jnp.arange(ly + 1, dtype=jnp.int32)
+    row0 = jnp.broadcast_to(j_idx, (b, ly + 1))
+
+    def step(prev_row, x_i):
+        neq = (x_i["tok"][:, None] != y).astype(jnp.int32)
+        c_tail = jnp.minimum(prev_row[:, 1:] + 1, prev_row[:, :-1] + neq)
+        c = jnp.concatenate(
+            [jnp.full((b, 1), x_i["i"], jnp.int32), c_tail], axis=1)
+        row = j_idx[None, :] + jax.lax.cummin(c - j_idx[None, :], axis=1)
+        return row, row
+
+    xs = {"tok": x.T, "i": jnp.arange(1, lx + 1, dtype=jnp.int32)}
+    _, rows = jax.lax.scan(step, row0, xs)
+    table = jnp.concatenate([row0[None], rows], axis=0)   # (Lx+1, B, Ly+1)
+    r = jnp.take_along_axis(table, xlen[None, :, None], axis=0)[0]
+    return jnp.take_along_axis(r, ylen[:, None], axis=1)[:, 0]
+
+
+def _pack_words(toks: jnp.ndarray, n: jnp.ndarray, sep: int
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Segment a (B, L) unit sequence at ``sep`` into per-word 32-bit
+    rolling hashes, left-packed. Hash equality stands in for word string
+    equality (collision odds ~2^-32 per word pair — metrics-grade).
+    Empty segments are dropped, matching post_process("letter").split()."""
+    b, l = toks.shape
+    t_idx = jnp.arange(l)[None, :]
+    valid = t_idx < n[:, None]
+    is_sep = (toks == sep) | ~valid
+
+    def scan_hash(h, col):
+        tok, sep_c = col
+        h = jnp.where(sep_c, jnp.uint32(0),
+                      h * jnp.uint32(1000003) + tok.astype(jnp.uint32) + 1)
+        return h, h
+    _, hs = jax.lax.scan(scan_hash, jnp.zeros((b,), jnp.uint32),
+                         (toks.T, is_sep.T))
+    hs = hs.T                                                # (B, L)
+    nxt_sep = jnp.concatenate(
+        [is_sep[:, 1:], jnp.ones((b, 1), bool)], axis=1)
+    word_end = ~is_sep & nxt_sep                             # nonempty ends
+    pos = jnp.cumsum(word_end.astype(jnp.int32), axis=1) - 1
+    nw = jnp.sum(word_end, axis=1).astype(jnp.int32)
+    out = jnp.zeros((b, l), jnp.uint32)
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, l))
+    out = out.at[rows, jnp.where(word_end, pos, l - 1)].set(
+        jnp.where(word_end, hs, jnp.uint32(0)), mode="drop")
+    out = jnp.where(t_idx < nw[:, None], out, jnp.uint32(0))
+    return out.astype(jnp.int32), nw
+
+
+def ctc_loss(variables, cfg, lcfg: CtcLossConfig, batch,
+             rng=None, train: bool = True):
+    """CtcCriterion.forward (ctc.py:109-226): sum-reduced CTC over
+    non-pad/eos targets, zero_infinity, sample_size = ntokens (or
+    nsentences under --sentence-avg); during eval, greedy-decode UER/WER
+    counters (c_errors/c_total/w_errors/w_total) computed IN-GRAPH with a
+    batched unit-cost edit distance instead of the reference's host
+    editdistance loop."""
+    from ..models import ctc_asr
+    params, stats = variables["params"], variables["stats"]
+    num_updates = stats["num_updates"]
+    net = ctc_asr.forward_ctc(params, cfg, batch["source"],
+                              batch["source_lens"], rng, train=train,
+                              num_updates=num_updates)
+    logits = net["logits"].astype(jnp.float32)               # (B, T, V)
+    if cfg.blank_weight != 0:                                # train path too
+        if cfg.blank_mode == "add":
+            logits = logits.at[..., lcfg.blank_idx].add(cfg.blank_weight)
+        else:
+            logits = logits.at[..., lcfg.blank_idx].set(cfg.blank_weight)
+    pad_frames = net["padding_mask"]
+    in_lens = jnp.sum(~pad_frames, axis=1).astype(jnp.int32)
+    target = batch["target"]                                  # (B, U)
+    tgt_keep = (target != lcfg.pad_idx) & (target != lcfg.eos_idx)
+    tgt_lens = jnp.sum(tgt_keep, axis=1).astype(jnp.int32)
+    per_ex = optax.ctc_loss(
+        logits, pad_frames.astype(jnp.float32),
+        jnp.where(tgt_keep, target, 0),
+        (~tgt_keep).astype(jnp.float32), blank_id=lcfg.blank_idx)
+    if lcfg.zero_infinity:
+        per_ex = jnp.where(jnp.isfinite(per_ex), per_ex, 0.0)
+    # padded batch rows (source_lens == 0) contribute empty targets -> 0
+    real = (batch["source_lens"] > 0).astype(jnp.float32)
+    loss = jnp.sum(per_ex * real)
+    ntokens = jnp.sum(tgt_lens * real)
+    nsentences = jnp.sum(real)
+    sample_size = nsentences if lcfg.sentence_avg else ntokens
+    logging: Dict[str, Any] = {
+        "loss": loss, "ntokens": ntokens, "nsentences": nsentences,
+        "sample_size": sample_size}
+    if not train:
+        toks, n = ctc_asr.greedy_ctc_decode(logits, in_lens,
+                                            blank=lcfg.blank_idx)
+        # target units left-packed (they are already: pad/eos are suffix)
+        tgt = jnp.where(tgt_keep, target, 0).astype(jnp.int32)
+        c_err = _levenshtein_unit(toks, n, tgt, tgt_lens)
+        logging["c_errors"] = jnp.sum(c_err * real)
+        logging["c_total"] = ntokens
+        if lcfg.sep_idx >= 0:
+            hw, nw = _pack_words(toks, n, lcfg.sep_idx)
+            tw, ntw = _pack_words(tgt, tgt_lens, lcfg.sep_idx)
+            w_err = _levenshtein_unit(hw, nw, tw, ntw)
+            logging["w_errors"] = jnp.sum(w_err * real)
+            logging["wv_errors"] = logging["w_errors"]
+            logging["w_total"] = jnp.sum(ntw * real)
+    return loss, {"new_stats": dict(stats), "logging": logging,
+                  "sample_size": sample_size}
