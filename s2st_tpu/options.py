@@ -549,9 +549,12 @@ def s2st_transformer_mtl(args):
     return args
 
 
+@register_arch("tts_transformer")   # reference text_to_speech arch name
 @register_arch("t2s_transformer")
 def t2s_transformer_base(args):
-    """t2s_transformer.py base arch: text encoder w/ conv prenet."""
+    """t2s_transformer.py base arch: text encoder w/ conv prenet
+    (= the reference's tts_transformer, models/text_to_speech/
+    tts_transformer.py — the s2s_trans T2S decoder is the same module)."""
     return args
 
 

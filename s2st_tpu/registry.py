@@ -71,6 +71,7 @@ def populate_builtin():
     import s2st_tpu.tasks.audio_pretraining  # noqa: F401
     import s2st_tpu.tasks.hubert_pretraining  # noqa: F401
     import s2st_tpu.tasks.audio_finetuning  # noqa: F401
+    import s2st_tpu.tasks.speech_to_text  # noqa: F401
     import s2st_tpu.tasks.translation  # noqa: F401
     import s2st_tpu.tasks.language_modeling  # noqa: F401
     import s2st_tpu.tasks.translation_lev  # noqa: F401

@@ -119,6 +119,49 @@ tgt_global_cmvn:
     return root
 
 
+def make_tiny_s2t_corpus(root: Path, n_train: int = 10, n_dev: int = 4,
+                         n_feat: int = 8, seed: int = 0,
+                         lang_tags: bool = False) -> Path:
+    """The reference S2T manifest schema (speech_to_text_dataset.py:
+    columns id, audio, n_frames, tgt_text, speaker [, tgt_lang]) with a
+    single vocab_filename config.yaml — drives the speech_to_text /
+    text_to_speech tasks."""
+    root = Path(root)
+    feat_dir = root / "features"
+    feat_dir.mkdir(parents=True, exist_ok=True)
+    r = np.random.RandomState(seed)
+    words = list(TGT_WORDS)
+    extra = [f"<lang:{t}>" for t in ("en", "es")] if lang_tags else []
+    write_dict(root / "spm_vocab.txt", words + extra)
+    for split, n in {"train": n_train, "dev": n_dev}.items():
+        rows = []
+        for i in range(n):
+            uid = f"{split}_{i}"
+            t = int(r.randint(20, 48))
+            np.save(feat_dir / f"{uid}.npy",
+                    r.randn(t, n_feat).astype(np.float32))
+            row = {"id": uid, "audio": f"features/{uid}.npy",
+                   "n_frames": t,
+                   "tgt_text": " ".join(r.choice(words, int(r.randint(2, 5)))),
+                   "speaker": "spk0"}
+            if lang_tags:
+                row["tgt_lang"] = ["en", "es"][i % 2]
+            rows.append(row)
+        with open(root / f"{split}.tsv", "w", newline="",
+                  encoding="utf-8") as f:
+            writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()),
+                                    delimiter="\t", quoting=csv.QUOTE_NONE)
+            writer.writeheader()
+            writer.writerows(rows)
+    (root / "config.yaml").write_text(
+        f"audio_root: {root.as_posix()}\n"
+        "vocab_filename: spm_vocab.txt\n"
+        f"input_feat_per_channel: {n_feat}\n"
+        "input_channels: 1\n"
+        + ("prepend_tgt_lang_tag: true\n" if lang_tags else ""))
+    return root
+
+
 if __name__ == "__main__":
     import sys
     make_tiny_corpus(Path(sys.argv[1]))
