@@ -247,6 +247,9 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--decoder-hidden-size", type=int, default=None)
     p.add_argument("--decoder-out-embed-dim", type=int, default=None)
     p.add_argument("--decoder-attention", type=_str2bool, default=True)
+    # fconv conv stacks ("[(512, 3)] * 20 + ..." grammar, fconv.py archs)
+    p.add_argument("--encoder-conv-spec", default=None)
+    p.add_argument("--decoder-conv-spec", default=None)
     p.add_argument("--decoder-dropout-in", type=float, default=None)
     p.add_argument("--decoder-dropout-out", type=float, default=None)
     p.add_argument("--checkpoint-activations", action="store_true",
@@ -1058,6 +1061,152 @@ def build_lightconv_config(args, src_vocab: int, tgt_vocab: int):
         weight_dropout=wd if wd is not None else args.attention_dropout,
         input_dropout=args.input_dropout,
         relu_dropout=args.relu_dropout)
+
+
+@register_arch("fconv")
+def fconv(args):
+    """fairseq/models/fconv.py base_architecture (:699-711): 20x(512,3)
+    GLU conv encoder/decoder. Conv specs ride --encoder-conv-spec /
+    --decoder-conv-spec (the reference overloads --encoder-layers with a
+    python-literal string; we keep that flag an int and carry the spec on
+    dedicated flags — same grammar)."""
+    args.dropout = 0.1
+    args.encoder_embed_dim = 512
+    args.decoder_embed_dim = 512
+    args.decoder_out_embed_dim = 256
+    args.encoder_conv_spec = getattr(args, "encoder_conv_spec", None) \
+        or "[(512, 3)] * 20"
+    args.decoder_conv_spec = getattr(args, "decoder_conv_spec", None) \
+        or "[(512, 3)] * 20"
+    return args
+
+
+@register_arch("fconv_iwslt_de_en")
+def fconv_iwslt_de_en(args):
+    fconv(args)
+    args.encoder_embed_dim = 256
+    args.decoder_embed_dim = 256
+    args.decoder_out_embed_dim = 256
+    args.encoder_conv_spec = "[(256, 3)] * 4"
+    args.decoder_conv_spec = "[(256, 3)] * 3"
+    return args
+
+
+@register_arch("fconv_wmt_en_ro")
+def fconv_wmt_en_ro(args):
+    fconv(args)
+    args.decoder_out_embed_dim = 512
+    return args
+
+
+@register_arch("fconv_wmt_en_de")
+def fconv_wmt_en_de(args):
+    fconv(args)
+    convs = "[(512, 3)] * 9 + [(1024, 3)] * 4 + [(2048, 1)] * 2"
+    args.encoder_embed_dim = 768
+    args.decoder_embed_dim = 768
+    args.decoder_out_embed_dim = 512
+    args.encoder_conv_spec = convs
+    args.decoder_conv_spec = convs
+    return args
+
+
+@register_arch("fconv_wmt_en_fr")
+def fconv_wmt_en_fr(args):
+    fconv(args)
+    convs = ("[(512, 3)] * 6 + [(768, 3)] * 4 + [(1024, 3)] * 3 + "
+             "[(2048, 1)] * 1 + [(4096, 1)] * 1")
+    args.encoder_embed_dim = 768
+    args.decoder_embed_dim = 768
+    args.decoder_out_embed_dim = 512
+    args.encoder_conv_spec = convs
+    args.decoder_conv_spec = convs
+    return args
+
+
+def build_fconv_config(args, src_vocab: int, tgt_vocab: int):
+    """args -> FConvConfig (FConvModel.build_model plumbing,
+    fconv.py:80-139)."""
+    import ast
+    import jax.numpy as jnp
+    from .models.fconv import FConvConfig, extend_conv_spec
+
+    # safe literal evaluation of "[(512, 3)] * 20 + ..." specs
+    def safe_spec(s, default):
+        node = ast.parse(str(s or default), mode="eval")
+
+        def ev(n):
+            if isinstance(n, ast.Expression):
+                return ev(n.body)
+            if isinstance(n, (ast.List, ast.Tuple)):
+                v = [ev(e) for e in n.elts]
+                return v if isinstance(n, ast.List) else tuple(v)
+            if isinstance(n, ast.Constant) and isinstance(n.value, int):
+                return n.value
+            if isinstance(n, ast.BinOp) and isinstance(n.op, ast.Add):
+                return ev(n.left) + ev(n.right)
+            if isinstance(n, ast.BinOp) and isinstance(n.op, ast.Mult):
+                return ev(n.left) * ev(n.right)
+            raise ValueError(f"bad conv spec: {ast.dump(n)}")
+        return extend_conv_spec(tuple(tuple(t) for t in ev(node)))
+
+    attn = getattr(args, "decoder_attention", True)
+    if isinstance(attn, str) and attn.strip().startswith("["):
+        attn = tuple(bool(x) for x in ast.literal_eval(attn))
+    else:
+        attn = ()          # () -> attention at every layer
+    dec_convs = safe_spec(getattr(args, "decoder_conv_spec", None),
+                          "[(512, 3)] * 20")
+    return FConvConfig(
+        src_vocab=src_vocab, tgt_vocab=tgt_vocab,
+        encoder_embed_dim=args.encoder_embed_dim,
+        decoder_embed_dim=args.decoder_embed_dim,
+        decoder_out_embed_dim=getattr(args, "decoder_out_embed_dim", 256),
+        encoder_convs=safe_spec(getattr(args, "encoder_conv_spec", None),
+                                "[(512, 3)] * 20"),
+        decoder_convs=dec_convs,
+        decoder_attention=tuple(attn) if attn else (),
+        dropout=args.dropout,
+        share_input_output_embed=getattr(
+            args, "share_input_output_embed", False),
+        max_source_positions=getattr(args, "max_source_positions", 1024),
+        max_target_positions=getattr(args, "max_target_positions", 1024),
+        dtype=jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32)
+
+
+@register_arch("fconv_lm")
+def fconv_lm(args):
+    """fconv_lm.py base_lm_architecture (:95-102): 13x(1268,4) GLU conv
+    decoder-only LM, no positions, no attention."""
+    args.dropout = 0.1
+    args.decoder_embed_dim = 128
+    args.decoder_conv_spec = getattr(args, "decoder_conv_spec", None) \
+        or "[(1268, 4)] * 13"
+    return args
+
+
+@register_arch("fconv_lm_dauphin_wikitext103")
+def fconv_lm_dauphin_wikitext103(args):
+    fconv_lm(args)
+    args.decoder_embed_dim = 280
+    args.decoder_conv_spec = ("[(850, 6)] * 3 + [(850, 1)] * 1 + "
+                              "[(850, 5)] * 4 + [(850, 1)] * 1 + "
+                              "[(850, 4)] * 3 + [(1024, 4)] * 1 + "
+                              "[(2048, 4)] * 1")
+    return args
+
+
+@register_arch("fconv_lm_dauphin_gbw")
+def fconv_lm_dauphin_gbw(args):
+    fconv_lm(args)
+    args.decoder_embed_dim = 128
+    args.decoder_conv_spec = ("[(512, 5)] + [(128, 1, 0), (128, 5, 0), "
+                              "(512, 1, 3)] * 3 + [(512, 1, 0), "
+                              "(512, 5, 0), (1024, 1, 3)] * 3 + "
+                              "[(1024, 1, 0), (1024, 5, 0), "
+                              "(2048, 1, 3)] * 6 + [(1024, 1, 0), "
+                              "(1024, 5, 0), (4096, 1, 3)]")
+    return args
 
 
 @register_arch("lstm")

@@ -130,6 +130,19 @@ class LanguageModelingTask:
         import functools
         from ..models import transformer_lm as tlm
         from ..train import losses as L
+        if str(getattr(self.args, "arch", "")).startswith("fconv"):
+            from ..models import fconv as fconv_m
+            from ..options import build_fconv_config
+            n = len(self.dictionary)
+            cfg = build_fconv_config(self.args, n, n).replace(
+                positional_embeddings=False,
+                decoder_out_embed_dim=self.args.decoder_embed_dim,
+                decoder_attention=tuple())
+            # fconv_lm: attention [False]*n (fconv_lm.py:82-86)
+            cfg = cfg.replace(decoder_attention=(
+                (False,) * len(cfg.decoder_convs)))
+            return cfg, functools.partial(fconv_m.init_fconv_lm, cfg=cfg), \
+                L.lm_loss
         cfg = self.build_model_config()
         return cfg, functools.partial(tlm.init_transformer_lm, cfg=cfg), \
             L.lm_loss

@@ -187,6 +187,13 @@ class TranslationTask:
                                     len(self.tgt_dict))
             return cfg, functools.partial(lstm_m.init_lstm, cfg=cfg), \
                 L.translation_loss
+        if arch.startswith("fconv"):
+            from ..models import fconv as fconv_m
+            from ..options import build_fconv_config
+            cfg = build_fconv_config(self.args, len(self.src_dict),
+                                     len(self.tgt_dict))
+            return cfg, functools.partial(fconv_m.init_fconv, cfg=cfg), \
+                L.translation_loss
         if arch.startswith(("lightconv", "dynamicconv")):
             from ..models import lightconv_model as lc
             from ..options import build_lightconv_config

@@ -307,6 +307,7 @@ def translation_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
     mask (identical to the collated count: every non-pad target token,
     including EOS) so padded snap rows cost nothing.
     """
+    from ..models import fconv as fconv_m
     from ..models import lightconv_model as lc
     from ..models import lstm as lstm_m
     from ..models import transformer_text as tt
@@ -314,6 +315,8 @@ def translation_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
         fwd = lstm_m.forward
     elif isinstance(cfg, lc.LightConvConfig):
         fwd = lc.forward
+    elif isinstance(cfg, fconv_m.FConvConfig):
+        fwd = fconv_m.forward
     else:
         fwd = tt.forward
     net = fwd(variables, cfg, batch, rng=rng,
@@ -349,10 +352,14 @@ def lm_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
             train: bool = True) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Cross-entropy for language modeling (fairseq cross_entropy /
     label_smoothed_cross_entropy over MonolingualDataset batches).
-    cfg: transformer_lm.TransformerLMConfig."""
+    cfg: transformer_lm.TransformerLMConfig (or fconv.FConvConfig for the
+    fconv_lm archs — dispatched by config type)."""
+    from ..models import fconv as fconv_m
     from ..models import transformer_lm as tlm
-    net = tlm.forward(variables, cfg, batch, rng=rng,
-                      deterministic=not train, train=train)
+    fwd = fconv_m.forward_lm if isinstance(cfg, fconv_m.FConvConfig) \
+        else tlm.forward
+    net = fwd(variables, cfg, batch, rng=rng,
+              deterministic=not train, train=train)
     tgt = batch["target"]
     if "features" in net:
         # adaptive softmax (adaptive_loss criterion): band-wise CE, never
