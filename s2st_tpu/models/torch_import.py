@@ -500,6 +500,65 @@ def transformer_lm_from_fairseq_state_dict(
     return {"params": {"decoder": dec}, "stats": {}}
 
 
+def tacotron2_from_fairseq_state_dict(sd: Dict[str, np.ndarray]
+                                      ) -> Dict[str, Any]:
+    """fairseq/models/text_to_speech/tacotron2.py checkpoint -> our
+    tacotron2 tree. LSTM/LSTMCell gate blocks stay torch-layout; the
+    reference's never-applied ``ctc_proj`` (see models/tacotron2.py
+    docstring) is dropped if present."""
+    sd = dict(sd)
+    enc: Dict[str, Any] = {
+        "embed_tokens": {"w": sd.pop("encoder.embed_tokens.weight")}}
+    stats: Dict[str, Any] = {}
+    n_conv = _count(sd, r"encoder\.convolutions\.(\d+)\.0\.weight")
+    for i in range(n_conv):
+        pre = f"encoder.convolutions.{i}"
+        enc[f"conv{i}"] = _conv(sd, pre + ".0")
+        enc[f"bn{i}"] = {"scale": sd.pop(pre + ".1.weight"),
+                         "bias": sd.pop(pre + ".1.bias")}
+        stats[f"enc_bn{i}"] = {
+            "mean": sd.pop(pre + ".1.running_mean"),
+            "var": sd.pop(pre + ".1.running_var"),
+            "count": np.asarray(
+                sd.pop(pre + ".1.num_batches_tracked", 0), np.int32)}
+    n_lstm = _count(sd, r"encoder\.lstm\.weight_ih_l(\d+)$")
+    for k in range(n_lstm):
+        enc[f"l{k}"] = {
+            "w_ih": sd.pop(f"encoder.lstm.weight_ih_l{k}"),
+            "w_hh": sd.pop(f"encoder.lstm.weight_hh_l{k}"),
+            "b_ih": sd.pop(f"encoder.lstm.bias_ih_l{k}"),
+            "b_hh": sd.pop(f"encoder.lstm.bias_hh_l{k}")}
+        enc[f"l{k}_rev"] = {
+            "w_ih": sd.pop(f"encoder.lstm.weight_ih_l{k}_reverse"),
+            "w_hh": sd.pop(f"encoder.lstm.weight_hh_l{k}_reverse"),
+            "b_ih": sd.pop(f"encoder.lstm.bias_ih_l{k}_reverse"),
+            "b_hh": sd.pop(f"encoder.lstm.bias_hh_l{k}_reverse")}
+    if "encoder.embed_speaker.weight" in sd:
+        enc["embed_speaker"] = {"w": sd.pop("encoder.embed_speaker.weight")}
+        enc["spk_emb_proj"] = _lin(sd, "encoder.spk_emb_proj", {})
+
+    dec: Dict[str, Any] = {"prenet": {}}
+    n_pre = _count(sd, r"decoder\.prenet\.layers\.(\d+)\.0\.weight")
+    for i in range(n_pre):
+        dec["prenet"][f"fc{i}"] = _lin(sd, f"decoder.prenet.layers.{i}.0", {})
+    dec["attention_lstm"] = _lstm_block(sd, "decoder.attention_lstm.lstm_cell")
+    dec["attn_proj_enc"] = _lin(sd, "decoder.attention.proj_enc", {})
+    dec["attn_proj_dec"] = _lin(sd, "decoder.attention.proj_dec", {})
+    dec["attn_proj_attn"] = _lin(sd, "decoder.attention.proj_attn", {})
+    dec["attn_conv"] = _conv(sd, "decoder.attention.conv")
+    dec["attn_proj_out"] = _lin(sd, "decoder.attention.proj_out.1", {})
+    n_lstm_dec = _count(sd, r"decoder\.lstm\.(\d+)\.lstm_cell\.weight_ih$")
+    for i in range(n_lstm_dec):
+        dec[f"lstm{i}"] = _lstm_block(sd, f"decoder.lstm.{i}.lstm_cell")
+    dec["feat_proj"] = _lin(sd, "decoder.feat_proj", {})
+    dec["eos_proj"] = _lin(sd, "decoder.eos_proj", {})
+    dec["postnet"], stats["postnet"] = _map_postnet(sd, "decoder.postnet")
+    sd.pop("decoder.ctc_proj.weight", None)
+    sd.pop("decoder.ctc_proj.bias", None)
+    _warn_leftover(sd, "tacotron2")
+    return {"params": {"encoder": enc, "decoder": dec}, "stats": stats}
+
+
 # ---------------------------------------------------------------------------
 # export (ours -> fairseq names); inverse of the above
 # ---------------------------------------------------------------------------

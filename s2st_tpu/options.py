@@ -158,6 +158,17 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--encoder-conv-kernel-size", type=int, default=5)
     p.add_argument("--encoder-dropout", type=float, default=0.5)
     p.add_argument("--encoder-transformer-layers", type=int, default=6)
+    # Tacotron2 (models/text_to_speech/tacotron2.py add_args :280-304)
+    p.add_argument("--encoder-lstm-layers", type=int, default=1)
+    p.add_argument("--attention-dim", type=int, default=128)
+    p.add_argument("--attention-conv-dim", type=int, default=32)
+    p.add_argument("--attention-conv-kernel-size", type=int, default=15)
+    p.add_argument("--init-attn-c", default="zero", choices=["zero", "avg"])
+    p.add_argument("--attention-use-cumprob", action="store_true",
+                   default=True)
+    p.add_argument("--zoneout", type=float, default=0.1)
+    p.add_argument("--decoder-lstm-layers", type=int, default=2)
+    p.add_argument("--decoder-lstm-dim", type=int, default=1024)
     # s2t criterion target selection (s2t_loss.py:88-94)
     p.add_argument("--test-type", default="st", choices=["st", "asr"])
     p.add_argument("--dropout", type=float, default=0.1)
@@ -558,6 +569,18 @@ def t2s_transformer_base(args):
     """t2s_transformer.py base arch: text encoder w/ conv prenet
     (= the reference's tts_transformer, models/text_to_speech/
     tts_transformer.py — the s2s_trans T2S decoder is the same module)."""
+    return args
+
+
+@register_arch("tacotron_2")
+def tacotron_2_base(args):
+    """fairseq/models/text_to_speech/tacotron2.py:325-350
+    base_architecture: 512-dim conv+biLSTM encoder, 1024-dim zoneout
+    LSTM decoder with location attention."""
+    args.encoder_embed_dim = 512
+    args.encoder_dropout = 0.5
+    args.encoder_conv_layers = 3
+    args.encoder_conv_kernel_size = 5
     return args
 
 

@@ -127,6 +127,40 @@ class S2STranslationTask:
                 encoder_dropout=self.args.encoder_dropout,
                 encoder_transformer_layers=self.args.encoder_transformer_layers)
             return cfg, functools.partial(t2s.init_t2s, cfg=cfg), L.t2s_loss
+        if arch in ("tacotron_2", "tacotron2"):
+            from ..models import tacotron2 as tc2
+            a = self.args
+            cfg = tc2.Tacotron2Config(
+                vocab_size=len(self.src_dict),
+                encoder_dropout=a.encoder_dropout,
+                encoder_embed_dim=a.encoder_embed_dim,
+                encoder_conv_layers=a.encoder_conv_layers,
+                encoder_conv_kernel_size=a.encoder_conv_kernel_size,
+                encoder_lstm_layers=getattr(a, "encoder_lstm_layers", 1),
+                attention_dim=getattr(a, "attention_dim", 128),
+                attention_conv_dim=getattr(a, "attention_conv_dim", 32),
+                attention_conv_kernel_size=getattr(
+                    a, "attention_conv_kernel_size", 15),
+                prenet_dropout=a.prenet_dropout,
+                prenet_layers=a.prenet_layers,
+                prenet_dim=a.prenet_dim,
+                postnet_dropout=a.postnet_dropout,
+                postnet_layers=a.postnet_layers,
+                postnet_conv_dim=a.postnet_conv_dim,
+                postnet_conv_kernel_size=a.postnet_conv_kernel_size,
+                init_attn_c=getattr(a, "init_attn_c", "zero"),
+                attention_use_cumprob=getattr(
+                    a, "attention_use_cumprob", True),
+                zoneout=getattr(a, "zoneout", 0.1),
+                decoder_lstm_layers=getattr(a, "decoder_lstm_layers", 2),
+                decoder_lstm_dim=getattr(a, "decoder_lstm_dim", 1024),
+                output_frame_dim=base.output_frame_dim,
+                n_frames_per_step=base.n_frames_per_step,
+                num_speakers=base.num_speakers,
+                speaker_embed_dim=a.speaker_embed_dim,
+                dtype=base.dtype)
+            return cfg, functools.partial(tc2.init_tacotron2, cfg=cfg), \
+                L.tacotron2_loss
         if arch.startswith("fastspeech2"):
             from ..models import fastspeech2 as fs2
             a = self.args

@@ -293,6 +293,28 @@ t2s_loss.mean_keys = _COMPOSITE_MEAN_KEYS
 s2t_loss.mean_keys = ("loss", "nll_loss")
 
 
+def tacotron2_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
+                   batch: Dict[str, Any], rng: Optional[jax.Array] = None,
+                   train: bool = True) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Tacotron2Criterion (fairseq/criterions/tacotron2_loss.py:91-182):
+    masked-mean L1 + MSE on pre/post-postnet features, pos-weighted EOS
+    BCE, optional guided attention — the same terms as the composite
+    spectrogram loss. cfg: tacotron2.Tacotron2Config. The reference's CTC
+    branch is a dead path (see models/tacotron2.py docstring) and is not
+    reproduced."""
+    from ..models import tacotron2 as tc2
+    net = tc2.forward(variables, cfg, batch, rng=rng,
+                      deterministic=not train, train=train)
+    # model attn is reference-shaped (B, Ts, Tt); the composite loss
+    # (like the reference criterion's attn.transpose(1, 2)) wants (B,Tt,Ts)
+    net = dict(net)
+    net["attn"] = net["attn"].transpose(0, 2, 1)
+    return _composite_loss(net, cfg, lcfg, batch)
+
+
+tacotron2_loss.mean_keys = _COMPOSITE_MEAN_KEYS
+
+
 def translation_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
                      batch: Dict[str, Any], rng: Optional[jax.Array] = None,
                      train: bool = True

@@ -100,3 +100,64 @@ def test_tts_train_cli_e2e(tmp_path):
         "--log-interval", "1", "--required-batch-size-multiple", "1",
     ]) == 0
     assert (tmp_path / "ckpt" / "checkpoint_last.npz").is_file()
+
+
+@pytest.mark.smoke
+def test_tacotron2_train_cli_e2e(tmp_path):
+    """1-epoch Tacotron2 training through --task text_to_speech with the
+    reference's arch/criterion names (tacotron_2 + tacotron2 loss)."""
+    root = make_tiny_s2t_corpus(tmp_path)
+    from s2st_tpu.cli.train import main as train_main
+    assert train_main([
+        str(root), "--task", "text_to_speech", "--config-yaml",
+        "config.yaml", "--arch", "tacotron_2",
+        "--criterion", "tacotron2",
+        "--train-subset", "train", "--valid-subset", "dev",
+        "--save-dir", str(tmp_path / "ckpt"),
+        "--encoder-embed-dim", "16", "--encoder-conv-layers", "1",
+        "--encoder-conv-kernel-size", "3",
+        "--attention-dim", "8", "--attention-conv-dim", "4",
+        "--attention-conv-kernel-size", "3",
+        "--prenet-layers", "1", "--prenet-dim", "8",
+        "--postnet-layers", "2", "--postnet-conv-dim", "8",
+        "--decoder-lstm-layers", "1", "--decoder-lstm-dim", "12",
+        "--output-frame-dim", "8",
+        "--max-tokens", "2000", "--max-epoch", "1",
+        "--optimizer", "adam", "--lr", "0.001", "--seed", "1",
+        "--log-interval", "1", "--required-batch-size-multiple", "1",
+    ]) == 0
+    ckpt = tmp_path / "ckpt" / "checkpoint_last.npz"
+    assert ckpt.is_file()
+    # updates must have APPLIED (a NaN loss silently skips every update and
+    # leaves step at 0 — regression guard for the all-pad-row -inf softmax)
+    from s2st_tpu.train.checkpoint import load_checkpoint_file
+    tree, meta = load_checkpoint_file(str(ckpt))
+    assert meta["step"] >= 1
+
+    # drive AR generation from the trained params (library surface)
+    import jax.numpy as jnp
+    import jax
+
+    from s2st_tpu.models import tacotron2 as tc2
+    params = {}
+    for k, v in tree.items():
+        if k.startswith("params::") or k.startswith("stats::"):
+            node = params
+            parts = k.split("::")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = jnp.asarray(v)
+    variables = {"params": params.get("params", {}),
+                 "stats": params.get("stats", {})}
+    cfg = tc2.Tacotron2Config(
+        vocab_size=variables["params"]["encoder"]["embed_tokens"]["w"].shape[0],
+        encoder_embed_dim=16, encoder_conv_layers=1,
+        encoder_conv_kernel_size=3, attention_dim=8, attention_conv_dim=4,
+        attention_conv_kernel_size=3, prenet_layers=1, prenet_dim=8,
+        postnet_layers=2, postnet_conv_dim=8, decoder_lstm_layers=1,
+        decoder_lstm_dim=12, output_frame_dim=8)
+    src = np.array([[4, 5, 6, 2], [7, 8, 2, 1]], np.int32)
+    out = tc2.generate_features(variables, cfg, src,
+                                np.array([4, 3], np.int32), max_iter=10)
+    assert np.isfinite(np.asarray(out["feature"])).all()
+    assert out["feature"].shape == (2, 10, 8)
