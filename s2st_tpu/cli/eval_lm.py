@@ -35,7 +35,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ..train.trainer import create_train_state
 
     task = get_task(args.task).setup_task(args)
-    model_cfg = task.build_model_config()
+    model_cfg, init_fn, _ = task.build_model_and_loss()
     vocab = task.dictionary
 
     ens = []
@@ -49,8 +49,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     model_cfg.share_decoder_input_output_embed))
             v = jax.tree_util.tree_map(np.asarray, v)
         else:
-            template = tlm.init_transformer_lm(jax.random.PRNGKey(0),
-                                               model_cfg)
+            template = init_fn(jax.random.PRNGKey(0))
             state = create_train_state(template, adam())
             state, meta = ckpt.restore_state(state, path,
                                              reset_optimizer=True)
@@ -58,12 +57,25 @@ def main(argv: Optional[List[str]] = None) -> int:
         logger.info(f"loaded checkpoint {path}")
         ens.append(v)
 
+    if isinstance(model_cfg, tlm.TransformerLMConfig):
+        # adaptive-softmax-aware log probs
+        def _lp(v, src_tokens):
+            return tlm.log_probs(v, model_cfg, {"src_tokens": src_tokens})
+    else:
+        from ..train.losses import lm_forward_fn
+        _fwd = lm_forward_fn(model_cfg)
+
+        def _lp(v, src_tokens):
+            net = _fwd(v, model_cfg, {"src_tokens": src_tokens},
+                       deterministic=True)
+            return jax.nn.log_softmax(
+                net["logits"].astype(jnp.float32), axis=-1)
+
     @jax.jit
     def score(ens, src_tokens, target):
         lps = []
         for v in ens:
-            lps.append(tlm.log_probs(v, model_cfg,
-                                     {"src_tokens": src_tokens}))
+            lps.append(_lp(v, src_tokens))
         lp = lps[0] if len(lps) == 1 else \
             jax.nn.logsumexp(jnp.stack(lps), axis=0) - np.log(len(lps))
         pos = jnp.take_along_axis(lp, target[..., None], axis=-1)[..., 0]

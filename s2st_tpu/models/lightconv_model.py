@@ -239,16 +239,17 @@ def _dec_layer(cfg, lp, x, enc_out, enc_pad, k, rng, deterministic):
     if not nb:
         x = layer_norm(lp["conv_ln"], x)
 
-    residual = x
-    h = layer_norm(lp["cross_attn_ln"], x) if nb else x
-    h, _ = mha(lp["cross_attn"], h, enc_out, enc_out,
-               b.decoder_attention_heads, key_padding_mask=enc_pad,
-               dropout_rate=b.attention_dropout, rng=r4,
-               deterministic=deterministic)
-    h = dropout(h, b.dropout, r5, deterministic)
-    x = residual + h
-    if not nb:
-        x = layer_norm(lp["cross_attn_ln"], x)
+    if "cross_attn" in lp:          # absent in LM mode (no_encoder_attn)
+        residual = x
+        h = layer_norm(lp["cross_attn_ln"], x) if nb else x
+        h, _ = mha(lp["cross_attn"], h, enc_out, enc_out,
+                   b.decoder_attention_heads, key_padding_mask=enc_pad,
+                   dropout_rate=b.attention_dropout, rng=r4,
+                   deterministic=deterministic)
+        h = dropout(h, b.dropout, r5, deterministic)
+        x = residual + h
+        if not nb:
+            x = layer_norm(lp["cross_attn_ln"], x)
 
     residual = x
     h = layer_norm(lp["final_ln"], x) if nb else x
@@ -374,4 +375,26 @@ def forward(variables, cfg: LightConvConfig, batch: Dict[str, Any],
     logits = decode(variables, cfg, batch["prev_output_tokens"],
                     enc["encoder_out"], enc["encoder_padding_mask"],
                     rng=r_dec, deterministic=deterministic)
+    return {"logits": logits, "new_stats": {}}
+
+
+def init_lightconv_lm(key, cfg: LightConvConfig) -> Dict[str, Params]:
+    """lightconv_lm / dynamicconv LM (fairseq/models/lightconv_lm.py):
+    LightConvDecoder with no_encoder_attn — the seq2seq init minus the
+    encoder and every cross-attention block."""
+    full = init_lightconv(key, cfg)
+    dec = {k: v for k, v in full["params"]["decoder"].items()}
+    if "embed" not in dec:      # share_all_embeddings not meaningful here
+        dec["embed"] = full["params"]["encoder"]["embed"]
+    for i in range(len(cfg.decoder_kernel_sizes)):
+        dec[f"layer{i}"] = {k: v for k, v in dec[f"layer{i}"].items()
+                            if not k.startswith("cross_attn")}
+    return {"params": {"decoder": dec}, "stats": {}}
+
+
+def forward_lm(variables, cfg: LightConvConfig, batch: Dict[str, Any],
+               rng=None, deterministic=True, train=False) -> Dict[str, Any]:
+    """LM forward over batch["src_tokens"] -> {"logits": (B, T, V)}."""
+    logits = decode(variables, cfg, batch["src_tokens"], None, None,
+                    rng=rng, deterministic=deterministic)
     return {"logits": logits, "new_stats": {}}

@@ -50,6 +50,8 @@ class LSTMConfig:
     decoder_dropout_out: float = 0.1
     share_decoder_input_output_embed: bool = False
     share_all_embeddings: bool = False
+    residuals: bool = False             # lstm_lm --residuals
+    is_lm: bool = False                 # decoder-only (lstm_lm.py)
     max_source_positions: int = 1024
     max_target_positions: int = 1024
     dtype: Any = jnp.float32
@@ -126,6 +128,83 @@ def init_lstm(key, cfg: LSTMConfig) -> Dict[str, Params]:
         dec["fc_out"] = _lin_init(next(ks), cfg.decoder_out_embed_dim,
                                   cfg.tgt_vocab_size)
     return {"params": {"encoder": enc, "decoder": dec}, "stats": {}}
+
+
+def init_lstm_lm(key, cfg: LSTMConfig) -> Dict[str, Params]:
+    """Decoder-only LM (fairseq/models/lstm_lm.py: LSTMDecoder with
+    attention=False, encoder_output_units=0 — no input feeding, zero
+    initial states)."""
+    ks = iter(jax.random.split(key, 64))
+    h = cfg.decoder_hidden_size
+    dec: Params = {"embed": _embed_init(next(ks), cfg.tgt_vocab_size,
+                                        cfg.decoder_embed_dim)}
+    for layer in range(cfg.decoder_layers):
+        in_dim = cfg.decoder_embed_dim if layer == 0 else h
+        dec[f"cell{layer}"] = _lstm_params(next(ks), in_dim, h)
+    if h != cfg.decoder_out_embed_dim:
+        dec["additional_fc"] = _lin_init(next(ks), h,
+                                         cfg.decoder_out_embed_dim)
+    if not cfg.share_decoder_input_output_embed:
+        dec["fc_out"] = _lin_init(next(ks), cfg.decoder_out_embed_dim,
+                                  cfg.tgt_vocab_size)
+    return {"params": {"decoder": dec}, "stats": {}}
+
+
+def lm_step(variables: Dict[str, Params], cfg: LSTMConfig,
+            tok_embed: jnp.ndarray, state: Dict[str, jnp.ndarray],
+            rng=None, deterministic: bool = True):
+    """One decoder-only step (lstm.py:545-576 with input_feed None).
+    Residuals add the SAME layer's previous-step hidden to the dropped
+    output (the reference reads prev_hiddens[i] before overwriting it)."""
+    p = variables["params"]["decoder"]
+    rngs = jax.random.split(rng, cfg.decoder_layers + 1) \
+        if rng is not None else [None] * (cfg.decoder_layers + 1)
+    inp = tok_embed
+    hiddens, cells = [], []
+    for i in range(cfg.decoder_layers):
+        h, c = lstm_cell(p[f"cell{i}"], inp, state["hiddens"][i],
+                         state["cells"][i])
+        inp = dropout(h, cfg.decoder_dropout_out, rngs[i], deterministic)
+        if cfg.residuals:
+            inp = inp + state["hiddens"][i]
+        hiddens.append(h)
+        cells.append(c)
+    out = dropout(h, cfg.decoder_dropout_out, rngs[-1], deterministic)
+    return out, {"hiddens": jnp.stack(hiddens), "cells": jnp.stack(cells)}
+
+
+def forward_lm(variables: Dict[str, Params], cfg: LSTMConfig,
+               batch: Dict[str, Any], rng: Optional[jax.Array] = None,
+               deterministic: bool = True, train: bool = False
+               ) -> Dict[str, Any]:
+    """LM forward over batch["src_tokens"] (the shifted input) ->
+    {"logits": (B, T, V)}."""
+    tokens = batch["src_tokens"]
+    b, t = tokens.shape
+    r_in, r_steps, r_out = (jax.random.split(rng, 3)
+                            if rng is not None else (None,) * 3)
+    p = variables["params"]["decoder"]
+    x = embedding(p["embed"], tokens, cfg.dtype)
+    x = dropout(x, cfg.decoder_dropout_in, r_in, deterministic)
+    state = {"hiddens": jnp.zeros((cfg.decoder_layers, b,
+                                   cfg.decoder_hidden_size), cfg.dtype),
+             "cells": jnp.zeros((cfg.decoder_layers, b,
+                                 cfg.decoder_hidden_size), cfg.dtype)}
+    step_rngs = jax.random.split(r_steps, t) if r_steps is not None \
+        else jnp.zeros((t,))
+
+    def step(carry, xs):
+        x_t, r_t = xs
+        out, new_state = lm_step(variables, cfg, x_t, carry,
+                                 rng=(r_t if r_steps is not None else None),
+                                 deterministic=deterministic)
+        return new_state, out
+
+    _, outs = jax.lax.scan(step, state, (x.transpose(1, 0, 2), step_rngs))
+    feats = outs.transpose(1, 0, 2)
+    logits = output_layer(variables, cfg, feats, rng=r_out,
+                          deterministic=deterministic)
+    return {"logits": logits, "new_stats": {}}
 
 
 def _lin(p, x):

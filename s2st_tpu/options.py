@@ -257,6 +257,8 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--encoder-dropout-out", type=float, default=None)
     p.add_argument("--decoder-hidden-size", type=int, default=None)
     p.add_argument("--decoder-out-embed-dim", type=int, default=None)
+    p.add_argument("--residuals", action="store_true",
+                   help="lstm_lm: residuals between LSTM layers")
     p.add_argument("--decoder-attention", type=_str2bool, default=True)
     # fconv conv stacks ("[(512, 3)] * 20 + ..." grammar, fconv.py archs)
     p.add_argument("--encoder-conv-spec", default=None)
@@ -1323,6 +1325,48 @@ def _lm_base(args):
 @register_arch("transformer_lm")
 def transformer_lm(args):
     return _lm_base(args)
+
+
+@register_arch("lstm_lm")
+def lstm_lm(args):
+    """fairseq/models/lstm_lm.py:124-142 base_architecture: 1x512
+    decoder-only LSTM, no attention/input-feed."""
+    args.dropout = 0.1
+    args.decoder_embed_dim = 512
+    args.decoder_layers = 1
+    args.decoder_out_embed_dim = 512
+    return args
+
+
+@register_arch("lightconv_lm")
+def lightconv_lm(args):
+    """fairseq/models/lightconv_lm.py:126-167 base_lm_architecture:
+    6-layer normalize-before LightConv decoder, kernels 3,7,15,31,31,31."""
+    args.decoder_embed_dim = 512
+    args.decoder_ffn_embed_dim = 2048
+    args.decoder_layers = 6
+    args.decoder_attention_heads = 8
+    args.decoder_normalize_before = True
+    args.decoder_conv_dim = getattr(args, "decoder_conv_dim", None) \
+        or args.decoder_embed_dim
+    if getattr(args, "decoder_kernel_size_list", None) is None \
+            and args.decoder_layers <= 6:
+        args.decoder_kernel_size_list = ",".join(
+            str(k) for k in (3, 7, 15, 31, 31, 31)[:args.decoder_layers])
+    args.max_target_positions = getattr(args, "tokens_per_sample", 1024)
+    return args
+
+
+@register_arch("lightconv_lm_gbw")
+def lightconv_lm_gbw(args):
+    """lightconv_lm.py:170-177."""
+    lightconv_lm(args)
+    args.decoder_embed_dim = 512
+    args.dropout = 0.1
+    args.attention_dropout = 0.1
+    args.decoder_ffn_embed_dim = 4096
+    args.decoder_attention_heads = 16
+    return args
 
 
 @register_arch("bart_large")

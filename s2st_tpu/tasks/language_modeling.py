@@ -130,7 +130,30 @@ class LanguageModelingTask:
         import functools
         from ..models import transformer_lm as tlm
         from ..train import losses as L
-        if str(getattr(self.args, "arch", "")).startswith("fconv"):
+        arch = str(getattr(self.args, "arch", ""))
+        if arch.startswith("lstm_lm"):
+            from ..models import lstm as lstm_m
+            from ..options import build_lstm_config
+            n = len(self.dictionary)
+            cfg = build_lstm_config(self.args, n, n).replace(
+                decoder_attention=False, is_lm=True,
+                residuals=getattr(self.args, "residuals", False))
+            return cfg, functools.partial(lstm_m.init_lstm_lm, cfg=cfg), \
+                L.lm_loss
+        if arch.startswith(("lightconv_lm", "dynamicconv_lm")):
+            from ..models import lightconv_model as lc_m
+            from ..options import build_lightconv_config
+            n = len(self.dictionary)
+            # decoder-only: the (unused) encoder half of the config must
+            # still build — mirror the decoder geometry onto it
+            self.args.encoder_layers = self.args.decoder_layers
+            if getattr(self.args, "encoder_kernel_size_list", None) is None:
+                self.args.encoder_kernel_size_list = \
+                    self.args.decoder_kernel_size_list
+            cfg = build_lightconv_config(self.args, n, n)
+            return cfg, functools.partial(lc_m.init_lightconv_lm, cfg=cfg), \
+                L.lm_loss
+        if arch.startswith("fconv"):
             from ..models import fconv as fconv_m
             from ..options import build_fconv_config
             n = len(self.dictionary)

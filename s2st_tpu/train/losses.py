@@ -369,6 +369,22 @@ def translation_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
 translation_loss.mean_keys = ("loss", "nll_loss")
 
 
+def lm_forward_fn(cfg):
+    """LM teacher-forced forward dispatch by config type (the arch ->
+    decoder-only-model mapping shared by lm_loss and eval_lm)."""
+    from ..models import fconv as fconv_m
+    from ..models import lightconv_model as lc_m
+    from ..models import lstm as lstm_m
+    from ..models import transformer_lm as tlm
+    if isinstance(cfg, fconv_m.FConvConfig):
+        return fconv_m.forward_lm
+    if isinstance(cfg, lstm_m.LSTMConfig):
+        return lstm_m.forward_lm
+    if isinstance(cfg, lc_m.LightConvConfig):
+        return lc_m.forward_lm
+    return tlm.forward
+
+
 def lm_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
             batch: Dict[str, Any], rng: Optional[jax.Array] = None,
             train: bool = True) -> Tuple[jnp.ndarray, Dict[str, Any]]:
@@ -376,10 +392,7 @@ def lm_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
     label_smoothed_cross_entropy over MonolingualDataset batches).
     cfg: transformer_lm.TransformerLMConfig (or fconv.FConvConfig for the
     fconv_lm archs — dispatched by config type)."""
-    from ..models import fconv as fconv_m
-    from ..models import transformer_lm as tlm
-    fwd = fconv_m.forward_lm if isinstance(cfg, fconv_m.FConvConfig) \
-        else tlm.forward
+    fwd = lm_forward_fn(cfg)
     net = fwd(variables, cfg, batch, rng=rng,
               deterministic=not train, train=train)
     tgt = batch["target"]
