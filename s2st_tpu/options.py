@@ -119,6 +119,11 @@ def add_task_args(parser: argparse.ArgumentParser):
                    choices=[None, "src", "tgt"])
     p.add_argument("--decoder-langtok", action="store_true")
     p.add_argument("--sampling-temperature", type=float, default=1.0)
+    # multilingual_transformer sharing (multilingual_transformer.py:44-67)
+    p.add_argument("--share-encoder-embeddings", action="store_true")
+    p.add_argument("--share-decoder-embeddings", action="store_true")
+    p.add_argument("--share-encoders", action="store_true")
+    p.add_argument("--share-decoders", action="store_true")
 
 
 def add_model_args(parser: argparse.ArgumentParser):
@@ -896,6 +901,18 @@ def transformer_iwslt_de_en(args):
     args.decoder_ffn_embed_dim = 1024
     args.decoder_attention_heads = 4
     return args
+
+
+@register_arch("multilingual_transformer")
+def multilingual_transformer(args):
+    """multilingual_transformer.py:208-214 base arch = transformer base."""
+    return _transformer_text_base(args)
+
+
+@register_arch("multilingual_transformer_iwslt_de_en")
+def multilingual_transformer_iwslt_de_en(args):
+    """multilingual_transformer.py:217-229."""
+    return transformer_iwslt_de_en(args)
 
 
 @register_arch("transformer_wmt_en_de")

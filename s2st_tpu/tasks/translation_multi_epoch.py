@@ -62,6 +62,17 @@ class LangTokDataset:
             tgt = np.concatenate([[self.tgt_tok], tgt]).astype(np.int32)
         return LanguagePairItem(id=it.id, source=src, target=tgt)
 
+    # EpochBatchIterator surface (multilingual_translation consumes this
+    # dataset directly, without the MultiPairDataset wrapper)
+    def src_frames(self, i: int) -> int:
+        return int(self.src_sizes[i])
+
+    def collate(self, items, **kw):
+        return self.base.collate(items, **kw)
+
+    def snap_kwargs(self, items):
+        return self.base.snap_kwargs(items)
+
 
 class MultiPairDataset:
     """Concatenation of per-pair datasets with integer upsampling ratios;

@@ -369,6 +369,62 @@ def translation_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
 translation_loss.mean_keys = ("loss", "nll_loss")
 
 
+def multilingual_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
+                      batch: Dict[str, Any],
+                      rng: Optional[jax.Array] = None, train: bool = True
+                      ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """multilingual_translation train/valid step (fairseq/tasks/
+    multilingual_translation.py:428-474): one batch per language pair per
+    update, per-pair label-smoothed CE summed into a single loss;
+    logging keeps per-pair `{pair}:` metrics plus the summed aggregates.
+    cfg: multilingual_transformer.MultilingualConfig;
+    batch: {"pairs": {pair: langpair-batch}}."""
+    from ..models import multilingual_transformer as mt
+    pairs_batch = batch["pairs"]
+    total = jnp.float32(0.0)
+    logging: Dict[str, Any] = {}
+    agg = {"loss": 0.0, "nll_loss": 0.0, "ntokens": 0.0,
+           "nsentences": 0, "sample_size": 0, "n_correct": 0, "total": 0}
+    for i, pair in enumerate(cfg.lang_pairs):
+        if pair not in pairs_batch:
+            continue
+        sub = pairs_batch[pair]
+        r = jax.random.fold_in(rng, i) if rng is not None else None
+        net = mt.forward(variables, cfg, sub, pair, rng=r,
+                         deterministic=not train, train=train)
+        lp = jax.nn.log_softmax(net["logits"].astype(jnp.float32), axis=-1)
+        tgt = sub["target"]
+        loss_sum, nll_sum = label_smoothed_nll_loss(
+            lp.reshape(-1, lp.shape[-1]), tgt.reshape(-1),
+            lcfg.label_smoothing)
+        keep = tgt != PAD
+        ntok = jnp.sum(keep)
+        nsent = jnp.sum(jnp.any(keep, axis=1))
+        ssize = jnp.where(lcfg.sentence_avg, nsent, ntok)
+        pred = jnp.argmax(lp, axis=-1)
+        logging[f"{pair}:loss"] = loss_sum / jnp.maximum(ntok, 1)
+        logging[f"{pair}:nll_loss"] = nll_sum / jnp.maximum(ntok, 1)
+        total = total + loss_sum
+        agg["loss"] = agg["loss"] + loss_sum
+        agg["nll_loss"] = agg["nll_loss"] + nll_sum
+        agg["ntokens"] = agg["ntokens"] + ntok
+        agg["nsentences"] = agg["nsentences"] + nsent
+        agg["sample_size"] = agg["sample_size"] + ssize
+        agg["n_correct"] = agg["n_correct"] + jnp.sum((pred == tgt) & keep)
+        agg["total"] = agg["total"] + jnp.sum(keep)
+    ntok = jnp.maximum(agg["ntokens"], 1.0)
+    logging.update({
+        "loss": agg["loss"] / ntok, "nll_loss": agg["nll_loss"] / ntok,
+        "ntokens": agg["ntokens"], "nsentences": agg["nsentences"],
+        "sample_size": agg["sample_size"], "n_correct": agg["n_correct"],
+        "total": agg["total"]})
+    return total, {"new_stats": {}, "logging": logging,
+                   "sample_size": agg["sample_size"]}
+
+
+multilingual_loss.mean_keys = ("loss", "nll_loss")
+
+
 def lm_forward_fn(cfg):
     """LM teacher-forced forward dispatch by config type (the arch ->
     decoder-only-model mapping shared by lm_loss and eval_lm)."""
