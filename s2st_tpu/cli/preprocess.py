@@ -48,6 +48,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--joined-dictionary", action="store_true")
     p.add_argument("--only-source", action="store_true")
     p.add_argument("--dict-only", action="store_true")
+    p.add_argument("--align-suffix", default=None,
+                   help="binarize alignments ({pref}.{suffix} files of "
+                        "src-tgt index pairs) alongside the text")
     p.add_argument("--dataset-impl", default="mmap",
                    choices=["mmap", "lazy", "cached", "raw"])
     p.add_argument("--workers", type=int, default=1,
@@ -205,8 +208,39 @@ def _main(args) -> int:
     make_all(args.source_lang, src_dict)
     if target:
         make_all(args.target_lang, tgt_dict)
+    if args.align_suffix:
+        # fairseq_cli/preprocess.py make_all_alignments: binarize
+        # "i-j k-l" pair lines as flat int sequences under
+        # {split}.align.{src}-{tgt}
+        for pref, name in ((args.trainpref, "train"),
+                           (args.validpref, "valid"),
+                           (args.testpref, "test")):
+            if pref and os.path.exists(f"{pref}.{args.align_suffix}"):
+                _binarize_alignments(
+                    args, f"{pref}.{args.align_suffix}",
+                    _dest_prefix(args, f"{name}.align", None))
     logger.info("Wrote preprocessed data to %s", args.destdir)
     return 0
+
+
+def _binarize_alignments(args, input_file: str, out_prefix: str) -> None:
+    import re
+
+    import numpy as np
+
+    from ..data import indexed_dataset
+    builder = indexed_dataset.make_builder(
+        indexed_dataset.data_file_path(out_prefix), impl=args.dataset_impl)
+    nseq = 0
+    with open(input_file, encoding="utf-8") as f:
+        for line in f:
+            pairs = re.findall(r"(\d+)-(\d+)", line)
+            flat = np.asarray([int(x) for pr in pairs for x in pr],
+                              np.int64)
+            builder.add_item(flat)
+            nseq += 1
+    builder.finalize(indexed_dataset.index_file_path(out_prefix))
+    logger.info("[alignments] %s: %d sents", input_file, nseq)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,7 @@ class LanguagePairItem:
     id: int
     source: np.ndarray          # (Ts,) int32, eos-terminated
     target: Optional[np.ndarray]  # (Tt,) int32, eos-terminated
+    alignment: Optional[np.ndarray] = None  # (n, 2) int [src_pos, tgt_pos]
 
 
 class LanguagePairDataset:
@@ -34,9 +35,12 @@ class LanguagePairDataset:
 
     def __init__(self, src, src_sizes, src_dict, tgt=None, tgt_sizes=None,
                  tgt_dict=None, left_pad_source: bool = True,
-                 left_pad_target: bool = False, prepend_bos: bool = False):
+                 left_pad_target: bool = False, prepend_bos: bool = False,
+                 align=None):
         self.src = src
         self.tgt = tgt
+        # flat [s0,t0,s1,t1,...] int sequences (--load-alignments)
+        self.align = align
         self.src_sizes = np.asarray(src_sizes)
         self.tgt_sizes = np.asarray(tgt_sizes) if tgt_sizes is not None \
             else None
@@ -64,7 +68,11 @@ class LanguagePairDataset:
             src = np.concatenate([[bos], src]).astype(np.int32)
             if tgt is not None:
                 tgt = np.concatenate([[bos], tgt]).astype(np.int32)
-        return LanguagePairItem(id=i, source=src, target=tgt)
+        align = None
+        if self.align is not None:
+            align = np.asarray(self.align[i], np.int64).reshape(-1, 2)
+        return LanguagePairItem(id=i, source=src, target=tgt,
+                                alignment=align)
 
     def src_frames(self, i: int) -> int:
         """Batching cost of sample i. fairseq's num_tokens is
@@ -137,4 +145,38 @@ class LanguagePairDataset:
         batch["prev_output_tokens"] = prev
         batch["target_lengths"] = tgt_lengths
         batch["ntokens"] = int(tgt_lengths.sum())
+
+        if items[0].alignment is not None:
+            # fairseq collate alignments (language_pair_dataset.py:80-118):
+            # offset src by the left-pad shift and tgt into the flattened
+            # (bsz*tgt_sz) row index; weights = 1/freq of each flat tgt
+            # index; invalid alignments (index >= length) are dropped.
+            # TPU: pad to a snapped static width with zero-weight pairs.
+            from .iterators import snap_len
+            pairs = []
+            for i, it in enumerate(items):
+                al = it.alignment
+                if al is None or len(al) == 0:
+                    continue
+                s_len, t_len = len(it.source), len(it.target)
+                # check_alignment (language_pair_dataset.py:20-30):
+                # indices must stay BELOW the EOS position (len - 1)
+                if al[:, 0].max() >= s_len - 1 or al[:, 1].max() >= t_len - 1:
+                    continue
+                src_off = (ts - s_len) if self.left_pad_source else 0
+                tgt_off = i * tt + ((tt - t_len) if self.left_pad_target
+                                    else 0)
+                pairs.append(al + np.asarray([[src_off, tgt_off]]))
+            if pairs:
+                flat = np.concatenate(pairs, axis=0)
+                uniq, inv, counts = np.unique(
+                    flat[:, 1], return_inverse=True, return_counts=True)
+                weights = (1.0 / counts[inv]).astype(np.float32)
+                width = snap_len(len(flat), 8)
+                out = np.zeros((width, 2), np.int32)
+                out[:len(flat)] = flat
+                w = np.zeros((width,), np.float32)
+                w[:len(flat)] = weights
+                batch["alignments"] = out
+                batch["align_weights"] = w
         return batch

@@ -264,6 +264,12 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--decoder-out-embed-dim", type=int, default=None)
     p.add_argument("--residuals", action="store_true",
                    help="lstm_lm: residuals between LSTM layers")
+    # transformer_align (models/transformer_align.py add_args :27-37)
+    p.add_argument("--alignment-heads", type=int, default=1)
+    p.add_argument("--alignment-layer", type=int, default=4)
+    p.add_argument("--full-context-alignment", action="store_true")
+    p.add_argument("--alignment-lambda", type=float, default=0.05)
+    p.add_argument("--load-alignments", action="store_true")
     p.add_argument("--decoder-attention", type=_str2bool, default=True)
     # fconv conv stacks ("[(512, 3)] * 20 + ..." grammar, fconv.py archs)
     p.add_argument("--encoder-conv-spec", default=None)
@@ -901,6 +907,19 @@ def transformer_iwslt_de_en(args):
     args.decoder_ffn_embed_dim = 1024
     args.decoder_attention_heads = 4
     return args
+
+
+@register_arch("transformer_align")
+def transformer_align(args):
+    """transformer_align.py:82-87: base transformer + alignment
+    supervision defaults (1 head at layer 4)."""
+    return _transformer_text_base(args)
+
+
+@register_arch("transformer_wmt_en_de_big_align")
+def transformer_wmt_en_de_big_align(args):
+    """transformer_align.py:90-93."""
+    return transformer_vaswani_wmt_en_de_big(args)
 
 
 @register_arch("multilingual_transformer")
@@ -1748,5 +1767,6 @@ def build_loss_config(args):
         mse_loss_weight=args.mse_loss_weight,
         eos_loss_weight=args.eos_loss_weight,
         attn_loss_weight=args.attn_loss_weight,
+        alignment_lambda=getattr(args, "alignment_lambda", 0.05),
         sentence_avg=args.sentence_avg,
     )

@@ -137,11 +137,21 @@ class TranslationTask:
 
         src_ds = concat(src_parts)
         tgt_ds = concat(tgt_parts) if tgt_parts else None
+        align_ds = None
+        if getattr(self.args, "load_alignments", False):
+            # load_langpair_dataset: {split}.align.{src}-{tgt} (:143-150)
+            align_prefix = os.path.join(data_path,
+                                        f"{split}.align.{src}-{tgt}")
+            align_ds = load_indexed_dataset(align_prefix, None, impl)
+            if align_ds is None:
+                raise FileNotFoundError(
+                    f"--load-alignments: {align_prefix} not found")
         ds = LanguagePairDataset(
             src_ds, src_ds.sizes, self.src_dict, tgt_ds,
             tgt_ds.sizes if tgt_ds is not None else None, self.tgt_dict,
             left_pad_source=getattr(self.args, "left_pad_source", True),
-            left_pad_target=getattr(self.args, "left_pad_target", False))
+            left_pad_target=getattr(self.args, "left_pad_target", False),
+            align=align_ds)
         self.datasets[split] = ds
         return ds
 
@@ -201,6 +211,18 @@ class TranslationTask:
                                          len(self.tgt_dict))
             return cfg, functools.partial(lc.init_lightconv, cfg=cfg), \
                 L.translation_loss
+        if arch.startswith("transformer_align") or arch.endswith("_align"):
+            from ..models import transformer_align as ta
+            a = self.args
+            cfg = ta.TransformerAlignConfig(
+                base=self.build_model_config(),
+                alignment_heads=getattr(a, "alignment_heads", 1),
+                alignment_layer=getattr(a, "alignment_layer", 4),
+                full_context_alignment=getattr(
+                    a, "full_context_alignment", False))
+            return cfg, functools.partial(
+                ta.init_transformer_align, cfg=cfg), \
+                L.translation_alignment_loss
         from ..models import transformer_text as tt
         cfg = self.build_model_config()
         return cfg, functools.partial(tt.init_transformer, cfg=cfg), \

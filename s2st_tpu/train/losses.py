@@ -41,6 +41,7 @@ class LossConfig:
     mse_loss_weight: float = 1.0
     eos_loss_weight: float = 1.0
     attn_loss_weight: float = 1.0
+    alignment_lambda: float = 0.05      # --alignment-lambda (transformer_align)
     sentence_avg: bool = False
 
 
@@ -367,6 +368,60 @@ def translation_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
 
 
 translation_loss.mean_keys = ("loss", "nll_loss")
+
+
+def translation_alignment_loss(variables: Dict[str, Any], cfg,
+                               lcfg: LossConfig, batch: Dict[str, Any],
+                               rng: Optional[jax.Array] = None,
+                               train: bool = True
+                               ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """label_smoothed_cross_entropy_with_alignment (criterions/
+    label_smoothed_cross_entropy_with_alignment.py:39-91): LS-CE +
+    alignment_lambda * sum over aligned (src, tgt) pairs of
+    -log(attn[tgt_flat, src]) * (1/freq of the tgt index).
+
+    cfg: transformer_align.TransformerAlignConfig. batch carries
+    ``alignments`` (A, 2) int32 [src_col, tgt_flat_row] padded pairs and
+    ``align_weights`` (A,) fp32 with 0 at padding (so padded pairs are
+    exactly free)."""
+    from ..models import transformer_align as ta
+    net = ta.forward(variables, cfg, batch, rng=rng,
+                     deterministic=not train, train=train)
+    tgt = batch["target"]
+    lp = jax.nn.log_softmax(net["logits"].astype(jnp.float32), axis=-1)
+    loss_sum, nll_sum = label_smoothed_nll_loss(
+        lp.reshape(-1, lp.shape[-1]), tgt.reshape(-1), lcfg.label_smoothing)
+    keep = tgt != PAD
+    ntokens = jnp.sum(keep).astype(jnp.float32)
+    nsent = jnp.sum(jnp.any(keep, axis=1)).astype(jnp.int32)
+    sample_size = jnp.where(lcfg.sentence_avg, nsent,
+                            ntokens.astype(jnp.int32))
+
+    align_loss = jnp.float32(0.0)
+    if "alignments" in batch:
+        attn = net["attn"].astype(jnp.float32)           # (B, Tt, Ts)
+        b_, tt_, ts_ = attn.shape
+        flat = attn.reshape(b_ * tt_, ts_)
+        pairs = batch["alignments"]                      # (A, 2) src, tgtflat
+        w = batch["align_weights"].astype(jnp.float32)   # (A,)
+        probs = flat[pairs[:, 1], pairs[:, 0]]
+        # clamp keeps padded (0,0) lookups finite; their weight is 0
+        align_loss = -jnp.sum(jnp.log(jnp.maximum(probs, 1e-20)) * w)
+
+    total = loss_sum + lcfg.alignment_lambda * align_loss
+    logging = {
+        "loss": total / jnp.maximum(ntokens, 1.0),
+        "nll_loss": nll_sum / jnp.maximum(ntokens, 1.0),
+        "alignment_loss": align_loss / jnp.maximum(ntokens, 1.0),
+        "ntokens": ntokens, "nsentences": nsent,
+        "sample_size": sample_size,
+    }
+    return total, {"new_stats": net["new_stats"], "logging": logging,
+                   "sample_size": sample_size}
+
+
+translation_alignment_loss.mean_keys = ("loss", "nll_loss",
+                                        "alignment_loss")
 
 
 def multilingual_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
