@@ -97,6 +97,13 @@ def add_task_args(parser: argparse.ArgumentParser):
     p.add_argument("--untie-weights-roberta", action="store_true")
     # sentence_prediction task (fairseq/tasks/sentence_prediction.py)
     p.add_argument("--num-classes", type=int, default=-1)
+    # sentence_ranking task (fairseq/tasks/sentence_ranking.py add_args)
+    p.add_argument("--init-token", type=int, default=None)
+    p.add_argument("--separator-token", type=int, default=None)
+    p.add_argument("--max-option-length", type=int, default=None)
+    p.add_argument("--ranking-head-name",
+                   default="sentence_classification_head")
+    p.add_argument("--save-predictions", default=None)
     p.add_argument("--pooler-dropout", type=float, default=0.0)
     # denoising task (fairseq/tasks/denoising.py; BART pretraining)
     p.add_argument("--mask", type=float, default=0.0)

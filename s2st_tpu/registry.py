@@ -79,5 +79,6 @@ def populate_builtin():
     import s2st_tpu.tasks.multilingual_translation  # noqa: F401
     import s2st_tpu.tasks.masked_lm  # noqa: F401
     import s2st_tpu.tasks.sentence_prediction  # noqa: F401
+    import s2st_tpu.tasks.sentence_ranking  # noqa: F401
     import s2st_tpu.tasks.denoising  # noqa: F401
     import s2st_tpu.benchmark.dummy_s2st  # noqa: F401

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..nn.core import lengths_to_mask
+from ..nn.core import lengths_to_mask, split_rngs
 from ..models import s2st_transformer as m
 
 PAD = m.PAD
@@ -610,6 +610,51 @@ def sentence_prediction_loss(variables: Dict[str, Any], cfg, lcfg,
 
 
 sentence_prediction_loss.mean_keys = ("loss",)
+
+
+def sentence_ranking_loss(variables: Dict[str, Any], cfg, lcfg,
+                          batch: Dict[str, Any],
+                          rng: Optional[jax.Array] = None,
+                          train: bool = True,
+                          head_name: str = "sentence_classification_head"
+                          ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """SentenceRankingCriterion (fairseq/criterions/sentence_ranking.py:
+    39-95): every candidate row scored by the 1-unit ranking head, NLL
+    over the per-candidate softmax, sample_size = nsentences.
+    batch["src_tokens_options"]: (B, C, T)."""
+    from ..models import roberta
+    head = variables["params"]["classification_heads"][head_name]
+    opts = batch["src_tokens_options"]
+    b, c, t = opts.shape
+    rngs = split_rngs(rng, c)
+    scores = []
+    for k in range(c):
+        s = roberta.classification_forward(
+            variables, cfg, head, opts[:, k], rng=rngs[k],
+            deterministic=not train)               # (B, 1)
+        scores.append(s[:, 0])
+    logits = jnp.stack(scores, axis=1)             # (B, C)
+    tgt = batch["target"]
+    valid = tgt >= 0
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(
+        lp, jnp.maximum(tgt, 0)[:, None], axis=-1)[:, 0]
+    loss_sum = jnp.sum(jnp.where(valid, nll, 0.0))
+    n = jnp.sum(valid)
+    pred = jnp.argmax(lp, axis=-1)
+    logging = {
+        "loss": loss_sum / jnp.maximum(n, 1),
+        "n_correct": jnp.sum((pred == tgt) & valid),
+        "total": n,
+        "nsentences": n,
+        "ntokens": jnp.sum(opts[:, 0] != PAD),
+        "sample_size": n.astype(jnp.int32),
+    }
+    return loss_sum, {"new_stats": {}, "logging": logging,
+                      "sample_size": n.astype(jnp.int32)}
+
+
+sentence_ranking_loss.mean_keys = ("loss",)
 
 
 # ---------------------------------------------------------------------------
