@@ -217,7 +217,14 @@ def glu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 
 
 def get_activation(name: str):
-    return {"relu": jax.nn.relu, "gelu": jax.nn.gelu, "tanh": jnp.tanh,
+    # fairseq "gelu" is torch F.gelu = EXACT erf; the tanh approximation
+    # is its "gelu_fast"/"gelu_accurate" (fairseq/utils.py
+    # get_activation_fn). jax.nn.gelu defaults to the approximation, so
+    # pin approximate=False for parity.
+    return {"relu": jax.nn.relu,
+            "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+            "gelu_fast": jax.nn.gelu, "gelu_accurate": jax.nn.gelu,
+            "tanh": jnp.tanh,
             "swish": jax.nn.swish, "linear": lambda x: x}[name]
 
 

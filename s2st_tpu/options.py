@@ -104,6 +104,16 @@ def add_task_args(parser: argparse.ArgumentParser):
     p.add_argument("--ranking-head-name",
                    default="sentence_classification_head")
     p.add_argument("--save-predictions", default=None)
+    # masked_lm (XLM/BERT) model + cross_lingual_lm task
+    p.add_argument("--monolingual-langs", default="en",
+                   help="cross_lingual_lm: comma-separated languages")
+    p.add_argument("--num-segment", type=int, default=2)
+    p.add_argument("--sent-loss", action="store_true")
+    p.add_argument("--sentence-class-num", type=int, default=2)
+    p.add_argument("--share-encoder-input-output-embed",
+                   action="store_true")
+    p.add_argument("--pooler-activation-fn", default="tanh")
+    p.add_argument("--apply-bert-init", action="store_true")
     p.add_argument("--pooler-dropout", type=float, default=0.0)
     # denoising task (fairseq/tasks/denoising.py; BART pretraining)
     p.add_argument("--mask", type=float, default=0.0)
@@ -1368,6 +1378,67 @@ def _lm_base(args):
 @register_arch("transformer_lm")
 def transformer_lm(args):
     return _lm_base(args)
+
+
+@register_arch("masked_lm")
+def masked_lm_arch(args):
+    """fairseq/models/masked_lm.py:314-342 base arch: 6x1024 relu
+    post-norm sentence encoder, 2 segments."""
+    args.dropout = 0.1
+    args.attention_dropout = 0.1
+    args.activation_dropout = 0.0
+    args.encoder_ffn_embed_dim = 4096
+    args.encoder_layers = 6
+    args.encoder_attention_heads = 8
+    args.encoder_embed_dim = 1024
+    args.activation_fn = "relu"
+    return args
+
+
+@register_arch("bert_base")
+def bert_base_arch(args):
+    """masked_lm.py:344-370: 12x768 gelu, tied embeddings, learned pos,
+    normalize-before embedding LN."""
+    masked_lm_arch(args)
+    args.encoder_embed_dim = 768
+    args.encoder_layers = 12
+    args.encoder_attention_heads = 12
+    args.encoder_ffn_embed_dim = 3072
+    args.share_encoder_input_output_embed = True
+    args.encoder_learned_pos = True
+    args.activation_fn = "gelu"
+    args.encoder_normalize_before = True
+    args.apply_bert_init = True
+    args.sent_loss = True
+    return args
+
+
+@register_arch("bert_large")
+def bert_large_arch(args):
+    """masked_lm.py:372-378."""
+    bert_base_arch(args)
+    args.encoder_embed_dim = 1024
+    args.encoder_layers = 24
+    args.encoder_attention_heads = 16
+    args.encoder_ffn_embed_dim = 4096
+    return args
+
+
+@register_arch("xlm_base")
+def xlm_base_arch(args):
+    """masked_lm.py:381-403: 16x1024 gelu, tied embeddings, learned pos,
+    1 segment, bert init."""
+    masked_lm_arch(args)
+    args.encoder_embed_dim = 1024
+    args.encoder_layers = 16
+    args.encoder_attention_heads = 16
+    args.encoder_ffn_embed_dim = 4096
+    args.share_encoder_input_output_embed = True
+    args.encoder_learned_pos = True
+    args.activation_fn = "gelu"
+    args.num_segment = 1
+    args.apply_bert_init = True
+    return args
 
 
 @register_arch("lstm_lm")

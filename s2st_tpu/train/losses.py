@@ -657,6 +657,43 @@ def sentence_ranking_loss(variables: Dict[str, Any], cfg, lcfg,
 sentence_ranking_loss.mean_keys = ("loss",)
 
 
+def legacy_masked_lm_loss(variables: Dict[str, Any], cfg, lcfg,
+                          batch: Dict[str, Any],
+                          rng: Optional[jax.Array] = None,
+                          train: bool = True
+                          ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """legacy_masked_lm_loss (criterions/legacy_masked_lm.py:73-133):
+    per-token masked-LM CE normalized IN-batch by the number of masked
+    targets (sample_size = 1 — the loss is already a mean); the NSP term
+    is absent in cross_lingual_lm (masked_lm_only). cfg:
+    masked_lm_xlm.MaskedLMXLMConfig."""
+    from ..models import masked_lm_xlm as mx
+    net = mx.forward(variables, cfg, batch, rng=rng,
+                     deterministic=not train, train=train)
+    tgt = batch["target"]
+    keep = tgt != PAD
+    lp = jax.nn.log_softmax(net["logits"].astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+    lm_loss = jnp.sum(jnp.where(keep, nll, 0.0))
+    ntokens = jnp.sum(keep).astype(jnp.float32)
+    loss = lm_loss / jnp.maximum(ntokens, 1.0)
+    pred = jnp.argmax(lp, axis=-1)
+    logging = {
+        "loss": loss,
+        "lm_loss": lm_loss / jnp.maximum(ntokens, 1.0),
+        "n_correct": jnp.sum((pred == tgt) & keep),
+        "total": jnp.sum(keep),
+        "ntokens": ntokens,
+        "nsentences": jnp.sum(jnp.any(batch["src_tokens"] != PAD, axis=1)),
+        "sample_size": jnp.int32(1),
+    }
+    return loss, {"new_stats": {}, "logging": logging,
+                  "sample_size": jnp.int32(1)}
+
+
+legacy_masked_lm_loss.mean_keys = ("loss", "lm_loss")
+
+
 # ---------------------------------------------------------------------------
 # non-autoregressive translation (translation_lev task)
 # ---------------------------------------------------------------------------
