@@ -332,6 +332,12 @@ def add_wav2vec2_args(parser: argparse.ArgumentParser):
     p.add_argument("--conv-pos", type=int, default=128)
     p.add_argument("--conv-pos-groups", type=int, default=16)
     p.add_argument("--layer-norm-first", action="store_true")
+    # wav2vec v1 (models/wav2vec/wav2vec.py Wav2VecConfig)
+    p.add_argument("--prediction-steps", type=int, default=12)
+    p.add_argument("--conv-aggregator-layers", default=None,
+                   help="wav2vec v1: python literal [(dim, k, stride)...]")
+    p.add_argument("--balanced-classes", action="store_true")
+    p.add_argument("--log-compression", action="store_true")
     # criterion
     p.add_argument("--infonce", action="store_true")
     p.add_argument("--loss-weights", default="0.1,10",
@@ -636,6 +642,19 @@ def fastspeech2_base(args):
     return args
 
 
+@register_arch("wav2vec")
+def wav2vec_v1_arch(args):
+    """wav2vec v1 (models/wav2vec/wav2vec.py Wav2VecConfig defaults):
+    5-block strided extractor, 9x(512,3,1) causal aggregator, 12-step
+    CPC with 10 negatives, binary-CE objective."""
+    if getattr(args, "conv_feature_layers", None) in (
+            None, "[(512,10,5)]+[(512,3,2)]*4+[(512,2,2)]*2"):
+        # the wav2vec2 default spec means "unset" here
+        args.conv_feature_layers = \
+            "[(512,10,5),(512,8,4),(512,4,2),(512,4,2),(512,4,2)]"
+    return args
+
+
 @register_arch("wav2vec2")
 def wav2vec2_base(args):
     """wav2vec2 base arch (examples/wav2vec config wav2vec2_base_librispeech
@@ -652,32 +671,36 @@ def wav2vec2_base(args):
     return args
 
 
+def conv_spec_expr(s):
+    """Evaluate the reference's conv-spec syntax
+    ("[(512,10,5)] + [(512,3,2)] * 4 + ...") without eval(): only
+    list/tuple/int literals and +/* of lists are allowed."""
+    import ast
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, (ast.List, ast.Tuple)):
+            v = [ev(e) for e in node.elts]
+            return v if isinstance(node, ast.List) else tuple(v)
+        if isinstance(node, ast.Constant) and isinstance(node.value, int):
+            return node.value
+        if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
+            return ev(node.left) + ev(node.right)
+        if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Mult):
+            return ev(node.left) * ev(node.right)
+        raise ValueError(f"bad conv spec element: {ast.dump(node)}")
+    return ev(ast.parse(s, mode="eval"))
+
+
 def build_wav2vec2_config(args):
     """args -> Wav2Vec2Config (+ HubertConfig trunk). The trunk reuses the
     shared encoder flag names (--encoder-layers etc.)."""
-    import ast
     import jax.numpy as jnp
     from .models.hubert import HubertConfig
     from .models.wav2vec2 import Wav2Vec2Config
 
-    def _list_expr(s):
-        """Evaluate the reference's conv-spec syntax
-        ("[(512,10,5)] + [(512,3,2)] * 4 + ...") without eval(): only
-        list/tuple/int literals and +/* of lists are allowed."""
-        def ev(node):
-            if isinstance(node, ast.Expression):
-                return ev(node.body)
-            if isinstance(node, (ast.List, ast.Tuple)):
-                v = [ev(e) for e in node.elts]
-                return v if isinstance(node, ast.List) else tuple(v)
-            if isinstance(node, ast.Constant) and isinstance(node.value, int):
-                return node.value
-            if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
-                return ev(node.left) + ev(node.right)
-            if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Mult):
-                return ev(node.left) * ev(node.right)
-            raise ValueError(f"bad conv spec element: {ast.dump(node)}")
-        return ev(ast.parse(s, mode="eval"))
+    _list_expr = conv_spec_expr
 
     conv = tuple(tuple(t) for t in _list_expr(str(args.conv_feature_layers)))
     trunk = HubertConfig(

@@ -195,8 +195,35 @@ class AudioPretrainingTask:
         return Wav2VecLossConfig(prob_ppl_weight=w[0],
                                  features_pen_weight=w[1])
 
+    @staticmethod
+    def _conv_spec(spec, default):
+        if spec is None:
+            return default
+        from ..options import conv_spec_expr
+        return tuple(tuple(t) for t in conv_spec_expr(str(spec)))
+
     def build_model_and_loss(self):
         import functools
+        arch = str(getattr(self.args, "arch", "wav2vec2"))
+        if arch == "wav2vec" or arch.startswith("wav2vec_v1"):
+            from ..models import wav2vec_v1 as w1
+            from ..train.losses import wav2vec_v1_loss
+            a = self.args
+            cfg = w1.Wav2VecV1Config(
+                prediction_steps=getattr(a, "prediction_steps", 12),
+                num_negatives=getattr(a, "num_negatives", 10),
+                infonce=getattr(a, "infonce", False),
+                balanced_classes=getattr(a, "balanced_classes", False),
+                log_compression=getattr(a, "log_compression", False),
+                conv_feature_layers=self._conv_spec(
+                    getattr(a, "conv_feature_layers", None),
+                    w1.Wav2VecV1Config.conv_feature_layers),
+                conv_aggregator_layers=self._conv_spec(
+                    getattr(a, "conv_aggregator_layers", None),
+                    w1.Wav2VecV1Config.conv_aggregator_layers),
+                dropout=a.dropout)
+            return cfg, functools.partial(w1.init_wav2vec_v1, cfg=cfg), \
+                wav2vec_v1_loss
         from ..models import wav2vec2 as w2v
         from ..train.losses import wav2vec_loss
         cfg = self.build_model_config()

@@ -694,6 +694,47 @@ def legacy_masked_lm_loss(variables: Dict[str, Any], cfg, lcfg,
 legacy_masked_lm_loss.mean_keys = ("loss", "lm_loss")
 
 
+def wav2vec_v1_loss(variables: Dict[str, Any], cfg, lcfg,
+                    batch: Dict[str, Any],
+                    rng: Optional[jax.Array] = None, train: bool = True
+                    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """wav2vec v1 CPC criterion (criterions/wav2vec_criterion.py through
+    Wav2VecModel.get_logits/targets): sum-reduced binary CE with optional
+    balanced-class weights (default), or InfoNCE CE when --infonce;
+    sample_size = number of positive targets (BCE) / rows (InfoNCE)."""
+    from ..models import wav2vec_v1 as w1
+    net = w1.forward(variables, cfg, batch, rng=rng,
+                     deterministic=not train, train=train)
+    logits = net["cpc_logits"].astype(jnp.float32)
+    if cfg.infonce:
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        loss = -jnp.sum(lp[:, 0])
+        sample_size = jnp.int32(logits.shape[0])
+        n_correct = jnp.sum(jnp.argmax(logits, axis=-1) == 0)
+        total = jnp.int32(logits.shape[0])
+    else:
+        tgt = net["cpc_targets"].astype(jnp.float32)
+        per = -(tgt * jax.nn.log_sigmoid(logits)
+                + (1.0 - tgt) * jax.nn.log_sigmoid(-logits))
+        if net["cpc_weights"] is not None:
+            per = per * net["cpc_weights"]
+        loss = jnp.sum(per)
+        sample_size = jnp.sum(tgt).astype(jnp.int32)
+        n_correct = jnp.sum((logits > 0) == (tgt > 0.5))
+        total = jnp.int32(logits.shape[0])
+    logging = {
+        "loss": loss / jnp.maximum(sample_size, 1),
+        "n_correct": n_correct, "total": total,
+        "ntokens": sample_size, "nsentences": batch["source"].shape[0],
+        "sample_size": sample_size,
+    }
+    return loss, {"new_stats": {}, "logging": logging,
+                  "sample_size": sample_size}
+
+
+wav2vec_v1_loss.mean_keys = ("loss",)
+
+
 # ---------------------------------------------------------------------------
 # non-autoregressive translation (translation_lev task)
 # ---------------------------------------------------------------------------
