@@ -123,7 +123,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                         sampling_topp=args.sampling_topp,
                         diversity_num_groups=max(args.diverse_beam_groups, 1),
                         diversity_strength=args.diverse_beam_strength,
-                        diversity_rate=max(args.diversity_rate, 0.0))
+                        diversity_rate=max(args.diversity_rate, 0.0),
+                        # mBART-style custom stop token
+                        # (translation_from_pretrained_bart build_generator)
+                        eos=getattr(task, "generation_eos", lambda: 2)())
     nbest = min(args.nbest, args.beam)
     shim = None if (is_lstm or is_conv) else tt._aux_cfg(model_cfg)
 
@@ -288,7 +291,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             for j in range(nbest):
                 n = int(lengths[row, j])
                 hyp_ids = tokens[row, j, 1:1 + n]
-                hyp_ids = hyp_ids[hyp_ids != 2][:n]
+                hyp_ids = hyp_ids[(hyp_ids != 2)
+                                  & (hyp_ids != bs_cfg.eos)][:n]
                 hyp_raw = tgt_dict.string(hyp_ids)
                 hyp = tgt_dict.string(hyp_ids, remove_bpe)
                 sc2 = scores[row, j] / math.log(2)   # base-2 parity

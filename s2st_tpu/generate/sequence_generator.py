@@ -54,6 +54,9 @@ class BeamConfig:
     min_len_b: float = -1.0      # <0 -> disabled (scalar min_len applies)
     max_len_a: float = 0.0
     max_len_b: float = -1.0      # <0 -> disabled
+    # custom stop/bos token (SequenceGenerator eos=... — mBART decodes
+    # with eos = the [tgt_lang] symbol, translation_from_pretrained_bart)
+    eos: int = 2
 
     def __post_init__(self):
         # fairseq raises on --sampling-topk + --sampling-topp together
@@ -358,7 +361,8 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
                              cache, cross_kvs_ens[mi], enc_pads_k[mi])
 
     tokens0 = jnp.full((b, k, max_len + 2), PAD, jnp.int32)
-    tokens0 = tokens0.at[:, :, 0].set(EOS)                 # bos = eos
+    eos_id = bs_cfg.eos
+    tokens0 = tokens0.at[:, :, 0].set(eos_id)              # bos = eos
     # step-0 semantics: fairseq's search.step uses only the first beam at
     # step 0 — emulated by starting every other beam at NEG_INF. Diverse
     # beam search needs the first beam of EACH group live (beams 0..G-1).
@@ -432,17 +436,17 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
         lprobs = lprobs.reshape(b, k, vocab)
         lprobs = lprobs.at[:, :, PAD].set(NEG_INF)  # never emit pad
         # min_len (sequence_generator.py:365): no EOS before min_len tokens
-        lprobs = lprobs.at[:, :, EOS].add(
+        lprobs = lprobs.at[:, :, eos_id].add(
             jnp.where(t < bs_cfg.min_len, NEG_INF, 0.0))
         if min_lens is not None:  # LengthConstrainedBeamSearch per-sentence
-            lprobs = lprobs.at[:, :, EOS].add(
+            lprobs = lprobs.at[:, :, eos_id].add(
                 jnp.where(t < min_lens, NEG_INF, 0.0)[:, None])
         if max_lens is not None:
             # force EOS once max length is reached (search.py:551-552 sets
             # eos lprob to 0; every alive continuation is banned so the
             # sentence stops there, like fairseq's beam-filled finalize)
             at_max = (t >= max_lens)[:, None, None]
-            forced_eos = jnp.full_like(lprobs, NEG_INF).at[:, :, EOS].set(0.0)
+            forced_eos = jnp.full_like(lprobs, NEG_INF).at[:, :, eos_id].set(0.0)
             lprobs = jnp.where(at_max, forced_eos, lprobs)
         if prefix_tokens is not None:
             # forced prefix (_prefix_tokens parity): the prefix token keeps
@@ -502,7 +506,7 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
         cand_pscore = cand_pscore * (1 - write) \
             + (top_scores - prev_cum)[:, :, None] * write
 
-        is_eos = tok == EOS
+        is_eos = tok == eos_id
         # ----- finished pool update: ARRIVAL-ORDER slot filling -----
         # fairseq finalize_hypos appends eos candidates (best-first within
         # a step) until K are collected, then the sentence is done and
@@ -574,12 +578,12 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
     else:
         final_lp = jax.nn.logsumexp(jnp.stack(final_lps), axis=0) \
             - jnp.log(float(n_models))
-    eos_lp = final_lp.reshape(b, k, vocab)[:, :, EOS]
+    eos_lp = final_lp.reshape(b, k, vocab)[:, :, eos_id]
     norm = (s["alive_scores"] + eos_lp) / _length_penalty(
         t + 1, bs_cfg.len_penalty)
     write = jax.nn.one_hot(t + 1, s["alive_tokens"].shape[2],
                            dtype=jnp.int32)[None, None, :]
-    alive_tokens = (s["alive_tokens"] * (1 - write) + EOS * write)
+    alive_tokens = (s["alive_tokens"] * (1 - write) + eos_id * write)
     alive_pos = s["alive_pos"] * (1 - write) + eos_lp[:, :, None] * write
     # forced-eos leftovers only FILL a sentence's remaining free slots
     # (done sentences are frozen — fairseq dropped them from the batch)

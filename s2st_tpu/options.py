@@ -114,6 +114,13 @@ def add_task_args(parser: argparse.ArgumentParser):
                    action="store_true")
     p.add_argument("--pooler-activation-fn", default="tanh")
     p.add_argument("--apply-bert-init", action="store_true")
+    # translation_from_pretrained_{bart,xlm}
+    p.add_argument("--langs", default=None,
+                   help="mBART pretraining languages ([lang] symbols)")
+    p.add_argument("--prepend-bos", action="store_true")
+    p.add_argument("--pretrained-xlm-checkpoint", default=None)
+    p.add_argument("--init-encoder-only", action="store_true")
+    p.add_argument("--init-decoder-only", action="store_true")
     p.add_argument("--pooler-dropout", type=float, default=0.0)
     # denoising task (fairseq/tasks/denoising.py; BART pretraining)
     p.add_argument("--mask", type=float, default=0.0)
@@ -947,6 +954,12 @@ def transformer_iwslt_de_en(args):
     args.decoder_ffn_embed_dim = 1024
     args.decoder_attention_heads = 4
     return args
+
+
+@register_arch("transformer_from_pretrained_xlm")
+def transformer_from_pretrained_xlm(args):
+    """transformer_from_pretrained_xlm.py:151-153 = transformer base."""
+    return _transformer_text_base(args)
 
 
 @register_arch("transformer_align")

@@ -79,6 +79,7 @@ def populate_builtin():
     import s2st_tpu.tasks.multilingual_translation  # noqa: F401
     import s2st_tpu.tasks.masked_lm  # noqa: F401
     import s2st_tpu.tasks.cross_lingual_lm  # noqa: F401
+    import s2st_tpu.tasks.translation_from_pretrained  # noqa: F401
     import s2st_tpu.tasks.sentence_prediction  # noqa: F401
     import s2st_tpu.tasks.sentence_ranking  # noqa: F401
     import s2st_tpu.tasks.denoising  # noqa: F401
