@@ -121,6 +121,19 @@ def add_task_args(parser: argparse.ArgumentParser):
     p.add_argument("--pretrained-xlm-checkpoint", default=None)
     p.add_argument("--init-encoder-only", action="store_true")
     p.add_argument("--init-decoder-only", action="store_true")
+    # fconv_self_att (models/fconv_self_att.py add_args :72-110); the
+    # bool-EXPR flags accept "True" / "[True] + [False]*5" strings
+    p.add_argument("--self-attention", default="False")
+    p.add_argument("--encoder-attention", default="False")
+    p.add_argument("--multihead-attention-nheads", type=int, default=1)
+    p.add_argument("--multihead-self-attention-nheads", type=int,
+                   default=1)
+    p.add_argument("--encoder-attention-nheads", type=int, default=1)
+    p.add_argument("--project-input", default="False")
+    p.add_argument("--gated-attention", default="False")
+    p.add_argument("--downsample", default="False")
+    p.add_argument("--pretrained", default="False")
+    p.add_argument("--pretrained-checkpoint", default="")
     p.add_argument("--pooler-dropout", type=float, default=0.0)
     # denoising task (fairseq/tasks/denoising.py; BART pretraining)
     p.add_argument("--mask", type=float, default=0.0)
@@ -1235,6 +1248,94 @@ def fconv_wmt_en_fr(args):
     args.decoder_out_embed_dim = 512
     args.encoder_conv_spec = convs
     args.decoder_conv_spec = convs
+    return args
+
+
+def _bool_expr(s, n: int):
+    """fconv_self_att bool-EXPR flags: "True" / "[True] + [False]*5"."""
+    import ast
+    v = ast.literal_eval(str(s)) if str(s).strip().startswith("[") \
+        else (str(s).strip() == "True")
+    if isinstance(v, bool):
+        return (v,) * n
+    assert len(v) == n, f"bool expr length {len(v)} != layers {n}"
+    return tuple(bool(x) for x in v)
+
+
+def build_fconv_self_att_config(args, src_vocab: int, tgt_vocab: int):
+    """args -> FConvSelfAttConfig (FConvModelSelfAtt.build_model)."""
+    import ast
+
+    import jax.numpy as jnp
+
+    from .models.fconv_self_att import FConvSelfAttConfig
+
+    def spec(s, default):
+        v = tuple(tuple(t) for t in conv_spec_expr(str(s or default)))
+        return v
+
+    enc = spec(getattr(args, "encoder_conv_spec", None), "[(512, 3)] * 3")
+    dec = spec(getattr(args, "decoder_conv_spec", None), "[(512, 3)] * 8")
+    dec_attn = getattr(args, "decoder_attention", "True")
+    if dec_attn in (True, None, ""):
+        dec_attn = "True"
+    return FConvSelfAttConfig(
+        src_vocab_size=src_vocab, tgt_vocab_size=tgt_vocab,
+        encoder_embed_dim=args.encoder_embed_dim,
+        encoder_convs=enc,
+        decoder_embed_dim=args.decoder_embed_dim,
+        decoder_convs=dec,
+        decoder_out_embed_dim=getattr(args, "decoder_out_embed_dim", None)
+        or 256,
+        decoder_attention=_bool_expr(dec_attn, len(dec)),
+        self_attention=_bool_expr(
+            getattr(args, "self_attention", "False"), len(dec)),
+        encoder_attention=_bool_expr(
+            getattr(args, "encoder_attention", "False"), len(enc)),
+        attention_nheads=getattr(args, "multihead_attention_nheads", 1),
+        selfattention_nheads=getattr(
+            args, "multihead_self_attention_nheads", 1),
+        encoder_attention_nheads=getattr(
+            args, "encoder_attention_nheads", 1),
+        project_input=str(getattr(args, "project_input", "False")).strip()
+        == "True",
+        gated_attention=str(getattr(args, "gated_attention",
+                                    "False")).strip() == "True",
+        downsample=str(getattr(args, "downsample", "False")).strip()
+        == "True",
+        dropout=args.dropout,
+        max_source_positions=args.max_source_positions,
+        max_target_positions=args.max_target_positions,
+        dtype=jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32)
+
+
+@register_arch("fconv_self_att")
+def fconv_self_att(args):
+    """fconv_self_att.py:633-654 base arch."""
+    args.dropout = 0.1
+    args.encoder_embed_dim = 512
+    args.decoder_embed_dim = 512
+    args.decoder_out_embed_dim = 256
+    return args
+
+
+@register_arch("fconv_self_att_wp")
+def fconv_self_att_wp(args):
+    """fconv_self_att.py:656-675: writing-prompts operating point (gated,
+    downsampled 4-head self-attention)."""
+    args.dropout = 0.1
+    args.encoder_embed_dim = 256
+    args.decoder_embed_dim = 256
+    args.decoder_out_embed_dim = 256
+    args.encoder_conv_spec = getattr(args, "encoder_conv_spec", None) \
+        or "[(128, 3)] * 2 + [(512,3)] * 1"
+    args.decoder_conv_spec = getattr(args, "decoder_conv_spec", None) \
+        or "[(512, 4)] * 4 + [(768, 4)] * 2 + [(1024, 4)] * 1"
+    args.self_attention = "True"
+    args.multihead_self_attention_nheads = 4
+    args.project_input = "True"
+    args.gated_attention = "True"
+    args.downsample = "True"
     return args
 
 

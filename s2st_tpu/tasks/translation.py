@@ -197,6 +197,14 @@ class TranslationTask:
                                     len(self.tgt_dict))
             return cfg, functools.partial(lstm_m.init_lstm, cfg=cfg), \
                 L.translation_loss
+        if arch.startswith("fconv_self_att"):
+            from ..models import fconv_self_att as fsa
+            from ..options import build_fconv_self_att_config
+            cfg = build_fconv_self_att_config(
+                self.args, len(self.src_dict), len(self.tgt_dict))
+            loss = L.fconv_self_att_loss
+            return cfg, functools.partial(
+                fsa.init_fconv_self_att, cfg=cfg), loss
         if arch.startswith("fconv"):
             from ..models import fconv as fconv_m
             from ..options import build_fconv_config

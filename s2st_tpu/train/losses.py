@@ -735,6 +735,37 @@ def wav2vec_v1_loss(variables: Dict[str, Any], cfg, lcfg,
 wav2vec_v1_loss.mean_keys = ("loss",)
 
 
+def fconv_self_att_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
+                        batch: Dict[str, Any],
+                        rng: Optional[jax.Array] = None, train: bool = True
+                        ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Label-smoothed/plain CE over the fconv_self_att stories model
+    (the reference pairs it with cross_entropy)."""
+    from ..models import fconv_self_att as fsa
+    net = fsa.forward(variables, cfg, batch, rng=rng,
+                      deterministic=not train, train=train)
+    tgt = batch["target"]
+    lp = jax.nn.log_softmax(net["logits"].astype(jnp.float32), axis=-1)
+    loss_sum, nll_sum = label_smoothed_nll_loss(
+        lp.reshape(-1, lp.shape[-1]), tgt.reshape(-1), lcfg.label_smoothing)
+    keep = tgt != PAD
+    ntokens = jnp.sum(keep).astype(jnp.float32)
+    nsent = jnp.sum(jnp.any(keep, axis=1)).astype(jnp.int32)
+    sample_size = jnp.where(lcfg.sentence_avg, nsent,
+                            ntokens.astype(jnp.int32))
+    logging = {
+        "loss": loss_sum / jnp.maximum(ntokens, 1.0),
+        "nll_loss": nll_sum / jnp.maximum(ntokens, 1.0),
+        "ntokens": ntokens, "nsentences": nsent,
+        "sample_size": sample_size,
+    }
+    return loss_sum, {"new_stats": {}, "logging": logging,
+                      "sample_size": sample_size}
+
+
+fconv_self_att_loss.mean_keys = ("loss", "nll_loss")
+
+
 # ---------------------------------------------------------------------------
 # non-autoregressive translation (translation_lev task)
 # ---------------------------------------------------------------------------
