@@ -134,6 +134,9 @@ def add_task_args(parser: argparse.ArgumentParser):
     p.add_argument("--downsample", default="False")
     p.add_argument("--pretrained", default="False")
     p.add_argument("--pretrained-checkpoint", default="")
+    # multilingual_denoising / multilingual_masked_lm
+    p.add_argument("--add-lang-token", action="store_true")
+    p.add_argument("--multilang-sampling-alpha", type=float, default=1.0)
     p.add_argument("--pooler-dropout", type=float, default=0.0)
     # denoising task (fairseq/tasks/denoising.py; BART pretraining)
     p.add_argument("--mask", type=float, default=0.0)

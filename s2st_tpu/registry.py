@@ -83,4 +83,5 @@ def populate_builtin():
     import s2st_tpu.tasks.sentence_prediction  # noqa: F401
     import s2st_tpu.tasks.sentence_ranking  # noqa: F401
     import s2st_tpu.tasks.denoising  # noqa: F401
+    import s2st_tpu.tasks.multilingual_pretraining  # noqa: F401
     import s2st_tpu.benchmark.dummy_s2st  # noqa: F401
