@@ -137,6 +137,16 @@ def add_task_args(parser: argparse.ArgumentParser):
     # multilingual_denoising / multilingual_masked_lm
     p.add_argument("--add-lang-token", action="store_true")
     p.add_argument("--multilang-sampling-alpha", type=float, default=1.0)
+    # semisupervised_translation (tasks/semisupervised_translation.py)
+    p.add_argument("--lambda-parallel-config", default="1.0")
+    p.add_argument("--lambda-denoising-config", default="0.0")
+    p.add_argument("--lambda-otf-bt-config", default="0.0")
+    p.add_argument("--bt-max-len-a", type=float, default=1.1)
+    p.add_argument("--bt-max-len-b", type=float, default=10.0)
+    p.add_argument("--bt-beam-size", type=int, default=1)
+    p.add_argument("--max-word-shuffle-distance", type=float, default=3.0)
+    p.add_argument("--word-dropout-prob", type=float, default=0.1)
+    p.add_argument("--word-blanking-prob", type=float, default=0.2)
     p.add_argument("--pooler-dropout", type=float, default=0.0)
     # denoising task (fairseq/tasks/denoising.py; BART pretraining)
     p.add_argument("--mask", type=float, default=0.0)

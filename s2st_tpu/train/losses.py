@@ -480,6 +480,111 @@ def multilingual_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
 multilingual_loss.mean_keys = ("loss", "nll_loss")
 
 
+def semisupervised_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
+                        batch: Dict[str, Any],
+                        rng: Optional[jax.Array] = None, train: bool = True,
+                        *, parallel_pairs=(), bt_beam: int = 1,
+                        bt_max_len_a: float = 1.1,
+                        bt_max_len_b: float = 10.0
+                        ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """semisupervised_translation train step (fairseq/tasks/
+    semisupervised_translation.py:398-456): parallel CE + on-the-fly
+    back-translation (reverse-model decode under stop_gradient, INSIDE
+    this jitted loss) + tgt-tgt denoising reconstruction, each scaled by
+    its lambda (batch scalars). cfg: MultilingualConfig whose lang_pairs
+    include the reverse and tgt-tgt directions."""
+    from ..generate.sequence_generator import BeamConfig, beam_search_aux
+    from ..models import multilingual_transformer as mt
+    from ..models import transformer_text as tt
+    pairs_batch = batch["pairs"]
+    lam_par = batch.get("lambda_parallel", jnp.float32(1.0))
+    lam_bt = batch.get("lambda_otf_bt", jnp.float32(0.0))
+    lam_dn = batch.get("lambda_denoising", jnp.float32(0.0))
+    total = jnp.float32(0.0)
+    logging: Dict[str, Any] = {}
+    agg = {"loss": 0.0, "nll_loss": 0.0, "ntokens": 0.0, "nsentences": 0,
+           "sample_size": 0}
+
+    def ce(view_pair, sub, weight, key, r):
+        nonlocal total
+        net = mt.forward(variables, cfg, sub, view_pair, rng=r,
+                         deterministic=not train, train=train)
+        lp = jax.nn.log_softmax(net["logits"].astype(jnp.float32), axis=-1)
+        tgt = sub["target"]
+        loss_sum, nll_sum = label_smoothed_nll_loss(
+            lp.reshape(-1, lp.shape[-1]), tgt.reshape(-1),
+            lcfg.label_smoothing)
+        keep = tgt != PAD
+        ntok = jnp.sum(keep)
+        nsent = jnp.sum(jnp.any(keep, axis=1))
+        ssize = jnp.where(lcfg.sentence_avg, nsent, ntok)
+        logging[f"{key}:loss"] = loss_sum / jnp.maximum(ntok, 1)
+        total = total + weight * loss_sum
+        agg["loss"] = agg["loss"] + weight * loss_sum
+        agg["nll_loss"] = agg["nll_loss"] + nll_sum
+        agg["ntokens"] = agg["ntokens"] + ntok
+        agg["nsentences"] = agg["nsentences"] + nsent
+        agg["sample_size"] = agg["sample_size"] + ssize
+
+    i = 0
+    for pair in parallel_pairs:
+        if pair in pairs_batch:
+            r = jax.random.fold_in(rng, i) if rng is not None else None
+            i += 1
+            ce(pair, pairs_batch[pair], lam_par, pair, r)
+    for pair in parallel_pairs:
+        key = f"bt:{pair}"
+        if key not in pairs_batch:
+            continue
+        sub = pairs_batch[key]
+        src_l, tgt_l = pair.split("-")
+        rev = f"{tgt_l}-{src_l}"
+        view, pcfg = mt.pair_view(variables, cfg, rev)
+        view = jax.tree_util.tree_map(jax.lax.stop_gradient, view)
+        gen_vars = tt.generation_variables(view, pcfg)
+        enc = tt.encode(view, pcfg, sub["src_tokens"],
+                        deterministic=True)
+        max_len = min(int(bt_max_len_a * sub["src_tokens"].shape[1]
+                          + bt_max_len_b),
+                      pcfg.max_target_positions - 2)
+        bs = BeamConfig(beam=bt_beam, max_len=max(max_len, 2))
+        r = jax.random.fold_in(rng, 1000 + i) if rng is not None \
+            else jax.random.PRNGKey(0)
+        i += 1
+        out = beam_search_aux(
+            [gen_vars], tt._aux_cfg(pcfg), "decoder",
+            [enc["encoder_out"]], [enc["encoder_padding_mask"]], bs,
+            src_lengths=jnp.sum(sub["src_tokens"] != PAD, axis=1), rng=r)
+        tokens = out["tokens"][:, 0]                    # (B, L+2)
+        lens = out["lengths"][:, 0]
+        pos = jnp.arange(tokens.shape[1] - 1)[None, :]
+        synth = jnp.where(pos < lens[:, None], tokens[:, 1:], PAD)
+        synth = jax.lax.stop_gradient(synth.astype(jnp.int32))
+        r2 = jax.random.fold_in(rng, 2000 + i) if rng is not None else None
+        ce(pair, {"src_tokens": synth,
+                  "prev_output_tokens": sub["prev_output_tokens"],
+                  "target": sub["target"]}, lam_bt, key, r2)
+    for pair in parallel_pairs:
+        key = f"denoising:{pair}"
+        if key not in pairs_batch:
+            continue
+        tgt_l = pair.split("-")[1]
+        r = jax.random.fold_in(rng, 3000 + i) if rng is not None else None
+        i += 1
+        ce(f"{tgt_l}-{tgt_l}", pairs_batch[key], lam_dn, key, r)
+
+    ntok = jnp.maximum(agg["ntokens"], 1.0)
+    logging.update({
+        "loss": agg["loss"] / ntok, "nll_loss": agg["nll_loss"] / ntok,
+        "ntokens": agg["ntokens"], "nsentences": agg["nsentences"],
+        "sample_size": agg["sample_size"]})
+    return total, {"new_stats": {}, "logging": logging,
+                   "sample_size": agg["sample_size"]}
+
+
+semisupervised_loss.mean_keys = ("loss", "nll_loss")
+
+
 def lm_forward_fn(cfg):
     """LM teacher-forced forward dispatch by config type (the arch ->
     decoder-only-model mapping shared by lm_loss and eval_lm)."""
