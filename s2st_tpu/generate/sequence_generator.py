@@ -57,6 +57,9 @@ class BeamConfig:
     # custom stop/bos token (SequenceGenerator eos=... — mBART decodes
     # with eos = the [tgt_lang] symbol, translation_from_pretrained_bart)
     eos: int = 2
+    # separate decoder-input start token (SequenceGenerator bos_token=...,
+    # the online_backtranslation __lang__ prefix); -1 -> use eos
+    bos: int = -1
 
     def __post_init__(self):
         # fairseq raises on --sampling-topk + --sampling-topp together
@@ -362,7 +365,8 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
 
     tokens0 = jnp.full((b, k, max_len + 2), PAD, jnp.int32)
     eos_id = bs_cfg.eos
-    tokens0 = tokens0.at[:, :, 0].set(eos_id)              # bos = eos
+    bos_id = bs_cfg.bos if bs_cfg.bos >= 0 else eos_id
+    tokens0 = tokens0.at[:, :, 0].set(bos_id)              # bos (default eos)
     # step-0 semantics: fairseq's search.step uses only the first beam at
     # step 0 — emulated by starting every other beam at NEG_INF. Diverse
     # beam search needs the first beam of EACH group live (beams 0..G-1).

@@ -145,6 +145,11 @@ def add_task_args(parser: argparse.ArgumentParser):
     p.add_argument("--bt-max-len-b", type=float, default=10.0)
     p.add_argument("--bt-beam-size", type=int, default=1)
     p.add_argument("--max-word-shuffle-distance", type=float, default=3.0)
+    # online_backtranslation
+    p.add_argument("--mono-langs", default=None)
+    p.add_argument("--valid-lang-pairs", default=None)
+    p.add_argument("--lambda-bt", default="1.0")
+    p.add_argument("--lambda-dae", default="1.0")
     p.add_argument("--word-dropout-prob", type=float, default=0.1)
     p.add_argument("--word-blanking-prob", type=float, default=0.2)
     p.add_argument("--pooler-dropout", type=float, default=0.0)

@@ -78,6 +78,7 @@ def populate_builtin():
     import s2st_tpu.tasks.translation_multi_epoch  # noqa: F401
     import s2st_tpu.tasks.multilingual_translation  # noqa: F401
     import s2st_tpu.tasks.semisupervised_translation  # noqa: F401
+    import s2st_tpu.tasks.online_backtranslation  # noqa: F401
     import s2st_tpu.tasks.masked_lm  # noqa: F401
     import s2st_tpu.tasks.cross_lingual_lm  # noqa: F401
     import s2st_tpu.tasks.translation_from_pretrained  # noqa: F401

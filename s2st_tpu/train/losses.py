@@ -585,6 +585,99 @@ def semisupervised_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
 semisupervised_loss.mean_keys = ("loss", "nll_loss")
 
 
+def online_bt_loss(variables: Dict[str, Any], cfg, lcfg: LossConfig,
+                   batch: Dict[str, Any],
+                   rng: Optional[jax.Array] = None, train: bool = True,
+                   *, mono_langs=(), lang_toks=(), other=()
+                   ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """online_backtranslation train step (fairseq/tasks/
+    online_backtranslation.py:501-547): per-language {lang}-BT (round-trip
+    generation with bos = __other__ inside the jitted step, stop-gradient)
+    and {lang}-DENOISE CE, weighted by the lambda_bt / lambda_dae batch
+    scalars; validation batches carry the plain translation pair."""
+    from ..generate.sequence_generator import BeamConfig, beam_search_aux
+    from ..models import transformer_text as tt
+    toks = dict(lang_toks)
+    other_of = dict(other)
+    pairs_batch = batch["pairs"]
+    lam_bt = batch.get("lambda_bt", jnp.float32(1.0))
+    lam_dae = batch.get("lambda_dae", jnp.float32(1.0))
+    total = jnp.float32(0.0)
+    logging: Dict[str, Any] = {}
+    agg = {"loss": 0.0, "nll_loss": 0.0, "ntokens": 0.0, "nsentences": 0,
+           "sample_size": 0}
+
+    def ce(sub, weight, key, r):
+        nonlocal total
+        net = tt.forward(variables, cfg, sub, rng=r,
+                         deterministic=not train, train=train)
+        lp = jax.nn.log_softmax(net["logits"].astype(jnp.float32), axis=-1)
+        tgt = sub["target"]
+        loss_sum, nll_sum = label_smoothed_nll_loss(
+            lp.reshape(-1, lp.shape[-1]), tgt.reshape(-1),
+            lcfg.label_smoothing)
+        keep = tgt != PAD
+        ntok = jnp.sum(keep)
+        nsent = jnp.sum(jnp.any(keep, axis=1))
+        ssize = jnp.where(lcfg.sentence_avg, nsent, ntok)
+        logging[f"{key}:loss"] = loss_sum / jnp.maximum(ntok, 1)
+        total = total + weight * loss_sum
+        agg["loss"] = agg["loss"] + weight * loss_sum
+        agg["nll_loss"] = agg["nll_loss"] + nll_sum
+        agg["ntokens"] = agg["ntokens"] + ntok
+        agg["nsentences"] = agg["nsentences"] + nsent
+        agg["sample_size"] = agg["sample_size"] + ssize
+
+    i = 0
+    for key in sorted(pairs_batch):
+        sub = pairs_batch[key]
+        r = jax.random.fold_in(rng, i) if rng is not None \
+            else jax.random.PRNGKey(i)
+        i += 1
+        if key.endswith("-BT"):
+            lang = key[:-3]
+            bos_tok = toks[other_of[lang]]
+            view = jax.tree_util.tree_map(jax.lax.stop_gradient, variables)
+            gen_vars = tt.generation_variables(view, cfg)
+            enc = tt.encode(view, cfg, sub["src_tokens"],
+                            deterministic=True)
+            max_len = min(int(1.3 * sub["src_tokens"].shape[1] + 5),
+                          cfg.max_target_positions - 2)
+            bs = BeamConfig(beam=1, max_len=max(max_len, 6), min_len=5,
+                            bos=bos_tok)
+            out = beam_search_aux(
+                [gen_vars], tt._aux_cfg(cfg), "decoder",
+                [enc["encoder_out"]], [enc["encoder_padding_mask"]], bs,
+                src_lengths=jnp.sum(sub["src_tokens"] != PAD, axis=1),
+                rng=r)
+            tokens = out["tokens"][:, 0]
+            lens = out["lengths"][:, 0]
+            # new source = __other__ + hypothesis (bt:461-470)
+            pos = jnp.arange(tokens.shape[1])[None, :]
+            synth = jnp.where((pos >= 1) & (pos <= lens[:, None]),
+                              tokens, PAD).astype(jnp.int32)
+            synth = synth.at[:, 0].set(bos_tok)
+            synth = jax.lax.stop_gradient(synth)
+            ce({"src_tokens": synth,
+                "prev_output_tokens": sub["prev_output_tokens"],
+                "target": sub["target"]}, lam_bt, key, r)
+        elif key.endswith("-DENOISE"):
+            ce(sub, lam_dae, key, r)
+        else:
+            ce(sub, jnp.float32(1.0), key, r)
+
+    ntok = jnp.maximum(agg["ntokens"], 1.0)
+    logging.update({
+        "loss": agg["loss"] / ntok, "nll_loss": agg["nll_loss"] / ntok,
+        "ntokens": agg["ntokens"], "nsentences": agg["nsentences"],
+        "sample_size": agg["sample_size"]})
+    return total, {"new_stats": {}, "logging": logging,
+                   "sample_size": agg["sample_size"]}
+
+
+online_bt_loss.mean_keys = ("loss", "nll_loss")
+
+
 def lm_forward_fn(cfg):
     """LM teacher-forced forward dispatch by config type (the arch ->
     decoder-only-model mapping shared by lm_loss and eval_lm)."""
