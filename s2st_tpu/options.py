@@ -734,6 +734,8 @@ def conv_spec_expr(s):
 def build_wav2vec2_config(args):
     """args -> Wav2Vec2Config (+ HubertConfig trunk). The trunk reuses the
     shared encoder flag names (--encoder-layers etc.)."""
+    import ast
+
     import jax.numpy as jnp
     from .models.hubert import HubertConfig
     from .models.wav2vec2 import Wav2Vec2Config
