@@ -59,6 +59,14 @@ class Wav2VecV1Config:
     offset: str = "auto"
     balanced_classes: bool = False
     infonce: bool = False
+    # vector quantization (vq_type "none" | "kmeans"; the gumbel variant
+    # lives in wav2vec2's quantizer)
+    vq_type: str = "none"
+    vq_vars: int = 320
+    vq_groups: int = 2
+    vq_dim: int = 0              # 0 -> embed
+    vq_gamma: float = 0.25
+    combine_groups: bool = False
     dtype: Any = jnp.float32
 
     def replace(self, **kw) -> "Wav2VecV1Config":
@@ -135,8 +143,68 @@ def init_wav2vec_v1(key, cfg: Wav2VecV1Config) -> Dict[str, Params]:
         "b": jax.random.uniform(next(ks), (cfg.embed,),
                                 minval=-bound, maxval=bound),
     }
-    return {"params": {"feature_extractor": feat, "aggregator": agg,
-                       "predictions": pred}, "stats": {}}
+    params = {"feature_extractor": feat, "aggregator": agg,
+              "predictions": pred}
+    if cfg.vq_type == "kmeans":
+        vq_dim = cfg.vq_dim or cfg.embed
+        num_groups = 1 if cfg.combine_groups else cfg.vq_groups
+        var_dim = vq_dim // cfg.vq_groups
+        g = cfg.vq_groups
+        cg = cfg.embed // g
+        kq, kp = jax.random.split(next(ks))
+        params["vq"] = {
+            "embedding": 0.01 * jax.random.normal(
+                kq, (cfg.vq_vars, num_groups, var_dim)),
+            # grouped 1x1 conv (per-group linear), no bias
+            "proj": {"w": jax.random.uniform(
+                kp, (g, cg, cg), minval=-1.0 / math.sqrt(cg),
+                maxval=1.0 / math.sqrt(cg))},
+            "gn": {"scale": jnp.ones((cfg.embed,)),
+                   "bias": jnp.zeros((cfg.embed,))},
+        }
+    return {"params": params, "stats": {}}
+
+
+def kmeans_vq(p: Params, cfg: Wav2VecV1Config, x: jnp.ndarray):
+    """KmeansVectorQuantizer (fairseq/modules/kmeans_vector_quantizer.py):
+    grouped 1x1 projection + per-group GroupNorm, nearest-codeword
+    quantization with a straight-through gradient, latent + gamma *
+    commitment MSE. x: (B, T, C) -> (quantized (B, T, C'), kmeans_loss,
+    code_perplexity)."""
+    b, t, c = x.shape
+    g = cfg.vq_groups
+    cg = c // g
+    xg = x.reshape(b, t, g, cg)
+    ze = jnp.einsum("btgi,gio->btgo", xg, p["proj"]["w"].astype(x.dtype))
+    # Fp32GroupNorm(groups, dim) over (C/G, T) per (B, group)
+    zef = ze.astype(jnp.float32)
+    mean = jnp.mean(zef, axis=(1, 3), keepdims=True)
+    var = jnp.var(zef, axis=(1, 3), keepdims=True)
+    zn = (zef - mean) * jax.lax.rsqrt(var + 1e-5)
+    zn = zn.reshape(b, t, c) * p["gn"]["scale"] + p["gn"]["bias"]
+    vq_dim = cfg.vq_dim or cfg.embed
+    var_dim = vq_dim // g
+    zn_g = zn.reshape(b, t, g, var_dim)
+    emb = p["embedding"]
+    if cfg.combine_groups:
+        emb = jnp.broadcast_to(emb, (cfg.vq_vars, g, var_dim))
+    # distances (V, B, T, G)
+    d = jnp.linalg.norm(zn_g[None] - emb[:, None, None], axis=-1)
+    idx = jnp.argmin(d, axis=0)                          # (B, T, G)
+    one_hot = jax.nn.one_hot(idx, cfg.vq_vars)           # (B,T,G,V)
+    zq = jnp.einsum("btgv,vgd->btgd", one_hot,
+                    emb.astype(jnp.float32))
+    zq = zq.reshape(b, t, vq_dim).astype(x.dtype)
+    zn_flat = zn.astype(x.dtype)
+    out = zn_flat + jax.lax.stop_gradient(zq - zn_flat)  # straight-through
+    hard_probs = jnp.mean(one_hot.reshape(-1, g, cfg.vq_vars), axis=0)
+    code_ppl = jnp.sum(jnp.exp(-jnp.sum(
+        hard_probs * jnp.log(hard_probs + 1e-7), axis=-1)))
+    zqf = zq.astype(jnp.float32)
+    znf = zn.astype(jnp.float32)
+    latent = jnp.mean((zqf - jax.lax.stop_gradient(znf)) ** 2)
+    commit = jnp.mean((znf - jax.lax.stop_gradient(zqf)) ** 2)
+    return out, latent + cfg.vq_gamma * commit, code_ppl
 
 
 def _group_norm1(p: Optional[Params], x: jnp.ndarray) -> jnp.ndarray:
@@ -291,6 +359,11 @@ def forward(variables: Dict[str, Params], cfg: Wav2VecV1Config,
     r_feat, r_agg, r_neg, r_pred = split_rngs(rng, 4)
     feats = feature_extractor(variables, cfg, batch["source"],
                               deterministic=deterministic)
+    extra: Dict[str, Any] = {}
+    if cfg.vq_type == "kmeans":
+        feats, kmeans_loss, code_ppl = kmeans_vq(
+            variables["params"]["vq"], cfg, feats)
+        extra = {"kmeans_loss": kmeans_loss, "code_perplexity": code_ppl}
     x = dropout(feats, cfg.dropout_features, r_feat, deterministic)
     x = aggregator(variables, cfg, x, rng=r_agg,
                    deterministic=deterministic)
@@ -304,4 +377,4 @@ def forward(variables: Dict[str, Params], cfg: Wav2VecV1Config,
         variables, cfg, x, feats, neg_idxs, rng=r_pred,
         deterministic=deterministic)
     return {"cpc_logits": preds, "cpc_targets": labels,
-            "cpc_weights": weights, "new_stats": {}}
+            "cpc_weights": weights, "new_stats": {}, **extra}

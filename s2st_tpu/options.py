@@ -376,6 +376,12 @@ def add_wav2vec2_args(parser: argparse.ArgumentParser):
                    help="wav2vec v1: python literal [(dim, k, stride)...]")
     p.add_argument("--balanced-classes", action="store_true")
     p.add_argument("--log-compression", action="store_true")
+    p.add_argument("--vq-type", default="none",
+                   choices=["none", "kmeans", "gumbel"])
+    p.add_argument("--vq-vars", type=int, default=320)
+    p.add_argument("--vq-groups", type=int, default=2)
+    p.add_argument("--vq-dim", type=int, default=0)
+    p.add_argument("--vq-gamma", type=float, default=0.25)
     # criterion
     p.add_argument("--infonce", action="store_true")
     p.add_argument("--loss-weights", default="0.1,10",

@@ -221,9 +221,20 @@ class AudioPretrainingTask:
                 conv_aggregator_layers=self._conv_spec(
                     getattr(a, "conv_aggregator_layers", None),
                     w1.Wav2VecV1Config.conv_aggregator_layers),
+                vq_type=getattr(a, "vq_type", "none"),
+                vq_vars=getattr(a, "vq_vars", 320),
+                vq_groups=getattr(a, "vq_groups", 2),
+                vq_dim=getattr(a, "vq_dim", 0),
+                vq_gamma=getattr(a, "vq_gamma", 0.25),
                 dropout=a.dropout)
+            lw = str(getattr(a, "loss_weights", "1"))
+            # "0.1,10" is the wav2vec2 default -> unset for v1 (the
+            # reference criterion defaults to no explicit weights)
+            w = 1.0 if lw == "0.1,10" else float(lw.split(",")[0] or 1.0)
+            loss = functools.partial(wav2vec_v1_loss, penalty_weight=w)
+            loss.mean_keys = wav2vec_v1_loss.mean_keys
             return cfg, functools.partial(w1.init_wav2vec_v1, cfg=cfg), \
-                wav2vec_v1_loss
+                loss
         from ..models import wav2vec2 as w2v
         from ..train.losses import wav2vec_loss
         cfg = self.build_model_config()

@@ -894,7 +894,8 @@ legacy_masked_lm_loss.mean_keys = ("loss", "lm_loss")
 
 def wav2vec_v1_loss(variables: Dict[str, Any], cfg, lcfg,
                     batch: Dict[str, Any],
-                    rng: Optional[jax.Array] = None, train: bool = True
+                    rng: Optional[jax.Array] = None, train: bool = True,
+                    penalty_weight: float = 1.0
                     ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """wav2vec v1 CPC criterion (criterions/wav2vec_criterion.py through
     Wav2VecModel.get_logits/targets): sum-reduced binary CE with optional
@@ -920,12 +921,20 @@ def wav2vec_v1_loss(variables: Dict[str, Any], cfg, lcfg,
         sample_size = jnp.sum(tgt).astype(jnp.int32)
         n_correct = jnp.sum((logits > 0) == (tgt > 0.5))
         total = jnp.int32(logits.shape[0])
+    # quantizer penalty (wav2vec_criterion loss_weights: coef * p *
+    # sample_size)
+    if "kmeans_loss" in net:
+        loss = loss + penalty_weight * net["kmeans_loss"] \
+            * sample_size.astype(jnp.float32)
     logging = {
         "loss": loss / jnp.maximum(sample_size, 1),
         "n_correct": n_correct, "total": total,
         "ntokens": sample_size, "nsentences": batch["source"].shape[0],
         "sample_size": sample_size,
     }
+    if "kmeans_loss" in net:
+        logging["kmeans_loss"] = net["kmeans_loss"]
+        logging["code_perplexity"] = net["code_perplexity"]
     return loss, {"new_stats": {}, "logging": logging,
                   "sample_size": sample_size}
 

@@ -194,3 +194,48 @@ def test_wav2vec_v1_cli_e2e(tmp_path):
     _, meta = load_checkpoint_file(
         str(tmp_path / "ckpt" / "checkpoint_last.npz"))
     assert meta["step"] >= 1
+
+
+def test_kmeans_vq_parity():
+    """kmeans_vq matches the reference KmeansVectorQuantizer: quantized
+    output, kmeans loss, code perplexity (imported weights)."""
+    load_reference()
+    from fairseq.modules import KmeansVectorQuantizer
+
+    torch.manual_seed(0)
+    dim, groups, n_vars, vq_dim = 8, 2, 6, 8
+    ref = KmeansVectorQuantizer(dim=dim, num_vars=n_vars, groups=groups,
+                                combine_groups=False, vq_dim=vq_dim,
+                                time_first=False, gamma=0.25)
+    ref.eval()
+    import jax.numpy as jnp
+
+    from s2st_tpu.models import wav2vec_v1 as w1
+    sd = {k: v.detach().float().numpy() for k, v in ref.state_dict().items()}
+    # grouped Conv1d weight (dim, dim/groups, 1) -> (G, Cg, Cg) per-group
+    wconv = sd.pop("projection.0.weight")[:, :, 0]
+    cg = dim // groups
+    wg = np.stack([wconv[g * cg:(g + 1) * cg, :].T for g in range(groups)])
+    p = {"embedding": jnp.asarray(sd.pop("embedding")),
+         "proj": {"w": jnp.asarray(wg)},
+         "gn": {"scale": jnp.asarray(sd.pop("projection.1.weight")),
+                "bias": jnp.asarray(sd.pop("projection.1.bias"))}}
+    assert not sd, list(sd)
+    cfg = w1.Wav2VecV1Config(vq_type="kmeans", vq_vars=n_vars,
+                             vq_groups=groups, vq_dim=vq_dim,
+                             vq_gamma=0.25,
+                             conv_feature_layers=((dim, 3, 2),))
+
+    r = np.random.RandomState(0)
+    x = r.randn(2, dim, 9).astype(np.float32)   # B x C x T (ref layout)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x))
+    got, kloss, ppl = w1.kmeans_vq(p, cfg,
+                                   jnp.asarray(x.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1),
+                               out_ref["x"].numpy(), atol=1e-5)
+    np.testing.assert_allclose(float(kloss),
+                               float(out_ref["kmeans_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(ppl),
+                               float(out_ref["code_perplexity"]),
+                               rtol=1e-5)
