@@ -492,7 +492,21 @@ def validate(args, task, trainer, state, eval_fn, progress, rng):
     n = 0
     mcd_sums = {"mcd_loss": 0.0, "targ_frames": 0.0, "pred_frames": 0.0,
                 "nins": 0.0, "ndel": 0.0}
+    bleu_fn = None
+    if getattr(args, "eval_bleu", False) and \
+            hasattr(task, "build_valid_bleu"):
+        bleu_fn = task.build_valid_bleu(trainer.cfg)
+    all_hyps: list = []
+    all_refs: list = []
     for batch in valid_itr.next_epoch_itr(shuffle=False):
+        if bleu_fn is not None:
+            hyps, refs = bleu_fn(state.variables(), batch)
+            if getattr(args, "eval_bleu_print_samples", False) and n == 0 \
+                    and hyps:
+                logger.info(f"example hypothesis: {hyps[0]}")
+                logger.info(f"example reference: {refs[0]}")
+            all_hyps.extend(hyps)
+            all_refs.extend(refs)
         metrics = trainer.valid_step(state, batch, jax.random.fold_in(rng, n))
         ss = metrics.get("sample_size", 1.0) or 1.0
         for k, v in metrics.items():
@@ -522,6 +536,15 @@ def validate(args, task, trainer, state, eval_fn, progress, rng):
                     "valid/attention", jax.device_get(out["example_attn"]),
                     step=n)
     stats = {k: agg[k] / max(weights[k], 1.0) for k in agg}
+    if bleu_fn is not None and all_hyps:
+        import sacrebleu
+        # tokenize="none": hypotheses/refs are already detokenized per
+        # --eval-bleu-detok (the reference passes tokenize="none" too
+        # when a detokenizer is configured)
+        stats["bleu"] = sacrebleu.corpus_bleu(
+            all_hyps, [all_refs],
+            tokenize="none" if getattr(args, "eval_bleu_detok", "space")
+            != "space" else "13a").score
     if eval_fn is not None and mcd_sums["targ_frames"] > 0:
         stats["mcd_loss"] = mcd_sums["mcd_loss"] / mcd_sums["targ_frames"]
         stats["ins_rate"] = mcd_sums["nins"] / mcd_sums["targ_frames"]

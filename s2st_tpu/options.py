@@ -150,6 +150,15 @@ def add_task_args(parser: argparse.ArgumentParser):
     p.add_argument("--valid-lang-pairs", default=None)
     p.add_argument("--lambda-bt", default="1.0")
     p.add_argument("--lambda-dae", default="1.0")
+    # validation-time BLEU (translation task TranslationConfig eval_bleu*)
+    p.add_argument("--eval-bleu", action="store_true")
+    p.add_argument("--eval-bleu-args", default="{}",
+                   help='json generation args, e.g. {"beam": 4}')
+    p.add_argument("--eval-bleu-detok", default="space")
+    p.add_argument("--eval-bleu-detok-args", default="{}")
+    p.add_argument("--eval-bleu-remove-bpe", default=None, nargs="?",
+                   const="@@ ")
+    p.add_argument("--eval-bleu-print-samples", action="store_true")
     p.add_argument("--word-dropout-prob", type=float, default=0.1)
     p.add_argument("--word-blanking-prob", type=float, default=0.2)
     p.add_argument("--pooler-dropout", type=float, default=0.0)

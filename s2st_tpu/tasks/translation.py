@@ -235,3 +235,75 @@ class TranslationTask:
         cfg = self.build_model_config()
         return cfg, functools.partial(tt.init_transformer, cfg=cfg), \
             L.translation_loss
+
+    # ------------------------------------------------------------------
+    def build_valid_bleu(self, model_cfg):
+        """--eval-bleu (fairseq/tasks/translation.py:369-394): a per-batch
+        generation hook for validation-time BLEU. Returns
+        run(variables, host_batch) -> (hyps, refs) detokenized strings,
+        or None when --eval-bleu is off. Transformer-family archs only
+        (the reference's common eval-bleu regime)."""
+        if not getattr(self.args, "eval_bleu", False):
+            return None
+        import json
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..data.encoders import build_tokenizer
+        from ..generate.sequence_generator import BeamConfig, \
+            beam_search_aux
+        from ..models import transformer_text as tt
+        if not isinstance(model_cfg, tt.TransformerTextConfig):
+            raise ValueError("--eval-bleu supports the transformer "
+                             "family archs")
+        gen = json.loads(getattr(self.args, "eval_bleu_args", None)
+                         or "{}")
+        detok = build_tokenizer(
+            {"tokenizer": getattr(self.args, "eval_bleu_detok", "space"),
+             **json.loads(getattr(self.args, "eval_bleu_detok_args", None)
+                          or "{}")})
+        remove_bpe = getattr(self.args, "eval_bleu_remove_bpe", None)
+        max_len = min(int(gen.get("max_len_a", 0)
+                          * model_cfg.max_source_positions
+                          + gen.get("max_len_b", 200)),
+                      model_cfg.max_target_positions - 2)
+        bs = BeamConfig(beam=int(gen.get("beam", 5)),
+                        max_len=max(max_len, 2),
+                        len_penalty=float(gen.get("lenpen", 1.0)),
+                        min_len=int(gen.get("min_len", 1)))
+        tgt_dict = self.tgt_dict
+
+        @jax.jit
+        def infer(gen_vars, src_tokens):
+            enc = tt.encode(gen_vars, model_cfg, src_tokens,
+                            deterministic=True)
+            return beam_search_aux(
+                [gen_vars], tt._aux_cfg(model_cfg), "decoder",
+                [enc["encoder_out"]], [enc["encoder_padding_mask"]], bs,
+                src_lengths=jnp.sum(src_tokens != 1, axis=1),
+                rng=jax.random.PRNGKey(0))
+
+        def run(variables, batch):
+            import numpy as np
+            gen_vars = tt.generation_variables(variables, model_cfg)
+            out = infer(gen_vars, jnp.asarray(batch["src_tokens"]))
+            tokens = np.asarray(out["tokens"])[:, 0]
+            lens = np.asarray(out["lengths"])[:, 0]
+            tgt = np.asarray(batch["target"])
+            hyps, refs = [], []
+            for i in range(tokens.shape[0]):
+                if (tgt[i] != 1).sum() == 0:
+                    continue  # batch-fill row
+                hyp_ids = tokens[i, 1:1 + int(lens[i])]
+                hyp = tgt_dict.string(hyp_ids, remove_bpe)
+                # escape_unk=True on refs (the reference's
+                # _inference_with_bleu decode)
+                ref = tgt_dict.string(tgt[i], remove_bpe, escape_unk=True)
+                if detok is not None:
+                    hyp, ref = detok.decode(hyp), detok.decode(ref)
+                hyps.append(hyp)
+                refs.append(ref)
+            return hyps, refs
+
+        return run

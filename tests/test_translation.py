@@ -172,3 +172,44 @@ def test_score_reference_mode(tmp_path, capsys):
         "--max-tokens", "600", "--score-reference"]) == 0
     out = capsys.readouterr().out
     assert out.count("P-") == 8 and "H-" in out
+
+
+def test_eval_bleu_validation(tmp_path):
+    """--eval-bleu: validation runs beam generation and logs a corpus
+    BLEU; --best-checkpoint-metric bleu drives checkpoint_best."""
+    import numpy as np
+    r = np.random.RandomState(0)
+    words = [f"w{i}" for i in range(12)]
+    for split, n in (("train", 20), ("valid", 6)):
+        for lang in ("de", "en"):
+            with open(tmp_path / f"{split}.{lang}", "w") as f:
+                for _ in range(n):
+                    f.write(" ".join(
+                        r.choice(words, size=r.randint(3, 7))) + "\n")
+    from s2st_tpu.cli.preprocess import main as pp
+    assert pp(["--source-lang", "de", "--target-lang", "en",
+               "--trainpref", str(tmp_path / "train"),
+               "--validpref", str(tmp_path / "valid"),
+               "--destdir", str(tmp_path / "bin"), "--workers", "1"]) == 0
+    from s2st_tpu.cli.train import main as train_main
+    assert train_main([
+        str(tmp_path / "bin"), "--task", "translation",
+        "--source-lang", "de", "--target-lang", "en",
+        "--arch", "transformer_tiny",
+        "--criterion", "label_smoothed_cross_entropy",
+        "--label-smoothing", "0.1",
+        "--eval-bleu", "--eval-bleu-args", '{"beam": 2, "max_len_b": 12}',
+        "--eval-bleu-print-samples",
+        "--best-checkpoint-metric", "bleu",
+        "--maximize-best-checkpoint-metric",
+        "--save-dir", str(tmp_path / "ckpt"),
+        "--encoder-layers", "1", "--decoder-layers", "1",
+        "--encoder-embed-dim", "16", "--decoder-embed-dim", "16",
+        "--encoder-ffn-embed-dim", "32", "--decoder-ffn-embed-dim", "32",
+        "--encoder-attention-heads", "2", "--decoder-attention-heads", "2",
+        "--max-tokens", "512", "--max-epoch", "1",
+        "--optimizer", "adam", "--lr", "0.001", "--seed", "1",
+        "--log-interval", "1", "--required-batch-size-multiple", "1",
+    ]) == 0
+    import os
+    assert os.path.exists(tmp_path / "ckpt" / "checkpoint_best.npz")
