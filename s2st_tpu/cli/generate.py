@@ -92,6 +92,24 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     ens_vars = load_text_model_ensemble(args.path.split(":"), model_cfg,
                                         init_fn)
+    from ..models.multilingual_transformer import MultilingualConfig
+    if isinstance(model_cfg, MultilingualConfig):
+        # per-pair generation (multilingual_translation inference uses a
+        # single --source-lang/--target-lang pair): collapse the multi
+        # model to the pair's transformer view and load data through the
+        # plain translation task
+        from ..models import multilingual_transformer as mt
+        from ..tasks.translation import TranslationTask
+        pair = f"{args.source_lang}-{args.target_lang}"
+        views = []
+        for v in ens_vars:
+            view, pair_cfg = mt.pair_view(v, model_cfg, pair)
+            views.append(view)
+        ens_vars, model_cfg = views, pair_cfg
+        task = TranslationTask(args, task.dicts[args.source_lang],
+                               task.dicts[args.target_lang])
+        src_dict, tgt_dict = task.source_dictionary, \
+            task.target_dictionary
     gen_vars = ens_vars if (is_lstm or is_conv) else \
         [tt.generation_variables(v, model_cfg) for v in ens_vars]
 

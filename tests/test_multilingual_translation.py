@@ -229,3 +229,64 @@ def test_multilingual_cli_e2e(tmp_path):
     _, meta = load_checkpoint_file(
         str(tmp_path / "ckpt" / "checkpoint_last.npz"))
     assert meta["step"] >= 1
+
+
+def test_multilingual_generate_cli(tmp_path):
+    """Per-pair generation through the generate CLI after round-robin
+    training (the reference's multilingual inference path)."""
+    r = np.random.RandomState(3)
+    words = [f"w{i}" for i in range(16)]
+    for pair in PAIRS:
+        src, tgt = pair.split("-")
+        for split, n in (("train", 16), ("valid", 6), ("test", 6)):
+            for lang in (src, tgt):
+                with open(tmp_path / f"{split}.{pair}.{lang}", "w") as f:
+                    for _ in range(n):
+                        f.write(" ".join(
+                            r.choice(words, size=r.randint(3, 7))) + "\n")
+    from s2st_tpu.cli.preprocess import main as pp
+    assert pp(["--source-lang", "de", "--target-lang", "en",
+               "--trainpref", str(tmp_path / "train.de-en"),
+               "--validpref", str(tmp_path / "valid.de-en"),
+               "--testpref", str(tmp_path / "test.de-en"),
+               "--destdir", str(tmp_path / "bin"), "--workers", "1"]) == 0
+    assert pp(["--source-lang", "en", "--target-lang", "de",
+               "--trainpref", str(tmp_path / "train.en-de"),
+               "--validpref", str(tmp_path / "valid.en-de"),
+               "--srcdict", str(tmp_path / "bin" / "dict.en.txt"),
+               "--tgtdict", str(tmp_path / "bin" / "dict.de.txt"),
+               "--destdir", str(tmp_path / "bin"), "--workers", "1"]) == 0
+    from s2st_tpu.cli.train import main as train_main
+    common_model = [
+        "--encoder-layers", "1", "--decoder-layers", "1",
+        "--encoder-embed-dim", "16", "--decoder-embed-dim", "16",
+        "--encoder-ffn-embed-dim", "32", "--decoder-ffn-embed-dim", "32",
+        "--encoder-attention-heads", "2", "--decoder-attention-heads", "2",
+    ]
+    assert train_main([
+        str(tmp_path / "bin"), "--task", "multilingual_translation",
+        "--arch", "multilingual_transformer",
+        "--lang-pairs", "de-en,en-de",
+        "--criterion", "label_smoothed_cross_entropy",
+        "--label-smoothing", "0.1",
+        "--save-dir", str(tmp_path / "ckpt"),
+        "--max-tokens", "256", "--max-epoch", "1",
+        "--optimizer", "adam", "--lr", "0.001", "--seed", "1",
+        "--log-interval", "1", "--required-batch-size-multiple", "1",
+    ] + common_model) == 0
+    from s2st_tpu.cli.generate import main as gen_main
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = gen_main([
+            str(tmp_path / "bin"), "--task", "multilingual_translation",
+            "--arch", "multilingual_transformer",
+            "--lang-pairs", "de-en,en-de",
+            "--source-lang", "de", "--target-lang", "en",
+            "--path", str(tmp_path / "ckpt" / "checkpoint_last.npz"),
+            "--gen-subset", "test", "--beam", "2", "--max-len-b", "15",
+            "--max-tokens", "256", "--required-batch-size-multiple", "1",
+        ] + common_model)
+    assert rc == 0
+    assert "H-" in buf.getvalue()
