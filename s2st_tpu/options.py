@@ -78,6 +78,11 @@ def add_task_args(parser: argparse.ArgumentParser):
     p.add_argument("--dummy-src-frames", type=int, default=1200)
     p.add_argument("--dummy-tgt-frames", type=int, default=960)
     p.add_argument("--dummy-vocab", type=int, default=100)
+    # dummy_lm / dummy_mt / dummy_masked_lm knobs
+    p.add_argument("--dict-size", type=int, default=49996)
+    p.add_argument("--dataset-size", type=int, default=100000)
+    p.add_argument("--src-length", type=int, default=30)
+    p.add_argument("--tgt-length", type=int, default=30)
     # text translation / LM tasks (fairseq/tasks/translation.py config)
     p.add_argument("--source-lang", "-s", default=None)
     p.add_argument("--target-lang", "-t", default=None)

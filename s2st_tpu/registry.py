@@ -87,3 +87,4 @@ def populate_builtin():
     import s2st_tpu.tasks.denoising  # noqa: F401
     import s2st_tpu.tasks.multilingual_pretraining  # noqa: F401
     import s2st_tpu.benchmark.dummy_s2st  # noqa: F401
+    import s2st_tpu.benchmark.dummy_text  # noqa: F401
