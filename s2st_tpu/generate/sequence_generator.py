@@ -291,7 +291,8 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
                     bs_cfg: BeamConfig, prefix_tokens=None,
                     src_lengths=None, rng=None,
                     constraints=None, step_fns=None, init_caches=None,
-                    vocab_size=None) -> Dict[str, jnp.ndarray]:
+                    vocab_size=None,
+                    prefix_allowed_fn=None) -> Dict[str, jnp.ndarray]:
     """Beam-decode text from one aux decoder.
 
     which: "aux_asr_decoder" | "aux_st_decoder"; enc_tap (B, Ts, C) is the
@@ -309,6 +310,9 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
     src_lengths: (B,) int32, required when bs_cfg.min/max_len_a/b enable
     LengthConstrainedBeamSearch per-sentence bounds.
     rng: PRNGKey for strategy "sampling" (defaults to PRNGKey(0)).
+    prefix_allowed_fn: optional jittable (t, alive_tokens (B,K,L)) ->
+    bool (B,K,V) allowed-next-token mask — the TPU-native form of
+    PrefixConstrainedBeamSearch's prefix_allowed_tokens_fn.
     constraints: a generate.constrained.ConstraintTables — switches to
     lexically constrained search (fairseq/search.py:219-528 dynamic beam
     allocation): per-beam trie/cursor state lives in the jitted loop and
@@ -467,6 +471,13 @@ def beam_search_aux(variables, cfg: m.S2STConfig, which: str,
                 jax.nn.one_hot(ptok, vocab, dtype=bool)[:, None, :],
                 own, NEG_INF)
             lprobs = jnp.where(have[:, None, None], forced, lprobs)
+        if prefix_allowed_fn is not None:
+            # PrefixConstrainedBeamSearch (search.py:147-208): the TPU
+            # form takes a JITTABLE mask fn (t, alive_tokens (B,K,L)) ->
+            # bool (B,K,V) of allowed next tokens, replacing the
+            # reference's per-sentence python-list callback
+            allowed = prefix_allowed_fn(t, s["alive_tokens"])
+            lprobs = jnp.where(allowed, lprobs, NEG_INF)
         if bs_cfg.no_repeat_ngram_size > 0:
             lprobs = lprobs + _ngram_ban_mask(
                 s["alive_tokens"], t, vocab, bs_cfg.no_repeat_ngram_size)

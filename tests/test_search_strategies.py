@@ -314,3 +314,68 @@ def test_diverse_beam_group_striping_preserved(tiny_cfg, tiny_variables,
     for bi in range(tokens.shape[0]):
         firsts = tokens[bi, :, 1]
         assert len(set(firsts.tolist())) >= 2, firsts
+
+
+def test_prefix_constrained_beam_search():
+    """PrefixConstrainedBeamSearch (fairseq/search.py:147-208) as a
+    jittable allowed-token mask: hypotheses only ever contain allowed
+    tokens, and with a trivial all-allowed mask the decode equals the
+    unconstrained beam."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from s2st_tpu.generate.sequence_generator import BeamConfig, \
+        beam_search_aux
+    from s2st_tpu.models import transformer_text as tt
+
+    cfg = tt.TransformerTextConfig(
+        src_vocab_size=16, tgt_vocab_size=16, encoder_layers=1,
+        encoder_embed_dim=8, encoder_ffn_embed_dim=16,
+        encoder_attention_heads=2, decoder_layers=1,
+        decoder_embed_dim=8, decoder_ffn_embed_dim=16,
+        decoder_attention_heads=2, dropout=0.0,
+        max_source_positions=32, max_target_positions=32,
+        dtype=jnp.float32)
+    variables = tt.init_transformer(jax.random.PRNGKey(0), cfg)
+    gen_vars = tt.generation_variables(variables, cfg)
+    src = np.array([[5, 6, 7, 2], [8, 9, 2, 1]], np.int32)
+    enc = tt.encode(gen_vars, cfg, jnp.asarray(src), deterministic=True)
+    bs = BeamConfig(beam=2, max_len=8)
+
+    base = beam_search_aux([gen_vars], tt._aux_cfg(cfg), "decoder",
+                           [enc["encoder_out"]],
+                           [enc["encoder_padding_mask"]], bs,
+                           rng=jax.random.PRNGKey(0))
+
+    # all-allowed mask == unconstrained
+    def all_allowed(t, alive):
+        b, k = alive.shape[0], alive.shape[1]
+        return jnp.ones((b, k, 16), bool)
+
+    same = beam_search_aux([gen_vars], tt._aux_cfg(cfg), "decoder",
+                           [enc["encoder_out"]],
+                           [enc["encoder_padding_mask"]], bs,
+                           rng=jax.random.PRNGKey(0),
+                           prefix_allowed_fn=all_allowed)
+    np.testing.assert_array_equal(np.asarray(base["tokens"]),
+                                  np.asarray(same["tokens"]))
+
+    # restrict to {4, 5, EOS}: every emitted token must be allowed
+    allowed_set = jnp.zeros((16,), bool).at[jnp.array([2, 4, 5])].set(True)
+
+    def restricted(t, alive):
+        b, k = alive.shape[0], alive.shape[1]
+        return jnp.broadcast_to(allowed_set, (b, k, 16))
+
+    out = beam_search_aux([gen_vars], tt._aux_cfg(cfg), "decoder",
+                          [enc["encoder_out"]],
+                          [enc["encoder_padding_mask"]], bs,
+                          rng=jax.random.PRNGKey(0),
+                          prefix_allowed_fn=restricted)
+    toks = np.asarray(out["tokens"])
+    lens = np.asarray(out["lengths"])
+    for i in range(toks.shape[0]):
+        for j in range(toks.shape[1]):
+            hyp = toks[i, j, 1:1 + lens[i, j]]
+            assert set(hyp.tolist()) <= {2, 4, 5}, hyp
