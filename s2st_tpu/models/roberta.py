@@ -5,7 +5,12 @@ encoder with LEARNED pad-aware positional embeddings, embedding layernorm,
 gelu activations, no embed scaling; the LM head = dense -> gelu ->
 layernorm -> tied output projection + free bias (:366-391); sentence
 classification heads pool the <s> feature through dense/tanh/out_proj
-(:394-430). Arch zoo: roberta (base 12x768), roberta_large, roberta_base.
+(:394-430). Arch zoo: roberta (base 12x768), roberta_large, roberta_base,
+roberta_prenorm (:547-551 — pre-LN layers, no embedding LN, final LN), xlm
+(:588-594), and the model_parallel_roberta geometry aliases
+(model_parallel/models/roberta/model.py:192-226; tensor parallelism is a
+mesh axis here, so the archs reduce to their pre/post-norm geometry —
+model_parallel_roberta_v1 drops the final LN via ``no_final_layer_norm``).
 """
 
 from __future__ import annotations
@@ -40,6 +45,11 @@ class RobertaConfig:
     pooler_activation_fn: str = "tanh"
     max_positions: int = 512
     untie_weights_roberta: bool = False
+    # roberta_prenorm / model_parallel_roberta formulation knobs
+    # (roberta/model.py:547-551, model_parallel/.../roberta/model.py:192-203)
+    normalize_before: bool = False
+    layernorm_embedding: bool = True
+    no_final_layer_norm: bool = False
     dtype: Any = jnp.float32
 
     def replace(self, **kw) -> "RobertaConfig":
@@ -56,8 +66,11 @@ def init_roberta(key, cfg: RobertaConfig) -> Dict[str, Params]:
         # position t uses row t + pad + 1
         "embed_positions": embedding_init(
             next(ks), cfg.max_positions + PAD + 1, dim, padding_idx=PAD),
-        "embed_ln": layer_norm_init(dim),
     }
+    if cfg.layernorm_embedding:
+        enc["embed_ln"] = layer_norm_init(dim)
+    if cfg.normalize_before and not cfg.no_final_layer_norm:
+        enc["final_ln"] = layer_norm_init(dim)
     for i in range(cfg.encoder_layers):
         enc[f"layer{i}"] = encoder_layer_init(
             next(ks), dim, cfg.encoder_ffn_embed_dim,
@@ -92,16 +105,20 @@ def extract_features(variables: Dict[str, Params], cfg: RobertaConfig,
     cum = jnp.cumsum((~is_pad).astype(jnp.int32), axis=1)
     pos_idx = jnp.where(is_pad, PAD, cum + PAD)
     x = x + embedding(p["embed_positions"], pos_idx, cfg.dtype)
-    x = layer_norm(p["embed_ln"], x)
+    if cfg.layernorm_embedding:
+        x = layer_norm(p["embed_ln"], x)
     rngs = split_rngs(rng, cfg.encoder_layers + 1)
     x = dropout(x, cfg.dropout, rngs[-1], deterministic)
     for i in range(cfg.encoder_layers):
         x = encoder_layer(
             p[f"layer{i}"], x, is_pad, cfg.encoder_attention_heads,
-            normalize_before=False, activation=cfg.activation_fn,
+            normalize_before=cfg.normalize_before,
+            activation=cfg.activation_fn,
             dropout_rate=cfg.dropout, attn_dropout=cfg.attention_dropout,
             act_dropout=cfg.activation_dropout,
             rng=rngs[i], deterministic=deterministic)
+    if "final_ln" in p:
+        x = layer_norm(p["final_ln"], x)
     return x
 
 

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.core import (Params, dropout, embedding, embedding_init,
-                       layer_norm, layer_norm_init, split_rngs)
+                       get_activation, layer_norm, layer_norm_init, linear,
+                       linear_init, split_rngs)
 from ..nn.transformer import (decoder_layer_init, encoder_layer,
                               encoder_layer_init, sinusoidal_table)
 from . import s2st_transformer as s2st
@@ -66,6 +67,13 @@ class TransformerTextConfig:
     max_source_positions: int = 1024
     max_target_positions: int = 1024
     vocab_parallel_embed: bool = False
+    # roberta_enc_dec (fairseq/models/roberta/enc_dec.py:96-101): the
+    # output projection is a full RobertaLMHead (dense -> activation_fn ->
+    # layernorm -> tied/free projection + bias) instead of a plain matmul.
+    # no_scale_embedding stays True on BOTH sides there — the flag set by
+    # roberta.base_architecture (roberta/model.py:543) flows into the
+    # decoder args via read_args_from_roberta (enc_dec.py:138-160).
+    lm_head_out_proj: bool = False
     dtype: Any = jnp.float32
 
     def replace(self, **kw) -> "TransformerTextConfig":
@@ -123,7 +131,26 @@ def init_transformer(key, cfg: TransformerTextConfig) -> Dict[str, Params]:
         dec["final_ln"] = layer_norm_init(cfg.decoder_embed_dim)
     if cfg.layernorm_embedding:
         dec["embed_ln"] = layer_norm_init(cfg.decoder_embed_dim)
-    if not (cfg.share_decoder_input_output_embed or cfg.share_all_embeddings):
+    if cfg.lm_head_out_proj:
+        # RobertaLMHead projection (roberta/model.py:366-391): dense + LN +
+        # free bias; the weight is tied to the decoder embedding when
+        # sharing, otherwise a free (dim, V) table.
+        k_head = jax.random.fold_in(key, 103)
+        head: Params = {
+            "dense": linear_init(k_head, cfg.decoder_embed_dim,
+                                 cfg.decoder_embed_dim),
+            "ln": layer_norm_init(cfg.decoder_embed_dim),
+            "bias": jnp.zeros((cfg.tgt_vocab_size,)),
+        }
+        if not (cfg.share_decoder_input_output_embed
+                or cfg.share_all_embeddings):
+            head["w"] = jax.random.normal(
+                jax.random.fold_in(key, 104),
+                (cfg.decoder_embed_dim, cfg.tgt_vocab_size)) \
+                * (cfg.decoder_embed_dim ** -0.5)
+        dec["out_proj"] = head
+    elif not (cfg.share_decoder_input_output_embed
+              or cfg.share_all_embeddings):
         dec["out_proj"] = {"w": jax.random.normal(
             next(ks), (cfg.decoder_embed_dim, cfg.tgt_vocab_size))
             * (cfg.decoder_embed_dim ** -0.5)}
@@ -139,7 +166,24 @@ def decoder_view(params: Params, cfg: TransformerTextConfig) -> Params:
         dec["embed"] = params["encoder"]["embed"]
     if "out_proj" not in dec:
         dec["out_proj"] = {"w": dec["embed"]["w"].T}
+    elif "dense" in dec["out_proj"] and "w" not in dec["out_proj"]:
+        # tied RobertaLMHead: materialize the projection view
+        dec["out_proj"] = {**dec["out_proj"], "w": dec["embed"]["w"].T}
     return dec
+
+
+def _project(p_out: Params, x: jnp.ndarray, activation_fn: str,
+             out_dtype=jnp.float32) -> jnp.ndarray:
+    """Output projection: plain matmul, or the RobertaLMHead form when the
+    params carry a dense sublayer (roberta_enc_dec's output_projection)."""
+    if "dense" in p_out:
+        x = get_activation(activation_fn)(linear(p_out["dense"], x))
+        x = layer_norm(p_out["ln"], x)
+        return jnp.dot(x, p_out["w"].astype(x.dtype),
+                       preferred_element_type=out_dtype) \
+            + p_out["bias"].astype(out_dtype)
+    return jnp.dot(x, p_out["w"].astype(x.dtype),
+                   preferred_element_type=out_dtype)
 
 
 def _positions(tokens: jnp.ndarray, dim: int, max_positions: int,
@@ -239,8 +283,7 @@ def _decode_learned_pos(p: Params, cfg: TransformerTextConfig,
             rng=rngs[i], deterministic=deterministic)
     if "final_ln" in p:
         x = layer_norm(p["final_ln"], x)
-    return jnp.dot(x, p["out_proj"]["w"].astype(x.dtype),
-                   preferred_element_type=x.dtype)
+    return _project(p["out_proj"], x, cfg.activation_fn, out_dtype=x.dtype)
 
 
 def make_beam_step(variables: Dict[str, Params],
@@ -274,8 +317,8 @@ def make_beam_step(variables: Dict[str, Params],
             new_caches.append(c)
         if "final_ln" in p:
             x = layer_norm(p["final_ln"], x)
-        logits = jnp.dot(x[:, 0], p["out_proj"]["w"].astype(x.dtype),
-                         preferred_element_type=jnp.float32)
+        logits = _project(p["out_proj"], x[:, 0], cfg.activation_fn,
+                          out_dtype=jnp.float32)
         return (jax.nn.log_softmax(logits.astype(jnp.float32), -1),
                 tuple(new_caches))
 

@@ -1699,10 +1699,12 @@ def bart_base(args):
 
 @register_arch("mbart_large")
 def mbart_large(args):
-    """mbart_large_architecture: bart_large + pre-norm + final LNs."""
+    """mbart_large_architecture (bart/model.py:369-372): bart_large with
+    embedding scaling back ON (no_scale_embedding=False); formulation stays
+    bart's post-norm — the paper mBART checkpoints' pre-norm comes from
+    training-time --encoder/--decoder-normalize-before, not the arch fn."""
     bart_large(args)
-    args.encoder_normalize_before = True
-    args.decoder_normalize_before = True
+    args.no_scale_embedding = False
     return args
 
 
@@ -1718,6 +1720,11 @@ def roberta(args):
     args.attention_dropout = 0.1
     args.activation_dropout = 0.0
     args.activation_fn = "gelu"
+    # post-norm formulation (roberta_prenorm flips these; explicit CLI
+    # flags still win via _two_pass's explicit-flag restore)
+    args.encoder_normalize_before = False
+    args.layernorm_embedding = True
+    args.no_final_layer_norm = False
     return args
 
 
@@ -1843,6 +1850,7 @@ def build_transformer_text_config(args, src_vocab: int, tgt_vocab: int):
         share_all_embeddings=getattr(args, "share_all_embeddings", False),
         max_source_positions=args.max_source_positions,
         max_target_positions=args.max_target_positions,
+        lm_head_out_proj=getattr(args, "lm_head_out_proj", False),
         dtype=jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32)
 
 
@@ -1856,6 +1864,370 @@ def s2st_transformer_small(args):
     args.decoder_ffn_embed_dim = 1024
     args.conv_channels = 256
     args.postnet_conv_dim = 256
+    return args
+
+
+# ---------------------------------------------------------------------------
+# reference --arch name completion (remaining hyperparameter presets)
+# ---------------------------------------------------------------------------
+# Every fairseq --arch name resolves here so reference command lines keep
+# working; bodies mirror the reference's register_model_architecture default
+# chains (file:line cited per family). Explicit CLI flags still win via
+# _two_pass's explicit-flag restore. The reference's model_parallel /
+# pipeline_parallel variants are geometry presets here: tensor and pipeline
+# partitioning are mesh axes (--tp-size / --pp-size, parallel/mesh.py +
+# parallel/pipeline.py), not separate model classes.
+
+
+def _s2t_size(args, dim, heads, ffn, drop):
+    """s2t_transformer s/m/l ladder (speech_to_text/s2t_transformer.py:
+    460-513); the s2t_transformer_hubert ladder is identical
+    (s2t_transformer_me.py:536-592). The reference's base chains
+    decoder dims off the encoder's, so both sides are pinned."""
+    args.encoder_embed_dim = dim
+    args.decoder_embed_dim = dim
+    args.encoder_ffn_embed_dim = ffn
+    args.decoder_ffn_embed_dim = ffn
+    args.encoder_attention_heads = heads
+    args.decoder_attention_heads = heads
+    args.dropout = drop
+    return args
+
+
+@register_arch("s2t_transformer_s")
+def s2t_transformer_s(args):
+    return _s2t_size(args, 256, 4, 2048, 0.1)
+
+
+@register_arch("s2t_transformer_xs")
+def s2t_transformer_xs(args):
+    s2t_transformer_s(args)
+    args.encoder_layers = 6
+    args.decoder_layers = 3
+    args.encoder_ffn_embed_dim = 1024
+    args.decoder_ffn_embed_dim = 1024
+    args.dropout = 0.3
+    return args
+
+
+@register_arch("s2t_transformer_sp")
+def s2t_transformer_sp(args):
+    s2t_transformer_s(args)
+    args.encoder_layers = 16
+    return args
+
+
+@register_arch("s2t_transformer_m")
+def s2t_transformer_m(args):
+    return _s2t_size(args, 512, 8, 2048, 0.15)
+
+
+@register_arch("s2t_transformer_mp")
+def s2t_transformer_mp(args):
+    s2t_transformer_m(args)
+    args.encoder_layers = 16
+    return args
+
+
+@register_arch("s2t_transformer_l")
+def s2t_transformer_l(args):
+    return _s2t_size(args, 1024, 16, 4096, 0.2)
+
+
+@register_arch("s2t_transformer_lp")
+def s2t_transformer_lp(args):
+    s2t_transformer_l(args)
+    args.encoder_layers = 16
+    return args
+
+
+for _sz in ("s", "xs", "sp", "m", "mp", "l", "lp"):
+    def _hubert_size(args, _sz=_sz):
+        ARCH_REGISTRY[f"s2t_transformer_{_sz}"](args)
+        args.use_hubert = True
+        return args
+    register_arch(f"s2t_transformer_hubert_{_sz}")(_hubert_size)
+del _sz, _hubert_size
+
+
+@register_arch("transformer_lm_gpt2_medium")
+def transformer_lm_gpt2_medium(args):
+    """transformer_lm.py:448-457."""
+    transformer_lm_gpt(args)
+    args.decoder_embed_dim = 1280
+    args.decoder_ffn_embed_dim = 5120
+    args.decoder_layers = 36
+    args.decoder_attention_heads = 20
+    return args
+
+
+@register_arch("transformer_lm_gpt2_big")
+def transformer_lm_gpt2_big(args):
+    """transformer_lm.py:460-469."""
+    transformer_lm_gpt(args)
+    args.decoder_embed_dim = 1600
+    args.decoder_ffn_embed_dim = 6400
+    args.decoder_layers = 48
+    args.decoder_attention_heads = 25
+    return args
+
+
+def _lm_gpt3(args, layers, dim, heads):
+    """base_gpt3_architecture (transformer_lm.py:472-484): learned
+    positions, zero dropout, gelu, tied input/output embedding,
+    ffn = 4*dim."""
+    _lm_base(args)
+    args.decoder_layers = layers
+    args.decoder_embed_dim = dim
+    args.decoder_ffn_embed_dim = dim * 4
+    args.decoder_attention_heads = heads
+    args.decoder_learned_pos = True
+    args.dropout = 0.0
+    args.attention_dropout = 0.0
+    args.activation_fn = "gelu"
+    args.share_decoder_input_output_embed = True
+    return args
+
+
+for _name, _shape in (("small", (12, 768, 12)), ("medium", (24, 1024, 16)),
+                      ("large", (24, 1536, 16)), ("xl", (24, 2048, 32)),
+                      ("2_7", (32, 2560, 32)), ("6_7", (32, 4096, 32)),
+                      ("13", (40, 5120, 40)), ("175", (96, 12288, 96))):
+    def _gpt3_arch(args, _shape=_shape):
+        return _lm_gpt3(args, *_shape)
+    register_arch(f"transformer_lm_gpt3_{_name}")(_gpt3_arch)
+del _name, _shape, _gpt3_arch
+
+
+@register_arch("transformer_lm_megatron")
+def transformer_lm_megatron(args):
+    """model_parallel/models/transformer_lm.py:151-160 — the 8.3B Megatron
+    LM geometry; intra-layer model parallelism is --tp-size (column/row
+    mesh rules) here."""
+    _lm_base(args)
+    args.decoder_embed_dim = 3072
+    args.decoder_ffn_embed_dim = 3072 * 4
+    args.decoder_layers = 72
+    args.decoder_attention_heads = 32
+    args.attention_dropout = 0.1
+    args.activation_fn = "gelu"
+    return args
+
+
+@register_arch("transformer_lm_megatron_11b")
+def transformer_lm_megatron_11b(args):
+    """model_parallel/models/transformer_lm.py:163-175 (ffn = 6*dim)."""
+    transformer_lm_megatron(args)
+    args.decoder_ffn_embed_dim = 3072 * 6
+    return args
+
+
+# reference registers the wiki103/gbw presets under both names
+# (transformer_lm.py:382-383, 402-403)
+register_arch("transformer_lm_baevski_wiki103")(transformer_lm_wiki103)
+register_arch("transformer_lm_baevski_gbw")(transformer_lm_gbw)
+
+
+@register_arch("lightconv_wmt_en_de_big")
+def lightconv_wmt_en_de_big(args):
+    """lightconv.py big ladder."""
+    _lightconv_base(args)
+    args.encoder_embed_dim = 1024
+    args.encoder_ffn_embed_dim = 4096
+    args.encoder_attention_heads = 16
+    args.decoder_embed_dim = 1024
+    args.decoder_ffn_embed_dim = 4096
+    args.decoder_attention_heads = 16
+    args.attention_dropout = 0.1
+    args.dropout = 0.3
+    return args
+
+
+@register_arch("lightconv_wmt_en_fr_big")
+def lightconv_wmt_en_fr_big(args):
+    lightconv_wmt_en_de_big(args)
+    args.dropout = 0.1
+    return args
+
+
+@register_arch("lightconv_wmt_zh_en_big")
+def lightconv_wmt_zh_en_big(args):
+    lightconv_wmt_en_de_big(args)
+    args.dropout = 0.2
+    args.attention_dropout = 0.2
+    args.weight_dropout = 0.2
+    return args
+
+
+@register_arch("mbart_base")
+def mbart_base(args):
+    """mbart_base_architecture (bart/model.py:375-378): bart_base with
+    embedding scaling ON."""
+    bart_base(args)
+    args.no_scale_embedding = False
+    return args
+
+
+@register_arch("mbart_base_wmt20")
+def mbart_base_wmt20(args):
+    """bart/model.py:381-384: mbart_base without embedding layernorm."""
+    mbart_base(args)
+    args.layernorm_embedding = False
+    return args
+
+
+@register_arch("roberta_prenorm")
+def roberta_prenorm(args):
+    """roberta_prenorm_architecture (roberta/model.py:547-551): pre-LN
+    layers, no embedding LN (a final LN closes the trunk)."""
+    roberta(args)
+    args.layernorm_embedding = False
+    args.encoder_normalize_before = True
+    return args
+
+
+@register_arch("xlm")
+def roberta_xlm(args):
+    """xlm_architecture (roberta/model.py:588-594): 16x1280 geometry on
+    the roberta trunk."""
+    roberta(args)
+    args.encoder_layers = 16
+    args.encoder_embed_dim = 1280
+    args.encoder_ffn_embed_dim = 1280 * 4
+    args.encoder_attention_heads = 16
+    return args
+
+
+@register_arch("model_parallel_roberta")
+@register_arch("model_parallel_roberta_base")
+def model_parallel_roberta(args):
+    """model_parallel/models/roberta/model.py:192-216 — Megatron RoBERTa
+    defaults to the pre-LN formulation; tensor parallelism itself is
+    --tp-size here."""
+    return roberta_prenorm(args)
+
+
+@register_arch("model_parallel_roberta_v1")
+def model_parallel_roberta_v1(args):
+    """:200-203 — early model-parallel RoBERTa dropped the final LN."""
+    roberta_prenorm(args)
+    args.no_final_layer_norm = True
+    return args
+
+
+@register_arch("model_parallel_roberta_postnorm")
+def model_parallel_roberta_postnorm(args):
+    """:206-211 — the original Post-LN formulation (== roberta_base)."""
+    return roberta(args)
+
+
+@register_arch("model_parallel_roberta_large")
+def model_parallel_roberta_large(args):
+    """:219-226 — large geometry on the pre-LN default."""
+    model_parallel_roberta(args)
+    args.encoder_layers = 24
+    args.encoder_embed_dim = 1024
+    args.encoder_ffn_embed_dim = 4096
+    args.encoder_attention_heads = 16
+    return args
+
+
+@register_arch("levenshtein_transformer_vaswani_wmt_en_de_big")
+def levenshtein_transformer_vaswani_wmt_en_de_big(args):
+    """nat/levenshtein_transformer.py vaswani-big geometry."""
+    _nat_base(args)
+    args.encoder_embed_dim = 1024
+    args.encoder_ffn_embed_dim = 4096
+    args.encoder_attention_heads = 16
+    args.decoder_embed_dim = 1024
+    args.decoder_ffn_embed_dim = 4096
+    args.decoder_attention_heads = 16
+    args.dropout = 0.3
+    return args
+
+
+@register_arch("levenshtein_transformer_wmt_en_de_big")
+def levenshtein_transformer_wmt_en_de_big(args):
+    """t2t variant: vaswani-big + pre-norm + attn/act dropout 0.1."""
+    levenshtein_transformer_vaswani_wmt_en_de_big(args)
+    args.encoder_normalize_before = True
+    args.decoder_normalize_before = True
+    args.attention_dropout = 0.1
+    args.activation_dropout = 0.1
+    return args
+
+
+# wmt_en_de NAT presets == their base architectures in the reference
+register_arch("nonautoregressive_transformer_wmt_en_de")(
+    ARCH_REGISTRY["nonautoregressive_transformer"])
+register_arch("iterative_nonautoregressive_transformer_wmt_en_de")(
+    ARCH_REGISTRY["iterative_nonautoregressive_transformer"])
+
+# pipeline_parallel_transformer archs (model_parallel/models/
+# pipeline_parallel_transformer/model.py): same structural geometry as
+# their non-pipeline bases; pipeline partitioning is --pp-size here.
+register_arch("transformer_iwslt_de_en_pipeline_parallel")(
+    ARCH_REGISTRY["transformer_iwslt_de_en"])
+register_arch("transformer_wmt_en_de_big_pipeline_parallel")(
+    ARCH_REGISTRY["transformer_wmt_en_de_big"])
+
+
+@register_arch("s2t_berard_512_5_3")
+def s2t_berard_512_5_3(args):
+    """berard.py:599-616 (Audiobooks fr-en operating point)."""
+    s2t_berard(args)
+    args.num_blstm_layers = 5
+    args.lstm_size = 512
+    args.dropout = 0.3
+    args.decoder_embed_dim = 256
+    args.decoder_num_layers = 3
+    args.decoder_hidden_dim = 1024
+    args.attention_dim = 512
+    args.output_layer_dim = 256
+    return args
+
+
+@register_arch("s2t_berard_512_3_2")
+def s2t_berard_512_3_2(args):
+    """berard.py:577-596."""
+    s2t_berard_512_5_3(args)
+    args.num_blstm_layers = 3
+    args.decoder_num_layers = 2
+    return args
+
+
+@register_arch("roberta_enc_dec")
+def roberta_enc_dec(args):
+    """roberta/enc_dec.py:183-196 base_enc_dec_architecture: a RoBERTa-base
+    trunk (roberta/model.py:527-547) as the encoder plus a TransformerDecoder
+    whose args mirror the encoder's (read_args_from_roberta, enc_dec.py:
+    138-160 — dims/heads/layers/normalize_before/learned-pos copied over,
+    max_target_positions = max_positions = 512). Both sides keep RoBERTa's
+    no_scale_embedding=True, learned pad-aware positions and embedding LN,
+    post-norm layers, gelu. The output projection is a full RobertaLMHead
+    (dense -> gelu -> LN -> proj + free bias, enc_dec.py:96-101) —
+    ``lm_head_out_proj`` in models/transformer_text.py."""
+    roberta(args)
+    args.decoder_layers = args.encoder_layers
+    args.decoder_embed_dim = args.encoder_embed_dim
+    args.decoder_ffn_embed_dim = args.encoder_ffn_embed_dim
+    args.decoder_attention_heads = args.encoder_attention_heads
+    args.decoder_normalize_before = args.encoder_normalize_before
+    args.encoder_learned_pos = True
+    args.decoder_learned_pos = True
+    args.no_scale_embedding = True
+    args.layernorm_embedding = True
+    args.max_source_positions = 512
+    args.max_target_positions = 512
+    args.lm_head_out_proj = True
+    return args
+
+
+@register_arch("dummy_model")
+def dummy_model_arch(args):
+    """benchmark/dummy_model.py:94-96 — the reference arch fn is a no-op;
+    pairs with the dummy_lm/dummy_masked_lm benchmark tasks, which here
+    run the production transformer_lm/roberta train steps."""
     return args
 
 

@@ -107,6 +107,9 @@ class MaskedLMTask:
                               512),
             untie_weights_roberta=getattr(a, "untie_weights_roberta",
                                           False),
+            normalize_before=getattr(a, "encoder_normalize_before", False),
+            layernorm_embedding=getattr(a, "layernorm_embedding", True),
+            no_final_layer_norm=getattr(a, "no_final_layer_norm", False),
             dtype=jnp.bfloat16 if (a.fp16 or a.bf16) else jnp.float32)
 
     def build_loss_config(self):

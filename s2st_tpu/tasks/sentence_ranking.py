@@ -172,6 +172,9 @@ class SentenceRankingTask:
             pooler_dropout=getattr(a, "pooler_dropout", 0.0),
             activation_fn=a.activation_fn,
             max_positions=getattr(a, "max_source_positions", 512),
+            normalize_before=getattr(a, "encoder_normalize_before", False),
+            layernorm_embedding=getattr(a, "layernorm_embedding", True),
+            no_final_layer_norm=getattr(a, "no_final_layer_norm", False),
             dtype=jnp.bfloat16 if (a.fp16 or a.bf16) else jnp.float32)
 
     def build_loss_config(self):
