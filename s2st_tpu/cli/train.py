@@ -65,6 +65,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     model_cfg, init_fn, loss_fn = task.build_model_and_loss()
     loss_cfg = task.build_loss_config()
 
+    # QAT: --quant-noise-pq (iPQ block noise) / --quant-noise-scalar (int8
+    # fake-quant) train against transformed weights inside the fused step
+    # (train/quantization.py; fairseq quant_noise.py + scalar quantize_model_)
+    qn_pq = float(getattr(args, "quant_noise_pq", 0.0) or 0.0)
+    qn_scalar = float(getattr(args, "quant_noise_scalar", 0.0) or 0.0)
+    if qn_pq > 0 or qn_scalar > 0:
+        from ..train.quantization import wrap_loss_quant_noise
+        loss_fn = wrap_loss_quant_noise(
+            loss_fn, pq_p=qn_pq,
+            pq_block_size=getattr(args, "quant_noise_pq_block_size", 8),
+            scalar_p=qn_scalar)
+        logger.info(f"QAT enabled: quant_noise_pq={qn_pq} "
+                    f"quant_noise_scalar={qn_scalar}")
+
     mesh = make_mesh(dp=args.dp_size, fsdp=args.fsdp_size, tp=args.tp_size,
                      pp=args.pp_size)
     logger.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
@@ -112,7 +126,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     # flat-core apply phase (train/optim.py): valid for plain adam without
     # weight decay; place_state additionally checks the mesh shards nothing
     flat_ok = (args.optimizer == "adam"
-               and float(getattr(args, "weight_decay", 0.0) or 0.0) == 0.0)
+               and float(getattr(args, "weight_decay", 0.0) or 0.0) == 0.0
+               # iPQ rewrites the param-tree structure mid-run and plants
+               # int32 assignment buffers in it — keep the per-leaf path
+               and not getattr(args, "quantization_config_path", None))
     trainer = Trainer(model_cfg, loss_cfg, tx, schedule, mesh,
                       clip_norm=args.clip_norm, loss_fn=loss_fn,
                       pp_chunks=args.pipeline_chunks,
@@ -142,6 +159,28 @@ def main(argv: Optional[List[str]] = None) -> int:
             state = type(state)(params=v["params"], stats=v["stats"],
                                 opt_state=state.opt_state, step=state.step)
             logger.info(f"warm-started {comp} from {path}")
+
+    # iterative PQ driver (fairseq quantization_utils.Quantizer; one regex
+    # group of layers is product-quantized per schedule span, centroids
+    # keep training). Each stage rewrites the param tree -> fresh optimizer
+    # state + one re-jit (the reference "reinitializes the Trainer").
+    quantizer = None
+    if getattr(args, "quantization_config_path", None):
+        from ..train.quantization import PQQuantizer
+        quantizer = PQQuantizer(args.quantization_config_path,
+                                max_epoch=args.max_epoch or 0,
+                                max_update=args.max_update or 0,
+                                seed=args.seed)
+
+    def _requantize(new_params):
+        """Rebuild optimizer state + compiled steps around a param tree
+        whose structure just changed (quantization stage boundary)."""
+        from ..train.trainer import partition_params
+        diff, _ = partition_params(new_params)
+        st = type(state)(params=new_params, stats=state.stats,
+                         opt_state=tx.init(diff), step=state.step)
+        trainer.reinitialize()
+        return trainer.place_state(st)
 
     # checkpoint manager + resume
     mgr = None
@@ -177,6 +216,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         restore_path = mgr.last_checkpoint()
         restored_from_last = restore_path is not None
     if restore_path:
+        if quantizer is not None:
+            # a checkpoint saved mid-iPQ has quantized subtrees; replay the
+            # structure transforms (n_iter=0) so the restore template
+            # matches (the reference's n_iter=0 + state_dict path,
+            # pq/utils.py:103-130)
+            qstep = int(ckpt.peek_meta(restore_path).get(
+                "quantizer_step", 0))
+            if qstep > 0:
+                from ..train.trainer import partition_params
+                qparams = quantizer.fast_forward(state.params, qstep)
+                state = type(state)(
+                    params=qparams, stats=state.stats,
+                    opt_state=tx.init(partition_params(qparams)[0]),
+                    step=state.step)
         # model weights are ALWAYS restored; --reset-optimizer only drops
         # optimizer state/step (and restarts the epoch/iterator position),
         # matching fairseq where a reset flag nukes extra_state but never
@@ -301,9 +354,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         return val_metric
 
     def save_meta(itr_sd):
-        return {"iterator": itr_sd, "lr_scale": _st["lr_scale"],
+        meta = {"iterator": itr_sd, "lr_scale": _st["lr_scale"],
                 "best_val": _st["best_val"],
                 "patience_left": _st["patience_left"]}
+        if quantizer is not None:
+            meta["quantizer_step"] = quantizer.quantization_step
+        return meta
 
     def save_ema():
         if ema_params is not None:
@@ -328,6 +384,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             # --profile: jax trace of the first epoch (torch.cuda.profiler
             # parity, fairseq_cli/train.py:503-506)
             jax.profiler.start_trace("/tmp/s2st_tpu_profile")
+        if quantizer is not None:
+            qparams, changed = quantizer.begin_epoch(epoch, state.params)
+            if changed:
+                state = _requantize(qparams)
+                if ema_params is not None:
+                    # the shadow's tree structure changed: re-seed it
+                    # (centroids start EMA from their post-EM values)
+                    ema_params = init_ema(state.params)
         uf = update_freq[min(epoch - 1, len(update_freq) - 1)]
         # batches already consumed this epoch (mid-epoch resume offset);
         # captured BEFORE next_epoch_itr resets the iterator's own counter
@@ -368,6 +432,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             _steps_since_log += 1
             batches_done += len(microbatches)
             watchdog.beat()
+            if quantizer is not None:
+                qparams, qchanged = quantizer.step_update(num_updates,
+                                                          state.params)
+                if qchanged:
+                    state = _requantize(qparams)
+                    if ema_params is not None:
+                        ema_params = init_ema(state.params)
             if ema_params is not None:
                 ema_params = _ema_step(ema_params, state.params, state.step)
             n_updates_epoch += 1

@@ -74,6 +74,11 @@ class TransformerTextConfig:
     # roberta.base_architecture (roberta/model.py:543) flows into the
     # decoder args via read_args_from_roberta (enc_dec.py:138-160).
     lm_head_out_proj: bool = False
+    # --quant-noise-pq > 0 adds the reference's extra embedding-path
+    # projection Linear(embed_dim, embed_dim, bias=False) on both sides
+    # (transformer_encoder.py:82-88 / transformer_decoder.py:82-89); the
+    # block noise itself is applied by train/quantization.py
+    quant_noise_pq: float = 0.0
     dtype: Any = jnp.float32
 
     def replace(self, **kw) -> "TransformerTextConfig":
@@ -113,6 +118,10 @@ def init_transformer(key, cfg: TransformerTextConfig) -> Dict[str, Params]:
         enc["final_ln"] = layer_norm_init(cfg.encoder_embed_dim)
     if cfg.layernorm_embedding:
         enc["embed_ln"] = layer_norm_init(cfg.encoder_embed_dim)
+    if cfg.quant_noise_pq > 0:
+        enc["quant_noise_proj"] = linear_init(
+            jax.random.fold_in(key, 103), cfg.encoder_embed_dim,
+            cfg.encoder_embed_dim, bias=False)
 
     dec: Params = {}
     if not cfg.share_all_embeddings:
@@ -154,6 +163,10 @@ def init_transformer(key, cfg: TransformerTextConfig) -> Dict[str, Params]:
         dec["out_proj"] = {"w": jax.random.normal(
             next(ks), (cfg.decoder_embed_dim, cfg.tgt_vocab_size))
             * (cfg.decoder_embed_dim ** -0.5)}
+    if cfg.quant_noise_pq > 0:
+        dec["quant_noise_proj"] = linear_init(
+            jax.random.fold_in(key, 105), cfg.decoder_embed_dim,
+            cfg.decoder_embed_dim, bias=False)
     return {"params": {"encoder": enc, "decoder": dec}, "stats": {}}
 
 
@@ -169,6 +182,17 @@ def decoder_view(params: Params, cfg: TransformerTextConfig) -> Params:
     elif "dense" in dec["out_proj"] and "w" not in dec["out_proj"]:
         # tied RobertaLMHead: materialize the projection view
         dec["out_proj"] = {**dec["out_proj"], "w": dec["embed"]["w"].T}
+    if "quant_noise_proj" in dec:
+        # the reference applies the extra quant-noise projection to the
+        # scaled token embedding BEFORE positions (transformer_decoder.py:
+        # 308-311) — so proj(table[ids]) == (table @ W)[ids]: fold the
+        # projection into the embedding view (every decode path — teacher-
+        # forced, learned-pos, beam — flows through this view). The tied
+        # output projection above stays on the raw table, like fairseq's
+        # embed_tokens.weight tie.
+        qn = dec.pop("quant_noise_proj")
+        dec["embed"] = {"w": jnp.dot(dec["embed"]["w"],
+                                     qn["w"].astype(dec["embed"]["w"].dtype))}
     return dec
 
 
@@ -219,6 +243,10 @@ def encode(variables: Dict[str, Params], cfg: TransformerTextConfig,
         x = layer_norm(p["embed_ln"], x)
     rngs = split_rngs(rng, cfg.encoder_layers + 1)
     x = dropout(x, cfg.dropout, rngs[-1], deterministic)
+    if "quant_noise_proj" in p:
+        # --quant-noise-pq extra projection, applied after embedding
+        # dropout as in the reference (transformer_encoder.py:129-130)
+        x = linear(p["quant_noise_proj"], x)
     pad_mask = src_tokens == PAD
     for i in range(cfg.encoder_layers):
         x = encoder_layer(

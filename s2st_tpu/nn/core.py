@@ -69,10 +69,17 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=x.dtype)
+    if "centroids" in p:  # iPQ-quantized layer (ops/quantization.py): the
+        # weight is re-instantiated from centroids[assignments] each forward
+        # (fairseq pq/modules/qlinear.py:52-62); grads flow to centroids.
+        from ..ops.quantization import pq_linear_weight
+        w = pq_linear_weight(p, x.dtype)
+    else:
+        w = p["w"].astype(x.dtype)
+    y = jnp.dot(x, w, preferred_element_type=x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
-    return y
+    return _maybe_quantize_activation(y)
 
 
 # ---------------------------------------------------------------------------
@@ -90,7 +97,32 @@ def embedding_init(key, num_embeddings: int, dim: int,
 
 
 def embedding(p: Params, ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    if "centroids" in p:  # iPQ-quantized table (fairseq pq/modules/qemb.py)
+        from ..ops.quantization import pq_embedding_weight
+        return _maybe_quantize_activation(pq_embedding_weight(p, dtype)[ids])
     return p["w"].astype(dtype)[ids]
+
+
+# ---------------------------------------------------------------------------
+# scalar-quantization activation hook (trace-time static)
+# ---------------------------------------------------------------------------
+
+# Set by train.quantization.scalar_act_quant() around a forward trace; the
+# TPU-native form of fairseq's ActivationQuantizer forward hooks
+# (modules/quantization/scalar/modules/qact.py): every linear/embedding
+# output is clamped to the int8-representable range at train time and fully
+# fake-quantized at eval. Trace-time constant — reading it under jit bakes
+# the active config into the compiled program.
+_ACT_QUANT: list = [None]  # None | (train: bool, bits: int, method: str)
+
+
+def _maybe_quantize_activation(y: jnp.ndarray) -> jnp.ndarray:
+    ctx = _ACT_QUANT[0]
+    if ctx is None:
+        return y
+    from ..ops.quantization import scalar_qat_activation
+    train, bits, method = ctx
+    return scalar_qat_activation(y, train=train, bits=bits, method=method)
 
 
 # ---------------------------------------------------------------------------

@@ -198,6 +198,19 @@ def add_task_args(parser: argparse.ArgumentParser):
 def add_model_args(parser: argparse.ArgumentParser):
     p = parser.add_argument_group("model")
     p.add_argument("--arch", default="s2st_transformer")
+    # quantization (fairseq transformer_config.py QuantNoiseConfig +
+    # dataclass/configs.py CommonConfig.quantization_config_path)
+    p.add_argument("--quant-noise-pq", type=float, default=0.0,
+                   help="iterative PQ quantization noise at training time")
+    p.add_argument("--quant-noise-pq-block-size", type=int, default=8,
+                   help="block size of quantization noise at training time")
+    p.add_argument("--quant-noise-scalar", type=float, default=0.0,
+                   help="scalar quantization noise and scalar quantization "
+                        "at training time")
+    p.add_argument("--quantization-config-path", default=None,
+                   help="path to the iPQ yaml config (layers_to_quantize + "
+                        "block_sizes/n_centroids); enables iterative product "
+                        "quantization over the training run")
     p.add_argument("--encoder-layers", type=int, default=12)
     p.add_argument("--encoder-embed-dim", type=int, default=512)
     p.add_argument("--encoder-ffn-embed-dim", type=int, default=2048)
@@ -1851,6 +1864,7 @@ def build_transformer_text_config(args, src_vocab: int, tgt_vocab: int):
         max_source_positions=args.max_source_positions,
         max_target_positions=args.max_target_positions,
         lm_head_out_proj=getattr(args, "lm_head_out_proj", False),
+        quant_noise_pq=float(getattr(args, "quant_noise_pq", 0.0) or 0.0),
         dtype=jnp.bfloat16 if (args.fp16 or args.bf16) else jnp.float32)
 
 

@@ -118,6 +118,16 @@ def save_checkpoint_file(path: str, state, extra_meta: Optional[Dict] = None):
     logger.info(f"saved checkpoint to {path} (step {meta['step']})")
 
 
+def peek_meta(path: str) -> Dict:
+    """Read only the ``__meta__`` member of a checkpoint (cheap: npz members
+    decompress lazily) — used to learn the quantization stage before
+    building the restore template."""
+    with np.load(path, allow_pickle=False) as z:
+        if "__meta__" in z.files:
+            return json.loads(bytes(z["__meta__"].tobytes()).decode("utf-8"))
+    return {}
+
+
 def load_checkpoint_file(path: str) -> Tuple[Dict[str, np.ndarray], Dict]:
     with np.load(path, allow_pickle=False) as z:
         flat = {k: z[k] for k in z.files}
@@ -143,6 +153,11 @@ def restore_state(state, path: str, reset_optimizer: bool = False):
     if stacked:
         tmpl_opt = unstack_pipeline_tree(tmpl_opt)
     fdict, meta = load_checkpoint_file(path)
+    # iPQ checkpoints: rewrite plain-weight template subtrees to the
+    # quantized {"centroids","assignments"} layout the checkpoint carries
+    # (no-op otherwise) — lets eval CLIs load mid-/post-iPQ checkpoints
+    tmpl_params = adapt_template_to_quantized(tmpl_params, fdict,
+                                              "params" + _SEP)
     params = unflatten_into(tmpl_params, fdict, "params" + _SEP)
     stats = unflatten_into(state.stats, fdict, "stats" + _SEP, strict=False)
     if reset_optimizer:
@@ -174,11 +189,41 @@ def load_variables_any(path: str, template=None):
         return load_fairseq_checkpoint(path)
     flat, _ = load_checkpoint_file(path)
     assert template is not None, "npz load needs a template tree"
+    params_tmpl = adapt_template_to_quantized(template["params"], flat,
+                                              "params" + _SEP)
     return {
-        "params": unflatten_into(template["params"], flat, "params" + _SEP),
+        "params": unflatten_into(params_tmpl, flat, "params" + _SEP),
         "stats": unflatten_into(template["stats"], flat, "stats" + _SEP,
                                 strict=False),
     }
+
+
+def adapt_template_to_quantized(params, flat: Dict[str, np.ndarray],
+                                prefix: str):
+    """iPQ checkpoints store quantized layers as centroids/assignments
+    (pq/modules/qlinear.py layout) where a fresh model has a plain weight.
+    Rewrite the template's {"w": ...} subtrees to the quantized shape when
+    the checkpoint says so, so eval CLIs can load mid-/post-iPQ checkpoints
+    without knowing the quantization config."""
+    if not isinstance(params, dict):
+        return params
+    out = {}
+    for k, v in params.items():
+        key = prefix + k
+        if (isinstance(v, dict) and "w" in v
+                and key + _SEP + "centroids" in flat):
+            nv = {"centroids": jnp.zeros(
+                      flat[key + _SEP + "centroids"].shape, jnp.float32),
+                  "assignments": jnp.zeros(
+                      flat[key + _SEP + "assignments"].shape, jnp.int32)}
+            if "b" in v:
+                nv["b"] = v["b"]
+            out[k] = nv
+        elif isinstance(v, dict):
+            out[k] = adapt_template_to_quantized(v, flat, key + _SEP)
+        else:
+            out[k] = v
+    return out
 
 
 def load_pretrained_component(variables, path: str, component: str):

@@ -27,9 +27,12 @@ class EMAConfig:
 
 def init_ema(params) -> Any:
     # explicit copy: the training step donates its param buffers, so the
-    # EMA must own distinct arrays
+    # EMA must own distinct arrays. Integer leaves (iPQ assignment buffers)
+    # are copied as-is — they are frozen indices, not averaged weights.
     return jax.tree_util.tree_map(
-        lambda p: jnp.array(p, jnp.float32, copy=True), params)
+        lambda p: jnp.array(p, copy=True)
+        if not jnp.issubdtype(jnp.result_type(p), jnp.floating)
+        else jnp.array(p, jnp.float32, copy=True), params)
 
 
 def ema_step(cfg: EMAConfig, ema_params, new_params, step):
@@ -42,6 +45,8 @@ def ema_step(cfg: EMAConfig, ema_params, new_params, step):
     decay = jnp.where(do_update, decay, 1.0)
 
     def upd(e, p):
+        if not jnp.issubdtype(jnp.result_type(p), jnp.floating):
+            return p  # frozen integer buffer (iPQ assignments)
         return decay * e + (1.0 - decay) * p.astype(jnp.float32)
 
     return jax.tree_util.tree_map(upd, ema_params, new_params)

@@ -1,0 +1,421 @@
+"""Training-side quantization: iPQ driver + QAT loss wrappers.
+
+Rebuilds the reference's training quantization stack:
+
+- ``PQQuantizer`` = `fairseq/quantization_utils.py:23-140` ``Quantizer``:
+  schedule-driven iterative product quantization. The YAML config grammar
+  (``layers_to_quantize`` regexps + per-layer-type ``block_sizes`` /
+  ``n_centroids``) matches `modules/quantization/quantization_options.py`;
+  layer selection matches `pq/utils.py:get_layers` (regex over
+  dot-joined parameter names, biases excluded). Where the reference swaps
+  nn.Modules in place and "reinitializes the Trainer", here a quantization
+  step rewrites the param pytree — matched ``{"w": W}`` subtrees become
+  ``{"centroids", "assignments"}`` (see ops/quantization.py; reconstruction
+  happens inside nn.core.linear/embedding) — and the caller rebuilds the
+  optimizer state + re-jits (one recompile per stage, as in the reference).
+
+- ``wrap_loss_quant_noise`` = the training-path form of
+  `fairseq/modules/quant_noise.py` forward pre-hooks and
+  `scalar/modules/qlinear.py` IntLinear: a jitted param-tree transform
+  applied to the weights right before the model forward inside the fused
+  train step. Mathematically identical to per-module hooks (each weight is
+  masked once per step with its own rng stream); on TPU the masks fuse into
+  the consuming matmuls and never materialize.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from contextlib import contextmanager
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import quantization as q
+
+logger = logging.getLogger(__name__)
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# param-tree walking / fairseq-style naming
+# ---------------------------------------------------------------------------
+
+_ATTN_PROJ = {"q": "q_proj", "k": "k_proj", "v": "v_proj", "out": "out_proj"}
+
+
+def _fairseq_name(path: Tuple[str, ...]) -> str:
+    """Dot-joined fairseq-style module name for a param-tree path, so the
+    reference's quantization-config regexps (e.g.
+    ``decoder\\.layers\\.\\d+\\.fc[12]``) match our trees."""
+    parts: List[str] = []
+    for i, k in enumerate(path):
+        m = re.fullmatch(r"layer(\d+)", k)
+        if m:
+            parts.extend(["layers", m.group(1)])
+        elif k == "cross_attn":
+            parts.append("encoder_attn")
+        elif k in _ATTN_PROJ and i > 0 and path[i - 1].endswith("_attn"):
+            parts.append(_ATTN_PROJ[k])
+        elif k == "embed":
+            parts.append("embed_tokens")
+        else:
+            parts.append(k)
+    return ".".join(parts)
+
+
+def iter_quantizable(params: Params, _path: Tuple[str, ...] = ()
+                     ) -> Iterator[Tuple[Tuple[str, ...], str, Params]]:
+    """Yield (path, kind, subtree) for every Linear/Embedding param subtree:
+    a dict holding a 2D float ``w`` (conv weights are 3D, layer norms hold
+    scale/bias — both excluded, mirroring get_layers' Linear/Embedding
+    MAPPING). Already-quantized subtrees ({"centroids","assignments"}) are
+    not re-yielded, like the reference's isinstance checks skipping
+    PQLinear."""
+    if not isinstance(params, dict):
+        return
+    w = params.get("w")
+    if (w is not None and hasattr(w, "ndim") and w.ndim == 2
+            and jnp.issubdtype(jnp.result_type(w), jnp.floating)):
+        kind = "Embedding" if any("embed" in p for p in _path) else "Linear"
+        yield _path, kind, params
+        return
+    for k in sorted(params.keys()):
+        v = params[k]
+        if isinstance(v, dict):
+            yield from iter_quantizable(v, _path + (k,))
+
+
+def _get_subtree(params: Params, path: Tuple[str, ...]) -> Params:
+    node = params
+    for k in path:
+        node = node[k]
+    return node
+
+
+def _set_subtree(params: Params, path: Tuple[str, ...], value: Any) -> Params:
+    """Functional set: returns a new tree sharing unchanged subtrees."""
+    if not path:
+        return value
+    out = dict(params)
+    out[path[0]] = _set_subtree(params[path[0]], path[1:], value)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# config grammar (quantization_options.py parity)
+# ---------------------------------------------------------------------------
+
+def parse_config_yaml(yaml_data: Optional[dict]) -> dict:
+    """`quantization_options.py:7-39` incl. its defaults."""
+    yaml_data = yaml_data or {}
+    options = {
+        "n_centroids": {
+            "Linear": ("in_features", {"*": 256}),
+            "Embedding": ("embedding_dim", {"*": 256}),
+        },
+        "block_sizes": {
+            "Linear": ("fuzzy_name", {"fc": 8, "attn": 4, "emb": 4}),
+            "Embedding": ("fuzzy_name", {"emb": 8}),
+        },
+        "layers_to_quantize": [
+            "decoder\\.layers\\.\\d+\\.fc[12]",
+            "decoder\\.embed_tokens\\.embeddings\\.[012]\\.[01]",
+            "decoder\\.layers\\.\\d+\\.self_attn\\.(k_proj|v_proj|q_proj|out_proj)",
+        ],
+    }
+    for key in ("n_centroids", "block_sizes"):
+        if key in yaml_data:
+            options[key] = {
+                layer: (d["key"], d["value"])
+                for layer, d in yaml_data[key].items()}
+    if "layers_to_quantize" in yaml_data:
+        options["layers_to_quantize"] = yaml_data["layers_to_quantize"]
+    return options
+
+
+def get_param(kind: str, layer_name: str, features: Dict[str, int],
+              param_config: dict):
+    """`pq/utils.py:get_param` — resolve block size / n_centroids for one
+    layer: by a module attribute value (in_features/embedding_dim) or by
+    ``fuzzy_name`` substring, with ``*`` fallback."""
+    if kind not in param_config:
+        raise KeyError(f"Layer type {kind} not in config for {layer_name}")
+    feature, params = param_config[kind]
+    if feature != "fuzzy_name":
+        feature_value = str(features[feature])
+        if feature_value not in params:
+            if "*" in params:
+                feature_value = "*"
+            else:
+                raise KeyError(f"{feature}={feature_value} not in config "
+                               f"for layer {layer_name}")
+    else:
+        matches = [name for name in params if name in layer_name]
+        if not matches:
+            if "*" in params:
+                feature_value = "*"
+            else:
+                raise KeyError(
+                    f"name={layer_name} not in config for {layer_name}")
+        else:
+            feature_value = matches[0]
+    return params[feature_value]
+
+
+def get_layers(params: Params, filter_regexp: str) -> List[Tuple[str, ...]]:
+    """`pq/utils.py:get_layers`: regex-match quantizable layers by their
+    fairseq-style dotted name (biases and .weight suffixes already absent
+    from our names). Returns param-tree paths in match order."""
+    r = re.compile("(module\\.)?(" + filter_regexp + ")")
+    out = []
+    for path, _, _ in iter_quantizable(params):
+        if r.match(_fairseq_name(path)) or r.match(".".join(path)):
+            out.append(path)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the iPQ driver
+# ---------------------------------------------------------------------------
+
+class PQQuantizer:
+    """`fairseq/quantization_utils.py:23` Quantizer semantics: the training
+    run is divided into ``len(layers_to_quantize)`` equal spans (by epoch or
+    by update); entering span i quantizes the i-th regex group, after which
+    centroids finetune inside the normal train loop."""
+
+    def __init__(self, config_path: Optional[str], max_epoch: int = 0,
+                 max_update: int = 0, n_iter: int = 15, seed: int = 0):
+        config = {}
+        if config_path:
+            import yaml
+            with open(config_path) as f:
+                config = yaml.safe_load(f) or {}
+        config = parse_config_yaml(config)
+        self.n_centroids_config = config["n_centroids"]
+        self.block_sizes_config = config["block_sizes"]
+        self.layers_to_quantize = config["layers_to_quantize"]
+        self.n_iter = n_iter
+        self._rng = jax.random.PRNGKey(seed)
+
+        num_iterations = len(self.layers_to_quantize)
+        if max_epoch > 0:
+            assert max_epoch % num_iterations == 0, (
+                f"for iterative PQ, --max-epoch (={max_epoch}) must be "
+                f"evenly divisible by len(layers_to_quantize) "
+                f"(={num_iterations})")
+            self.epoch_schedule: Optional[int] = max_epoch // num_iterations
+        else:
+            self.epoch_schedule = None
+        if max_update > 0:
+            assert max_update % num_iterations == 0, (
+                f"for iterative PQ, --max-update (={max_update}) must be "
+                f"evenly divisible by len(layers_to_quantize) "
+                f"(={num_iterations})")
+            self.update_schedule: Optional[int] = max_update // num_iterations
+        else:
+            self.update_schedule = None
+        assert (self.epoch_schedule is not None) ^ (
+            self.update_schedule is not None), (
+            "for iterative PQ, specify exactly one of --max-epoch / "
+            "--max-update")
+        self.quantization_step = 0
+
+    # -- structure transforms ------------------------------------------
+
+    def step(self, params: Params, n_iter: Optional[int] = None) -> Params:
+        """Quantize the next regex group (`quantization_utils.py:75-102`).
+        Returns the new param tree; no-op past the last group."""
+        if self.quantization_step >= len(self.layers_to_quantize):
+            return params
+        regexp = self.layers_to_quantize[self.quantization_step]
+        logger.info("quantizing model (step=%d; layers_to_quantize[step]=%s)",
+                    self.quantization_step, regexp)
+        n_iter = self.n_iter if n_iter is None else n_iter
+        quantized = []
+        for path in get_layers(params, regexp):
+            sub = _get_subtree(params, path)
+            kind = "Embedding" if any("embed" in p for p in path) \
+                else "Linear"
+            w = sub["w"]
+            features = {"in_features": int(w.shape[0]),
+                        "out_features": int(w.shape[1]),
+                        "embedding_dim": int(w.shape[1]),
+                        "num_embeddings": int(w.shape[0])}
+            name = _fairseq_name(path)
+            block_size = get_param(kind, name, features,
+                                   self.block_sizes_config)
+            n_centroids = get_param(kind, name, features,
+                                    self.n_centroids_config)
+            self._rng, k = jax.random.split(self._rng)
+            if kind == "Embedding":
+                newsub = q.pq_quantize_embedding(k, sub, block_size,
+                                                 n_centroids, n_iter=n_iter)
+            else:
+                newsub = q.pq_quantize_linear(k, sub, block_size,
+                                              n_centroids, n_iter=n_iter)
+            params = _set_subtree(params, path, newsub)
+            quantized.append(name)
+        logger.info("quantized layers: %s", quantized)
+        self.quantization_step += 1
+        return params
+
+    def fast_forward(self, params: Params, steps: int) -> Params:
+        """Re-apply the structure of the first ``steps`` quantization stages
+        with n_iter=0 (random init), so a checkpoint saved mid-iPQ can be
+        restored onto a matching template (the reference's
+        ``n_iter=0 and state_dict`` path, `pq/utils.py:103-130`)."""
+        for _ in range(steps):
+            params = self.step(params, n_iter=0)
+        return params
+
+    # -- schedule hooks (quantization_utils.py:104-126) ------------------
+
+    def begin_epoch(self, epoch: int, params: Params
+                    ) -> Tuple[Params, bool]:
+        if ((self.epoch_schedule is not None and epoch > 0
+             and (epoch - 1) % self.epoch_schedule == 0)
+                or self.quantization_step == 0):
+            return self.step(params), True
+        return params, False
+
+    def step_update(self, num_updates: int, params: Params
+                    ) -> Tuple[Params, bool]:
+        if (self.update_schedule is not None and num_updates > 0
+                and num_updates % self.update_schedule == 0):
+            return self.step(params), True
+        return params, False
+
+    def state_dict(self) -> dict:
+        return {"quantization_step": self.quantization_step}
+
+    def load_state_dict(self, sd: dict) -> None:
+        self.quantization_step = int(sd.get("quantization_step", 0))
+
+
+# ---------------------------------------------------------------------------
+# QAT loss wrappers (quant_noise + scalar)
+# ---------------------------------------------------------------------------
+
+_QN_COMPONENTS = ("fc1", "fc2", "quant_noise_proj")
+
+
+def _pq_noise_paths(params: Params) -> List[Tuple[str, ...]]:
+    """The weights fairseq wraps in quant_noise when --quant-noise-pq > 0:
+    transformer FFN fc1/fc2 (`modules/transformer_layer.py:58-77`), all
+    attention projections (`modules/multihead_attention.py` q_noise args),
+    and the extra embedding-path projection
+    (`models/transformer/transformer_encoder.py:82-88`)."""
+    out = []
+    for path, kind, _ in iter_quantizable(params):
+        last = path[-1]
+        if last in _QN_COMPONENTS or (
+                last in _ATTN_PROJ and len(path) >= 2
+                and path[-2].endswith("_attn")):
+            out.append(path)
+    return out
+
+
+def apply_quant_noise(rng, params: Params, p: float,
+                      block_size: int) -> Params:
+    """Jitted tree transform: block-drop noise on every quant-noise-wrapped
+    weight (one rng fold per weight)."""
+    if p <= 0:
+        return params
+    for i, path in enumerate(_pq_noise_paths(params)):
+        sub = _get_subtree(params, path)
+        w = sub["w"]
+        if w.shape[0] % block_size != 0:
+            continue  # reference asserts at wrap time; we skip incompatible
+        k = jax.random.fold_in(rng, i)
+        params = _set_subtree(
+            params, path,
+            {**sub, "w": q.quant_noise_weight(k, w, p, block_size)})
+    return params
+
+
+def apply_scalar_qat(rng, params: Params, p: float, bits: int = 8,
+                     method: str = "histogram") -> Params:
+    """IntLinear/IntEmbedding weight path for every Linear/Embedding
+    (`scalar/utils.py:quantize_model_` quantizes all of them)."""
+    if p <= 0:
+        return params
+    for i, (path, kind, sub) in enumerate(list(iter_quantizable(params))):
+        k = jax.random.fold_in(rng, i)
+        # channel observer axis = torch ch_axis=-1 = in_features: axis 0 in
+        # our (in, out) linear layout, axis 1 (dim) for (num, dim) tables
+        axis = 0 if kind == "Linear" else 1
+        w = q.scalar_qat_weight(k, sub["w"], p, bits=bits, method=method,
+                                axis=axis)
+        params = _set_subtree(params, path, {**sub, "w": w})
+    return params
+
+
+@contextmanager
+def scalar_act_quant(train: bool, bits: int = 8, method: str = "histogram"):
+    """Enable the ActivationQuantizer hook in nn.core for the duration of a
+    forward trace (see nn/core.py:_ACT_QUANT)."""
+    from ..nn import core
+    prev = core._ACT_QUANT[0]
+    core._ACT_QUANT[0] = (train, bits, method)
+    try:
+        yield
+    finally:
+        core._ACT_QUANT[0] = prev
+
+
+def quantize_params_scalar(params: Params, bits: int = 8,
+                           method: str = "histogram") -> Params:
+    """Eval-time fully-quantized weights (IntLinear forward at p=1,
+    training=False): apply to a checkpoint before serving."""
+    for path, kind, sub in list(iter_quantizable(params)):
+        axis = 0 if kind == "Linear" else 1
+        w = q.scalar_qat_weight(jax.random.PRNGKey(0), sub["w"], 1.0,
+                                bits=bits, method=method, axis=axis)
+        params = _set_subtree(params, path, {**sub, "w": w})
+    return params
+
+
+def wrap_loss_quant_noise(loss_fn: Callable, pq_p: float = 0.0,
+                          pq_block_size: int = 8, scalar_p: float = 0.0,
+                          scalar_bits: int = 8,
+                          scalar_method: str = "histogram") -> Callable:
+    """Wrap a task loss so the model trains against noised/quantized
+    weights (+ clamped activations for scalar QAT). The transform runs
+    inside the jitted train step; at valid time (train=False) quant noise
+    is off and scalar quantization is total, as in the reference
+    (mod.training gates, `quant_noise.py:59`, `qlinear.py:71`)."""
+
+    def wrapped(variables, cfg, lcfg, batch, rng=None, train=True, **kw):
+        params = variables["params"]
+        if train and rng is not None:
+            qrng = jax.random.fold_in(rng, 0x51A7)
+            if pq_p > 0:
+                params = apply_quant_noise(
+                    jax.random.fold_in(qrng, 1), params, pq_p, pq_block_size)
+            if scalar_p > 0:
+                params = apply_scalar_qat(
+                    jax.random.fold_in(qrng, 2), params, scalar_p,
+                    scalar_bits, scalar_method)
+        elif scalar_p > 0:
+            # eval = fully quantized network (p=1, qlinear.py:71)
+            params = quantize_params_scalar(params, scalar_bits,
+                                            scalar_method)
+        variables = {**variables, "params": params}
+        if scalar_p > 0:
+            with scalar_act_quant(train=train, bits=scalar_bits,
+                                  method=scalar_method):
+                return loss_fn(variables, cfg, lcfg, batch, rng=rng,
+                               train=train, **kw)
+        return loss_fn(variables, cfg, lcfg, batch, rng=rng, train=train,
+                       **kw)
+
+    wrapped.mean_keys = getattr(loss_fn, "mean_keys", ())
+    if getattr(loss_fn, "supports_forward_fn", False):
+        wrapped.supports_forward_fn = True
+    return wrapped

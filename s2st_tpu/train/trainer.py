@@ -44,9 +44,39 @@ class TrainState:
         return {"params": self.params, "stats": self.stats}
 
 
+def _is_float_leaf(x) -> bool:
+    return jnp.issubdtype(jnp.result_type(x), jnp.floating)
+
+
+def partition_params(params) -> Tuple[Any, Any]:
+    """Split the param tree into (differentiable, non-differentiable) trees
+    with ``None`` at the complementary positions. Non-float leaves exist
+    when layers are iPQ-quantized (ops/quantization.py): int32
+    ``assignments`` ride in the param tree next to the trainable centroids
+    (fairseq registers them as buffers, pq/modules/qlinear.py:44) and must
+    be excluded from grad/optimizer."""
+    diff = jax.tree_util.tree_map(
+        lambda x: x if _is_float_leaf(x) else None, params)
+    nondiff = jax.tree_util.tree_map(
+        lambda x: None if _is_float_leaf(x) else x, params)
+    return diff, nondiff
+
+
+def merge_params(diff, nondiff):
+    return jax.tree_util.tree_map(
+        lambda a, b: b if a is None else a, diff, nondiff,
+        is_leaf=lambda x: x is None)
+
+
+def has_nondiff_params(params) -> bool:
+    return any(not _is_float_leaf(x)
+               for x in jax.tree_util.tree_leaves(params))
+
+
 def create_train_state(variables, tx: optax.GradientTransformation) -> TrainState:
+    diff, _ = partition_params(variables["params"])
     return TrainState(params=variables["params"], stats=variables["stats"],
-                      opt_state=tx.init(variables["params"]),
+                      opt_state=tx.init(diff),
                       step=jnp.zeros((), jnp.int32))
 
 
@@ -119,6 +149,13 @@ class Trainer:
         self._accum = None
         self._valid_step = None
         self._fused_step = None
+
+    def reinitialize(self):
+        """Drop the compiled steps so the next call re-jits against the
+        current param-tree structure (fairseq trainer.reinitialize(), used
+        by the iPQ Quantizer after it swaps quantized layers in)."""
+        self._grad_step = self._apply_step = self._accum = None
+        self._valid_step = self._fused_step = None
 
     # ------------------------------------------------------------------
     # compiled pieces
@@ -197,15 +234,18 @@ class Trainer:
             """grad + apply in ONE compiled program (update_freq == 1 fast
             path): a single dispatch and zero intermediate host traffic —
             essential when device dispatch has real latency (remote TPU)."""
-            def lf(p):
+            diff, nondiff = partition_params(params)
+            def lf(d):
+                p = merge_params(d, nondiff)
                 loss, extras = loss_fn({"params": p, "stats": stats},
                                        cfg, lcfg, batch, rng=rng, train=True)
                 return loss, extras
             (loss, extras), grads = jax.value_and_grad(
-                lf, has_aux=True)(params)
+                lf, has_aux=True)(diff)
             ss = extras["sample_size"]
-            new_params, new_opt, new_step, gnorm, lr = apply_grads(
-                params, opt_state, step, grads, ss, lr_scale)
+            new_diff, new_opt, new_step, gnorm, lr = apply_grads(
+                diff, opt_state, step, grads, ss, lr_scale)
+            new_params = merge_params(new_diff, nondiff)
             logging = dict(extras["logging"])
             logging["gnorm"] = gnorm
             logging["lr"] = lr
@@ -220,30 +260,38 @@ class Trainer:
                            rep),
             donate_argnums=(0, 2))
 
+        # grad/accum/apply run on the differentiable subtree only (iPQ
+        # assignments etc. are frozen buffers; partition_params docstring)
+        diff_sh = jax.tree_util.tree_map(
+            lambda x, s: s if _is_float_leaf(x) else None,
+            state.params, var_sh["params"])
+
         def grad_fn(params, stats, batch, rng):
-            def lf(p):
+            diff, nondiff = partition_params(params)
+            def lf(d):
+                p = merge_params(d, nondiff)
                 loss, extras = loss_fn({"params": p, "stats": stats},
                                        cfg, lcfg, batch, rng=rng, train=True)
                 return loss, extras
-            (loss, extras), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            (loss, extras), grads = jax.value_and_grad(lf, has_aux=True)(diff)
             return grads, extras["new_stats"], extras["logging"], \
                 extras["sample_size"]
 
         self._grad_step = jax.jit(
             grad_fn,
             in_shardings=(var_sh["params"], var_sh["stats"], None, rep),
-            out_shardings=(var_sh["params"], var_sh["stats"], rep, rep))
+            out_shardings=(diff_sh, var_sh["stats"], rep, rep))
 
         def accum(a, b):
             return jax.tree_util.tree_map(jnp.add, a, b)
 
-        self._accum = jax.jit(accum, out_shardings=var_sh["params"])
+        self._accum = jax.jit(accum, out_shardings=diff_sh)
 
         self._apply_step = jax.jit(
             apply_grads,
-            in_shardings=(var_sh["params"], opt_sh, rep, var_sh["params"],
+            in_shardings=(diff_sh, opt_sh, rep, diff_sh,
                           rep, rep),
-            out_shardings=(var_sh["params"], opt_sh, rep, rep, rep),
+            out_shardings=(diff_sh, opt_sh, rep, rep, rep),
             donate_argnums=(0, 1, 3))
 
         def valid_fn(params, stats, batch, rng):
@@ -319,6 +367,10 @@ class Trainer:
                                stats=state.stats,
                                opt_state=stack_pipeline_tree(state.opt_state),
                                step=state.step)
+        if self.flat_optimizer and has_nondiff_params(state.params):
+            logger.warning("flat_optimizer disabled: params hold "
+                           "non-differentiable leaves (iPQ assignments)")
+            self.flat_optimizer = False
         if self.flat_optimizer:
             sharded = self.mesh is not None and any(
                 self.mesh.shape.get(a, 1) > 1
@@ -394,11 +446,12 @@ class Trainer:
             # accumulate logging scalars on DEVICE (no per-microbatch fetch)
             acc_logging = logging if acc_logging is None else \
                 jax.tree_util.tree_map(jnp.add, acc_logging, logging)
-        new_params, new_opt, new_step, gnorm, lr = self._apply_step(
-            state.params, state.opt_state, state.step, acc_grads, sample_size,
+        diff, nondiff = partition_params(state.params)
+        new_diff, new_opt, new_step, gnorm, lr = self._apply_step(
+            diff, state.opt_state, state.step, acc_grads, sample_size,
             jnp.float32(lr_scale))
-        new_state = TrainState(params=new_params, stats=stats,
-                               opt_state=new_opt, step=new_step)
+        new_state = TrainState(params=merge_params(new_diff, nondiff),
+                               stats=stats, opt_state=new_opt, step=new_step)
         host = jax.device_get({**acc_logging, "gnorm": gnorm, "lr": lr,
                                "sample_size": sample_size})
         metrics = {k: float(v) for k, v in host.items()}
