@@ -368,13 +368,19 @@ def _main_nat(args, task) -> int:
     else:
         kind = "nat"
 
-    template = init_fn(jax.random.PRNGKey(0))
-    state = create_train_state(template, adam())
-    state, meta = ckpt.restore_state(state, args.path.split(":")[0],
-                                     reset_optimizer=True)
-    variables = {"params": state.params, "stats": state.stats}
-    logger.info(f"loaded checkpoint {args.path} "
-                f"(step {meta.get('step', '?')})")
+    paths = args.path.split(":")
+    ens_vars = []
+    for p_ in paths:
+        template = init_fn(jax.random.PRNGKey(0))
+        state = create_train_state(template, adam())
+        state, meta = ckpt.restore_state(state, p_, reset_optimizer=True)
+        ens_vars.append({"params": state.params, "stats": state.stats})
+        logger.info(f"loaded checkpoint {p_} "
+                    f"(step {meta.get('step', '?')})")
+    # ':'-joined paths = Levenshtein ensemble (EnsembleLevT semantics:
+    # per-stage logsumexp-averaged heads; refine_generate rejects other
+    # NAT kinds, like the reference)
+    variables = ens_vars if len(ens_vars) > 1 else ens_vars[0]
 
     max_len = min(model_cfg.base.max_target_positions - 2,
                   int(args.max_len_a * model_cfg.base.max_source_positions

@@ -52,11 +52,22 @@ def refine_generate(variables: Dict[str, Any], src_tokens: jnp.ndarray,
                     length_beam: int = 1, max_len: int = 128,
                     eos_penalty: float = 0.0, max_ratio: float = 2.0
                     ) -> Dict[str, jnp.ndarray]:
+    """``variables`` may be a list of param trees for a Levenshtein
+    ensemble (fairseq EnsembleLevT, nat/nonautoregressive_ensembles.py:64
+    — the only NAT family the reference ensembles; others raise there
+    too)."""
+    if isinstance(variables, (list, tuple)) and len(variables) > 1 \
+            and kind != "levenshtein":
+        raise NotImplementedError(
+            "ensemble refinement decoding is only defined for the "
+            "Levenshtein transformer (EnsembleLevT)")
     if kind == "levenshtein":
         return _levenshtein_generate(
             variables, src_tokens, cfg=cfg, max_iter=max_iter,
             adaptive=adaptive, max_len=max_len, eos_penalty=eos_penalty,
             max_ratio=max_ratio)
+    if isinstance(variables, (list, tuple)):
+        variables = variables[0]
     if kind == "insertion":
         return _insertion_generate(
             variables, src_tokens, cfg=cfg, max_iter=max_iter,
@@ -167,11 +178,32 @@ def _levenshtein_generate(variables: Dict[str, Any],
     """LevenshteinTransformerModel.forward_decoder (:140-247) as one
     while_loop: delete words -> insert placeholders (eos-penalized,
     max_ratio-capped) -> fill words; per-row gates (can_del / can_ins /
-    can_fill) replace the reference's _skip/_fill row compaction."""
+    can_fill) replace the reference's _skip/_fill row compaction.
+
+    ``variables`` may be a list of param trees: each of the three head
+    log-softmaxes is then ensemble-averaged in probability space
+    (logsumexp - log N) per pipeline stage, exactly EnsembleLevT
+    (nat/nonautoregressive_ensembles.py:142-157,187-199,220-233)."""
     from ..models import levenshtein_transformer as lev
 
-    enc = tt.encode(variables, cfg.base, src_tokens, deterministic=True)
+    models = list(variables) if isinstance(variables, (list, tuple)) \
+        else [variables]
+    encs = [tt.encode(v, cfg.base, src_tokens, deterministic=True)
+            for v in models]
+    enc = encs[0]
     eo, ep = enc["encoder_out"], enc["encoder_padding_mask"]
+
+    def _avg_lp(head_fn):
+        """Average a head's log-probs over the ensemble (stage-wise, because
+        later stages depend on earlier averaged predictions)."""
+        lps = [jax.nn.log_softmax(
+            head_fn(v, e["encoder_out"], e["encoder_padding_mask"]),
+            axis=-1) for v, e in zip(models, encs)]
+        if len(lps) == 1:
+            return lps[0]
+        return (jax.scipy.special.logsumexp(jnp.stack(lps, 0), axis=0)
+                - jnp.log(float(len(lps))))
+
     b = src_tokens.shape[0]
     src_lens = jnp.sum(src_tokens != PAD, axis=1)
     max_lens = jnp.clip((src_lens.astype(jnp.float32)
@@ -187,17 +219,20 @@ def _levenshtein_generate(variables: Dict[str, Any],
     def step_fn(tokens, scores):
         # 1) delete words (rows with > 2 real tokens)
         can_del = jnp.sum(tokens != PAD, axis=1) > 2
-        del_lp = jax.nn.log_softmax(lev.forward_word_del(
-            variables, cfg, tokens, eo, ep, deterministic=True), axis=-1)
+        del_lp = _avg_lp(lambda v, e, p: lev.forward_word_del(
+            v, cfg, tokens, e, p, deterministic=True))
         del_pred = jnp.argmax(del_lp, axis=-1) == 1
         dt, ds = apply_del_words(tokens, scores, del_pred)
         tokens = jnp.where(can_del[:, None], dt, tokens)
         scores = jnp.where(can_del[:, None], ds, scores)
         # 2) insert placeholders (rows under their length cap)
         can_ins = jnp.sum(tokens != PAD, axis=1) < max_lens
-        ins_lp = jax.nn.log_softmax(lev.forward_mask_ins(
-            variables, cfg, tokens, eo, ep, deterministic=True), axis=-1)
+        ins_lp = _avg_lp(lambda v, e, p: lev.forward_mask_ins(
+            v, cfg, tokens, e, p, deterministic=True))
         if eos_penalty > 0.0:
+            # fairseq penalizes per model BEFORE the logsumexp average
+            # (nonautoregressive_ensembles.py:192-194) — a uniform shift of
+            # bin 0 across models, so penalize-after-average is identical
             ins_lp = ins_lp.at[:, :, 0].add(-eos_penalty)
         ins_pred = jnp.argmax(ins_lp, axis=-1).astype(jnp.int32)
         ins_pred = jnp.minimum(ins_pred, max_lens[:, None])
@@ -206,8 +241,8 @@ def _levenshtein_generate(variables: Dict[str, Any],
         scores = jnp.where(can_ins[:, None], isc, scores)
         # 3) fill words (rows with placeholders)
         can_fill = jnp.any(tokens == UNK, axis=1)
-        word_lp = jax.nn.log_softmax(lev.forward_word_ins(
-            variables, cfg, tokens, eo, ep, deterministic=True), axis=-1)
+        word_lp = _avg_lp(lambda v, e, p: lev.forward_word_ins(
+            v, cfg, tokens, e, p, deterministic=True))
         w_score = jnp.max(word_lp, axis=-1)
         w_pred = jnp.argmax(word_lp, axis=-1).astype(jnp.int32)
         wt, ws = apply_ins_words(tokens, scores, w_pred, w_score)
