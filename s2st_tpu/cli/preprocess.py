@@ -53,6 +53,11 @@ def get_parser() -> argparse.ArgumentParser:
                         "src-tgt index pairs) alongside the text")
     p.add_argument("--dataset-impl", default="mmap",
                    choices=["mmap", "lazy", "cached", "raw"])
+    p.add_argument("--task", default="translation",
+                   help="task whose dictionary class binarizes the data "
+                        "(fairseq_cli/preprocess.py task dispatch): "
+                        "legacy_masked_lm uses BertDictionary so corpus "
+                        "ids account for <mask>/<cls>/<sep>")
     p.add_argument("--workers", type=int, default=1,
                    help="accepted for recipe compatibility; binarization "
                         "here is single-process (IO-bound at speech-recipe "
@@ -74,9 +79,11 @@ def _dest_prefix(args, output_prefix: str, lang: Optional[str]) -> str:
 
 
 def _build_dictionary(filenames, threshold: int, nwords: int,
-                      padding_factor: int):
-    from ..data.dictionary import Dictionary
-    d = Dictionary()
+                      padding_factor: int, dict_cls=None):
+    if dict_cls is None:
+        from ..data.dictionary import Dictionary
+        dict_cls = Dictionary
+    d = dict_cls()
     counts: Counter = Counter()
     for fname in filenames:
         with open(fname, encoding="utf-8") as f:
@@ -140,6 +147,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 def _main(args) -> int:
     from ..data.dictionary import Dictionary
 
+    # task-specific dictionary class (fairseq_cli/preprocess.py builds
+    # dictionaries through the task): legacy_masked_lm needs the BERT
+    # specials (<mask>/<cls>/<sep>) ahead of the corpus words
+    if getattr(args, "task", "translation") == "legacy_masked_lm":
+        from ..tasks.legacy_masked_lm import BertDictionary as Dictionary  # noqa: F811
+
     logger.info("%s", args)
     target = not args.only_source
 
@@ -167,7 +180,8 @@ def _main(args) -> int:
             src_dict = _build_dictionary(
                 {train_path(lang)
                  for lang in (args.source_lang, args.target_lang)},
-                args.thresholdsrc, args.nwordssrc, args.padding_factor)
+                args.thresholdsrc, args.nwordssrc, args.padding_factor,
+                dict_cls=Dictionary)
         tgt_dict = src_dict
     else:
         if args.srcdict:
@@ -176,7 +190,7 @@ def _main(args) -> int:
             assert args.trainpref, "--trainpref required without --srcdict"
             src_dict = _build_dictionary(
                 [train_path(args.source_lang)], args.thresholdsrc,
-                args.nwordssrc, args.padding_factor)
+                args.nwordssrc, args.padding_factor, dict_cls=Dictionary)
         if target:
             if args.tgtdict:
                 tgt_dict = Dictionary.load(args.tgtdict)
@@ -185,7 +199,8 @@ def _main(args) -> int:
                     "--trainpref required without --tgtdict"
                 tgt_dict = _build_dictionary(
                     [train_path(args.target_lang)], args.thresholdtgt,
-                    args.nwordstgt, args.padding_factor)
+                    args.nwordstgt, args.padding_factor,
+                    dict_cls=Dictionary)
         else:
             tgt_dict = None
 

@@ -91,6 +91,15 @@ def add_task_args(parser: argparse.ArgumentParser):
     p.add_argument("--dataset-impl", default=None,
                    choices=[None, "raw", "cached", "lazy", "mmap"])
     # language_modeling task (fairseq/tasks/language_modeling.py config)
+    # legacy_masked_lm task (fairseq/tasks/legacy_masked_lm.py add_args +
+    # criterions/legacy_masked_lm.py add_args)
+    p.add_argument("--break-mode", default="doc",
+                   help="BlockPairDataset mode: doc | none")
+    p.add_argument("--shuffle-dataset", action="store_true", default=False)
+    p.add_argument("--masked-lm-only", action="store_true", default=False,
+                   help="compute MLM loss only (skip the NSP term)")
+    p.add_argument("--nsp-loss-weight", type=float, default=1.0,
+                   help="weight for the next-sentence-prediction loss")
     p.add_argument("--sample-break-mode", default="none",
                    choices=["none", "complete", "complete_doc", "eos"])
     p.add_argument("--tokens-per-sample", type=int, default=1024)
@@ -2410,4 +2419,6 @@ def build_loss_config(args):
         attn_loss_weight=args.attn_loss_weight,
         alignment_lambda=getattr(args, "alignment_lambda", 0.05),
         sentence_avg=args.sentence_avg,
+        nsp_loss_weight=getattr(args, "nsp_loss_weight", 1.0),
+        masked_lm_only=getattr(args, "masked_lm_only", False),
     )

@@ -81,6 +81,7 @@ def populate_builtin():
     import s2st_tpu.tasks.online_backtranslation  # noqa: F401
     import s2st_tpu.tasks.masked_lm  # noqa: F401
     import s2st_tpu.tasks.cross_lingual_lm  # noqa: F401
+    import s2st_tpu.tasks.legacy_masked_lm  # noqa: F401
     import s2st_tpu.tasks.translation_from_pretrained  # noqa: F401
     import s2st_tpu.tasks.sentence_prediction  # noqa: F401
     import s2st_tpu.tasks.sentence_ranking  # noqa: F401

@@ -43,6 +43,8 @@ class LossConfig:
     attn_loss_weight: float = 1.0
     alignment_lambda: float = 0.05      # --alignment-lambda (transformer_align)
     sentence_avg: bool = False
+    nsp_loss_weight: float = 1.0        # legacy_masked_lm NSP term weight
+    masked_lm_only: bool = False
 
 
 def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -862,8 +864,11 @@ def legacy_masked_lm_loss(variables: Dict[str, Any], cfg, lcfg,
                           ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """legacy_masked_lm_loss (criterions/legacy_masked_lm.py:73-133):
     per-token masked-LM CE normalized IN-batch by the number of masked
-    targets (sample_size = 1 — the loss is already a mean); the NSP term
-    is absent in cross_lingual_lm (masked_lm_only). cfg:
+    targets (sample_size = 1 — the loss is already a mean). When the batch
+    carries ``sentence_target`` and the model has the NSP head
+    (legacy_masked_lm task, sent_loss), the next-sentence CE is added with
+    weight ``--nsp-loss-weight`` normalized by nsentences
+    (:95-123); cross_lingual_lm runs masked-LM-only. cfg:
     masked_lm_xlm.MaskedLMXLMConfig."""
     from ..models import masked_lm_xlm as mx
     net = mx.forward(variables, cfg, batch, rng=rng,
@@ -876,9 +881,22 @@ def legacy_masked_lm_loss(variables: Dict[str, Any], cfg, lcfg,
     ntokens = jnp.sum(keep).astype(jnp.float32)
     loss = lm_loss / jnp.maximum(ntokens, 1.0)
     pred = jnp.argmax(lp, axis=-1)
+    sentence_loss = jnp.float32(0.0)
+    if (net.get("sentence_logits") is not None
+            and "sentence_target" in batch
+            and not getattr(lcfg, "masked_lm_only", False)):
+        slp = jax.nn.log_softmax(
+            net["sentence_logits"].astype(jnp.float32), axis=-1)
+        st = batch["sentence_target"]
+        sentence_loss = -jnp.sum(
+            jnp.take_along_axis(slp, st[:, None], axis=-1)[:, 0])
+        nsent = jnp.maximum(jnp.float32(st.shape[0]), 1.0)
+        loss = loss + getattr(lcfg, "nsp_loss_weight", 1.0) \
+            * (sentence_loss / nsent)
     logging = {
         "loss": loss,
         "lm_loss": lm_loss / jnp.maximum(ntokens, 1.0),
+        "sentence_loss": sentence_loss,
         "n_correct": jnp.sum((pred == tgt) & keep),
         "total": jnp.sum(keep),
         "ntokens": ntokens,
@@ -889,7 +907,7 @@ def legacy_masked_lm_loss(variables: Dict[str, Any], cfg, lcfg,
                   "sample_size": jnp.int32(1)}
 
 
-legacy_masked_lm_loss.mean_keys = ("loss", "lm_loss")
+legacy_masked_lm_loss.mean_keys = ("loss", "lm_loss", "sentence_loss")
 
 
 def wav2vec_v1_loss(variables: Dict[str, Any], cfg, lcfg,
