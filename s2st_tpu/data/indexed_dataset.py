@@ -372,10 +372,15 @@ def infer_dataset_impl(path: str) -> Optional[str]:
             return "cached"
         if magic == _MMAP_MAGIC[:8]:
             return "mmap"
+        if magic == b"HUFFIDX\x00":
+            return "huffman"
     return None
 
 
 def make_builder(out_file: str, impl: str, vocab_size: Optional[int] = None):
+    assert impl != "huffman", (
+        "use HuffmanMMapIndexedDatasetBuilder directly (as the reference's "
+        "preprocess asserts, fairseq_cli/preprocess.py:44)")
     if impl == "mmap":
         return MMapIndexedDatasetBuilder(
             out_file, dtype=best_fitting_int_dtype(vocab_size))
@@ -393,6 +398,10 @@ def make_dataset(path: str, impl: str, fix_lua_indexing: bool = False,
         return IndexedCachedDataset(path, fix_lua_indexing=fix_lua_indexing)
     if impl == "mmap" and MMapIndexedDataset.exists(path):
         return MMapIndexedDataset(path)
+    if impl == "huffman":
+        from .huffman import HuffmanMMapIndexedDataset
+        if HuffmanMMapIndexedDataset.exists(path):
+            return HuffmanMMapIndexedDataset(path)
     return None
 
 
@@ -445,4 +454,7 @@ def dataset_exists(path: str, impl: str) -> bool:
         return IndexedRawTextDataset.exists(path)
     if impl == "mmap":
         return MMapIndexedDataset.exists(path)
+    if impl == "huffman":
+        from .huffman import HuffmanMMapIndexedDataset
+        return HuffmanMMapIndexedDataset.exists(path)
     return IndexedDataset.exists(path)
