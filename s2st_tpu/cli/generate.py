@@ -110,6 +110,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                                task.dicts[args.target_lang])
         src_dict, tgt_dict = task.source_dictionary, \
             task.target_dictionary
+    qs = float(getattr(args, "quant_noise_scalar", 0.0) or 0.0)
+    if qs > 0:
+        # scalar-QAT checkpoints evaluate fully int8-quantized (IntLinear
+        # p=1 at eval, scalar/modules/qlinear.py:71; the reference builds
+        # the Int model from the checkpoint args at load)
+        from ..train.quantization import quantize_params_scalar
+        ens_vars = [{**v, "params": quantize_params_scalar(v["params"])}
+                    for v in ens_vars]
+        logger.info("decoding with int8 scalar-quantized weights "
+                    f"(--quant-noise-scalar {qs})")
     gen_vars = ens_vars if (is_lstm or is_conv) else \
         [tt.generation_variables(v, model_cfg) for v in ens_vars]
 
@@ -235,6 +245,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         return {"positional_scores": pos,
                 "score": jnp.sum(pos, axis=1) / n,
                 "lengths": jnp.sum(keep, axis=1)}
+
+    if qs > 0:
+        # activation fake-quant hooks active while the decode programs
+        # trace (ActivationQuantizer at eval = fully quantized activations)
+        from ..train.quantization import scalar_act_quant
+
+        def _actq(fn):
+            def wrapped(*a, **k):
+                with scalar_act_quant(train=False):
+                    return fn(*a, **k)
+            return wrapped
+        infer = _actq(infer)
+        score_ref = _actq(score_ref)
 
     remove_bpe = getattr(args, "remove_bpe", None)
     scorer = build_scorer(args)

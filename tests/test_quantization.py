@@ -475,6 +475,19 @@ def test_scalar_qat_cli_e2e(tmp_path):
         "--max-epoch", "1"]) == 0
     assert os.path.exists(f"{d}/ckpt/checkpoint_last.npz")
 
+    # eval decodes the fully int8-quantized network (weights + activation
+    # hooks), like the reference rebuilding the Int model from ckpt args
+    from s2st_tpu.cli.generate import main as gen_main
+    assert gen_main([
+        bin_dir, "--task", "translation", "--arch", "transformer_tiny",
+        "--quant-noise-scalar", "0.5",
+        "--path", f"{d}/ckpt/checkpoint_last.npz", "--gen-subset", "test",
+        "--beam", "2", "--max-tokens", "400", "--max-len-b", "12",
+        "--scoring", "sacrebleu"]) == 0
+    # the activation-quant hook must not leak past the CLI
+    from s2st_tpu.nn import core
+    assert core._ACT_QUANT[0] is None
+
 
 def test_quant_noise_extra_proj_module():
     """--quant-noise-pq > 0 adds the reference's extra embedding-path
