@@ -83,7 +83,6 @@ def iter_quantizable(params: Params, _path: Tuple[str, ...] = ()
             and jnp.issubdtype(jnp.result_type(w), jnp.floating)):
         kind = "Embedding" if any("embed" in p for p in _path) else "Linear"
         yield _path, kind, params
-        return
     for k in sorted(params.keys()):
         v = params[k]
         if isinstance(v, dict):
