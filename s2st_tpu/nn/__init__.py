@@ -1,1 +1,1 @@
-from . import core, attention, transformer, tacotron  # noqa: F401
+from . import core, attention, transformer, tacotron, conformer  # noqa: F401

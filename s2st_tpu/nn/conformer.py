@@ -75,10 +75,10 @@ def rel_position_mha_init(key, embed_dim: int, num_heads: int) -> Params:
     head_dim = embed_dim // num_heads
     kb, ku, kv, kp = jax.random.split(key, 4)
     p = mha_init(kb, embed_dim, num_heads)
-    # linear_pos: xavier_uniform Linear without bias (rel_position:53-56);
-    # pos_bias_u/v: xavier_normal (rel_position:65-66)
-    p["linear_pos"] = linear_init(kp, embed_dim, embed_dim, bias=False,
-                                  init="xavier")
+    # linear_pos: bias-free Linear keeping torch's DEFAULT init — the
+    # reference's xavier_uniform_ call at rel_position:64 is commented out
+    # (rel_position:53-56,64); pos_bias_u/v: xavier_normal (rel_position:65-66)
+    p["linear_pos"] = linear_init(kp, embed_dim, embed_dim, bias=False)
     std = math.sqrt(2.0 / (num_heads + head_dim))
     p["pos_bias_u"] = std * jax.random.normal(ku, (num_heads, head_dim))
     p["pos_bias_v"] = std * jax.random.normal(kv, (num_heads, head_dim))
@@ -361,6 +361,13 @@ def conformer_layer(p: Params, stats: Params, cfg: ConformerConfig,
 
     new_stats = stats
     if cfg.use_cnn_module:
+        if not cfg.normalize_before and padding_mask is not None:
+            # bug-compatible: the reference's ConvolutionModule masked_fill_
+            # (convolution.py:96) writes in-place through a transpose VIEW of
+            # its input; with normalize_before=False that input IS `residual`
+            # (conformer_layer.py:239-245 — no conv_norm copy in between), so
+            # the reference zeroes the residual's pad rows before the add.
+            x = jnp.where(padding_mask[:, :, None], 0.0, x)
         residual = x
         if cfg.normalize_before:
             x = layer_norm(p["conv_ln"], x)
