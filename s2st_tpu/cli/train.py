@@ -25,13 +25,19 @@ import numpy as np
 logger = logging.getLogger("s2st_tpu.train")
 
 
-def main(argv: Optional[List[str]] = None) -> int:
+def main(argv: Optional[List[str]] = None, parsed_args=None) -> int:
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
         stream=sys.stdout)
-    from ..options import parse_training_args
-    args = parse_training_args(argv)
+    if parsed_args is not None:
+        # hydra_train hands over a namespace it already compiled from the
+        # YAML config tree (cli/hydra_train.py); same object the two-pass
+        # argparse path below yields.
+        args = parsed_args
+    else:
+        from ..options import parse_training_args
+        args = parse_training_args(argv)
 
     import jax
     from ..registry import get_task
@@ -353,10 +359,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                     _st["stop"] = True
         return val_metric
 
+    # config echo: checkpoints embed the fully-resolved flag namespace the
+    # way fairseq checkpoints embed `cfg` (checkpoint_utils.py:34-56 /
+    # torch_persistent_save state dict "args"/"cfg" keys) — this is what
+    # lets hub.from_pretrained() rebuild the task+model with no flags
+    _args_echo = {k: v for k, v in vars(args).items()
+                  if isinstance(v, (bool, int, float, str, type(None)))
+                  or (isinstance(v, (list, tuple))
+                      and all(isinstance(x, (bool, int, float, str))
+                              for x in v))}
+
     def save_meta(itr_sd):
         meta = {"iterator": itr_sd, "lr_scale": _st["lr_scale"],
                 "best_val": _st["best_val"],
-                "patience_left": _st["patience_left"]}
+                "patience_left": _st["patience_left"],
+                "args": _args_echo}
         if quantizer is not None:
             meta["quantizer_step"] = quantizer.quantization_step
         return meta
