@@ -18,31 +18,57 @@ import numpy as np
 logger = logging.getLogger("s2st_tpu.eval_lm")
 
 
-def main(argv: Optional[List[str]] = None) -> int:
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
-        stream=sys.stdout)
-    from ..options import parse_eval_lm_args
-    args = parse_eval_lm_args(argv)
+class ContextWindow:
+    """--context-window: stateful prepend of up to ``context_window``
+    trailing tokens from the preceding blocks; context positions carry pad
+    targets so the scoring mask skips them
+    (fairseq/data/lm_context_window_dataset.py:50-80 collater semantics;
+    row order = block order since eval iterates with shuffle=False)."""
 
+    def __init__(self, tokens_per_sample: int, context_window: int,
+                 pad: int = 1):
+        self.tokens_per_sample = tokens_per_sample
+        self.cw = context_window
+        self.pad = pad
+        self.prev_tokens = np.empty([0], np.int32)
+
+    def add_context(self, src: np.ndarray, tgt: np.ndarray):
+        bsz, tsz = src.shape
+        pad, cw = self.pad, self.cw
+        max_sample_len = self.tokens_per_sample + cw
+        new_src = np.full([bsz, tsz + cw], pad, src.dtype)
+        new_tgt = np.full([bsz, tsz + cw], pad, tgt.dtype)
+        for i in range(bsz):
+            sample_len = int((src[i] != pad).sum())
+            extra = len(self.prev_tokens) + sample_len - max_sample_len
+            if extra > 0:
+                self.prev_tokens = self.prev_tokens[extra:]
+            pads = np.full(cw - len(self.prev_tokens), pad, src.dtype)
+            row = np.concatenate([self.prev_tokens, src[i], pads])
+            new_src[i] = row
+            new_tgt[i, len(self.prev_tokens):
+                    len(self.prev_tokens) + tsz] = tgt[i]
+            self.prev_tokens = row[row != pad][-cw:].astype(np.int32)
+        return new_src, new_tgt
+
+
+def load_lm_ensemble(model_cfg, init_fn, paths: List[str]):
+    """Load LM checkpoints (.npz ours / .pt fairseq) and return
+    (ensemble_variables, log_probs_fn(v, src_tokens)). Shared by this CLI
+    and hub.LMHubInterface."""
     import jax
     import jax.numpy as jnp
     from ..models import transformer_lm as tlm
-    from ..registry import get_task
     from ..train import checkpoint as ckpt
     from ..train.optim import adam
     from ..train.trainer import create_train_state
 
-    task = get_task(args.task).setup_task(args)
-    model_cfg, init_fn, _ = task.build_model_and_loss()
-    vocab = task.dictionary
-
     ens = []
-    for path in args.path.split(":"):
+    for path in paths:
         if path.endswith(".pt") or path.endswith(".bin"):
             from ..models.torch_import import (
-                load_fairseq_checkpoint, transformer_lm_from_fairseq_state_dict)
+                load_fairseq_checkpoint,
+                transformer_lm_from_fairseq_state_dict)
             sd = load_fairseq_checkpoint(path)
             v = transformer_lm_from_fairseq_state_dict(
                 sd, share_decoder_input_output_embed=(
@@ -70,6 +96,38 @@ def main(argv: Optional[List[str]] = None) -> int:
                        deterministic=True)
             return jax.nn.log_softmax(
                 net["logits"].astype(jnp.float32), axis=-1)
+    return ens, _lp
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+        stream=sys.stdout)
+    from ..options import parse_eval_lm_args
+    args = parse_eval_lm_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from ..models import transformer_lm as tlm
+    from ..registry import get_task
+    from ..train import checkpoint as ckpt
+    from ..train.optim import adam
+    from ..train.trainer import create_train_state
+
+    cw = getattr(args, "context_window", 0) or 0
+    if cw > 0:
+        # blocks shrink so block+context fits the model's window
+        # (fairseq_cli/eval_lm.py:244-246)
+        assert cw < args.tokens_per_sample, \
+            "--context-window must be < --tokens-per-sample"
+        args.tokens_per_sample -= cw
+
+    task = get_task(args.task).setup_task(args)
+    model_cfg, init_fn, _ = task.build_model_and_loss()
+    vocab = task.dictionary
+
+    ens, _lp = load_lm_ensemble(model_cfg, init_fn, args.path.split(":"))
 
     @jax.jit
     def score(ens, src_tokens, target):
@@ -86,10 +144,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                                   max_tokens=args.max_tokens,
                                   max_sentences=args.batch_size,
                                   shuffle=False)
+
+    ctx = ContextWindow(args.tokens_per_sample, cw) if cw > 0 else None
+
     t0 = time.perf_counter()
     loss_sum = 0.0
     n_tokens = 0
     for batch in itr.next_epoch_itr(shuffle=False):
+        if ctx is not None:
+            batch = dict(batch)
+            batch["src_tokens"], batch["target"] = ctx.add_context(
+                np.asarray(batch["src_tokens"]),
+                np.asarray(batch["target"]))
         pos, keep = score(ens, jnp.asarray(batch["src_tokens"]),
                           jnp.asarray(batch["target"]))
         pos = np.asarray(pos)

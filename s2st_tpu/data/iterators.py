@@ -178,6 +178,16 @@ class EpochBatchIterator:
     def next_epoch_itr(self, shuffle: bool = True, offset: int = 0):
         if self.iterations_in_epoch == 0 and self._itr is None and offset == 0:
             pass  # fresh epoch
+        if hasattr(self.dataset, "set_epoch"):
+            # temperature-resampled datasets redraw their corpus mixture
+            # per epoch (deterministic in (seed, epoch), so mid-epoch
+            # resume re-derives the same composition); their batch list
+            # must be reformed (ResamplingDataset
+            # can_reuse_epoch_itr_across_epochs=False parity)
+            self.dataset.set_epoch(self.epoch)
+            if not getattr(self.dataset,
+                           "can_reuse_epoch_itr_across_epochs", True):
+                self._frozen_batches = None
         batches = self._batches_for_epoch(self.epoch)
         start = offset or self.iterations_in_epoch
         self.iterations_in_epoch = start

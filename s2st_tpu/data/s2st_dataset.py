@@ -77,12 +77,18 @@ class S2STDataset:
         self.split = split
         self.is_train_split = is_train_split
         self.cfg = cfg
-        self.samples = samples
         self.src_dict = src_dict
         self.tgt_dict = tgt_dict
         self.n_frames_per_step = n_frames_per_step
         self.speaker_to_id = speaker_to_id
+        # temperature-resampling state (set by S2STDatasetCreator when the
+        # train split names several corpora and sampling_alpha != 1.0 —
+        # reference: s2st_dataset.py:577-586 over ResamplingDataset)
+        self._resample = None
+        self._set_samples(samples)
 
+    def _set_samples(self, samples):
+        self.samples = samples
         self.ids = [s["id"] for s in samples]
         self.src_audio_paths = [s["src_audio"] for s in samples]
         self.tgt_audio_paths = [s["tgt_audio"] for s in samples]
@@ -104,12 +110,45 @@ class S2STDataset:
             if any(s.get("energy") for s in samples) else None
 
         self.feature_transforms_src = CompositeAudioFeatureTransform.from_config_dict(
-            cfg.get_feature_transforms_for_src(split, is_train_split), cfg.config)
+            self.cfg.get_feature_transforms_for_src(
+                self.split, self.is_train_split), self.cfg.config)
         self.feature_transforms_tgt = CompositeAudioFeatureTransform.from_config_dict(
-            cfg.get_feature_transforms_for_tgt(split, is_train_split), cfg.config)
+            self.cfg.get_feature_transforms_for_tgt(
+                self.split, self.is_train_split), self.cfg.config)
 
     def __len__(self):
         return len(self.samples)
+
+    # -- temperature-based multi-corpus resampling --------------------------
+    @property
+    def can_reuse_epoch_itr_across_epochs(self) -> bool:
+        # resampled corpora change composition per epoch, so batch
+        # formation must rerun (resampling_dataset.py:108-111 parity)
+        return self._resample is None
+
+    def enable_resampling(self, corpora, ratios, seed: int):
+        """corpora: list of per-corpus sample lists; ratios: per-corpus
+        size ratios from the temperature formula (arXiv:1907.05019)."""
+        self._resample = {"corpora": corpora, "ratios": ratios, "seed": seed}
+        self.set_epoch(1)
+
+    def set_epoch(self, epoch: int):
+        """Redraw the epoch's sample list. RNG seeding is bit-compatible
+        with the reference ResamplingDataset.set_epoch (resampling_dataset
+        .py:113-139: RandomState([42, seed, epoch]) + rng.choice with
+        replace=(ratio >= 1.0)) so resampled epochs see the same corpus
+        mixture as a fairseq run with the same seed."""
+        if self._resample is None:
+            return
+        seed = self._resample["seed"]
+        drawn = []
+        for corpus, ratio in zip(self._resample["corpora"],
+                                 self._resample["ratios"]):
+            n = int(np.ceil(len(corpus) * ratio))
+            rng = np.random.RandomState([42, seed % (2 ** 32), epoch])
+            idx = rng.choice(len(corpus), n, replace=(ratio >= 1.0))
+            drawn.extend(corpus[i] for i in idx)
+        self._set_samples(drawn)
 
     def num_frames(self, index: int) -> int:
         return int(self.tgt_n_frames[index])
@@ -309,7 +348,8 @@ class S2STDatasetCreator:
     def from_tsv(cls, root: str, cfg: S2STDataConfig, splits: str,
                  src_dict: Dictionary, tgt_dict: Dictionary,
                  is_train_split: bool, n_frames_per_step: int = 1,
-                 speaker_to_id: Optional[Dict[str, int]] = None) -> S2STDataset:
+                 speaker_to_id: Optional[Dict[str, int]] = None,
+                 seed: int = 1) -> S2STDataset:
         datasets = []
         for split in splits.split(","):
             tsv_path = Path(root) / f"{split}.tsv"
@@ -324,6 +364,23 @@ class S2STDatasetCreator:
                         s[k] = (audio_root / s[k]).as_posix()
             datasets.append(samples)
         all_samples = [s for ds in datasets for s in ds]
-        return S2STDataset(splits, is_train_split, cfg, all_samples,
-                           src_dict, tgt_dict, n_frames_per_step,
-                           speaker_to_id)
+        ds = S2STDataset(splits, is_train_split, cfg, all_samples,
+                         src_dict, tgt_dict, n_frames_per_step,
+                         speaker_to_id)
+        if is_train_split and len(datasets) > 1 and cfg.sampling_alpha != 1.0:
+            # temperature-based corpus sampling (s2st_dataset.py:577-586):
+            # per-corpus size = total source frames (the s2t get_size_ratios
+            # groups by lang pair; one tsv == one pair in these recipes)
+            sizes = np.array([sum(int(s["src_n_frames"]) for s in d)
+                              for d in datasets], np.float64)
+            probs = sizes / sizes.sum()
+            tgt = probs ** cfg.sampling_alpha
+            tgt = tgt / tgt.sum()
+            ratios = tgt * sizes.sum() / sizes
+            logger = __import__("logging").getLogger(__name__)
+            logger.info("temperature resampling (alpha="
+                        f"{cfg.sampling_alpha}): ratios="
+                        f"{[round(float(r), 3) for r in ratios]}")
+            ds.enable_resampling(datasets, [float(r) for r in ratios],
+                                 seed=seed)
+        return ds

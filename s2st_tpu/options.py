@@ -88,6 +88,9 @@ def add_task_args(parser: argparse.ArgumentParser):
     p.add_argument("--target-lang", "-t", default=None)
     p.add_argument("--left-pad-source", type=_str2bool, default=True)
     p.add_argument("--left-pad-target", type=_str2bool, default=False)
+    p.add_argument("--truncate-source", action="store_true",
+                   help="truncate source to max-source-positions "
+                   "(translation.py:88 TruncateDataset wrap)")
     p.add_argument("--dataset-impl", default=None,
                    choices=[None, "raw", "cached", "lazy", "mmap"])
     # language_modeling task (fairseq/tasks/language_modeling.py config)
@@ -2328,6 +2331,11 @@ def parse_eval_lm_args(argv: Optional[List[str]] = None):
     """fairseq_cli/eval_lm.py flag surface over the generation parser."""
     parser = get_generation_parser()
     parser.add_argument("--output-word-probs", action="store_true")
+    parser.add_argument("--context-window", type=int, default=0,
+                        help="score each block with this many tokens of "
+                        "trailing context from the preceding blocks "
+                        "(fairseq_cli/eval_lm.py:244 + "
+                        "lm_context_window_dataset.py semantics)")
     parser.set_defaults(task="language_modeling")
     return _two_pass(parser, argv)
 

@@ -67,7 +67,8 @@ class S2STranslationTask:
             self.args.data, self.data_cfg, split, self.src_dict,
             self.tgt_dict, is_train,
             n_frames_per_step=self.args.n_frames_per_step,
-            speaker_to_id=self.speaker_to_id)
+            speaker_to_id=self.speaker_to_id,
+            seed=getattr(self.args, "seed", 1))
         self.datasets[split] = ds
         return ds
 

@@ -24,6 +24,27 @@ from ..registry import register_task
 logger = logging.getLogger(__name__)
 
 
+class _TruncateSource:
+    """--truncate-source view: strip trailing eos, truncate to ``n``,
+    re-append eos (translation.py:88-95 AppendToken(Truncate(StripToken)))."""
+
+    def __init__(self, ds, n: int, eos: int):
+        import numpy as np
+        self.ds, self.n, self.eos = ds, n, eos
+        self.sizes = np.minimum(ds.sizes, n + 1)
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i):
+        import numpy as np
+        row = self.ds[i]
+        if len(row) > self.n + 1:
+            row = np.concatenate([row[:self.n],
+                                  np.asarray([self.eos], row.dtype)])
+        return row
+
+
 def infer_language_pair(path: str):
     """data_utils.infer_language_pair parity: find a
     ``train.<src>-<tgt>.*`` artifact and split the langpair off its name."""
@@ -137,6 +158,12 @@ class TranslationTask:
 
         src_ds = concat(src_parts)
         tgt_ds = concat(tgt_parts) if tgt_parts else None
+        if getattr(self.args, "truncate_source", False):
+            # strip-eos -> truncate to msp-1 -> re-append eos
+            # (translation.py:88-95 AppendToken(Truncate(StripToken(...))))
+            src_ds = _TruncateSource(
+                src_ds, getattr(self.args, "max_source_positions", 1024) - 1,
+                self.src_dict.eos())
         align_ds = None
         if getattr(self.args, "load_alignments", False):
             # load_langpair_dataset: {split}.align.{src}-{tgt} (:143-150)

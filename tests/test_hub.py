@@ -1,0 +1,175 @@
+"""Programmatic hub interface (parity: fairseq/hub_utils.py
+GeneratorHubInterface.from_pretrained + translate/sample/score/generate;
+torch.hub itself documented out of scope in s2st_tpu/hub.py).
+
+The 3-line flow under test::
+
+    from s2st_tpu import hub
+    m = hub.from_pretrained(save_dir)
+    m.translate("s1 s2")
+"""
+
+import numpy as np
+import pytest
+
+from tests.make_tiny_corpus import make_tiny_corpus
+
+
+@pytest.fixture(scope="module")
+def mt_save_dir(tmp_path_factory):
+    """Tiny reversal MT model trained enough to be deterministic."""
+    d = tmp_path_factory.mktemp("hub_mt")
+    from s2st_tpu.benchmark.synthetic import make_reversal_mt_corpus
+    from s2st_tpu.cli.preprocess import main as pp
+    from s2st_tpu.cli.train import main as train_main
+    c = make_reversal_mt_corpus(d / "text", n_train=80, n_valid=8, n_test=8)
+    bin_dir = d / "bin"
+    assert pp(["--source-lang", "src", "--target-lang", "tgt",
+               "--trainpref", c["prefs"]["train"],
+               "--validpref", c["prefs"]["valid"],
+               "--testpref", c["prefs"]["test"],
+               "--destdir", str(bin_dir), "--workers", "1"]) == 0
+    assert train_main([
+        str(bin_dir), "--task", "translation", "--arch", "transformer_tiny",
+        "--criterion", "label_smoothed_cross_entropy",
+        "--label-smoothing", "0.1", "--optimizer", "adam", "--lr", "0.003",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "5",
+        "--max-tokens", "600", "--max-epoch", "2",
+        "--save-dir", str(d / "ckpt"), "--seed", "1",
+        "--share-decoder-input-output-embed",
+        "--no-epoch-checkpoints"]) == 0
+    return d / "ckpt"
+
+
+def test_hub_translate_three_lines(mt_save_dir):
+    from s2st_tpu import hub
+    m = hub.from_pretrained(str(mt_save_dir))
+    out = m.translate("s1 s2 s3", beam=2)
+    assert isinstance(out, str)
+    # a 2-epoch tiny model needn't be right, but must emit target-side
+    # vocabulary (or nothing), never source-side or specials
+    assert all(w.startswith("t") for w in out.split())
+
+
+def test_hub_translate_batch_and_generate(mt_save_dir):
+    from s2st_tpu import hub
+    m = hub.from_pretrained(str(mt_save_dir))
+    outs = m.translate(["s1 s2", "s3 s4 s5"], beam=2)
+    assert isinstance(outs, list) and len(outs) == 2
+    hypos = m.generate([m.encode("s1 s2")], beam=2)
+    assert len(hypos) == 1 and len(hypos[0]) == 2
+    assert hypos[0][0]["score"] >= hypos[0][1]["score"]
+    # decode round-trips the top hypothesis to the translate() output
+    assert m.decode(hypos[0][0]["tokens"]) == m.translate("s1 s2", beam=2)
+
+
+def test_hub_score_teacher_forced(mt_save_dir):
+    from s2st_tpu import hub
+    m = hub.from_pretrained(str(mt_save_dir))
+    res = m.score("s1 s2 s3", "t3 t2 t1")
+    assert res["positional_scores"].shape == (4,)  # 3 words + eos
+    assert res["score"] == pytest.approx(res["positional_scores"].sum())
+    assert np.all(res["positional_scores"] <= 0)
+
+
+def test_hub_overrides_and_checkpoint_file(mt_save_dir):
+    from s2st_tpu import hub
+    m = hub.from_pretrained(str(mt_save_dir),
+                            checkpoint_file="checkpoint_last.npz",
+                            lenpen=2.0)
+    assert m.args.lenpen == 2.0
+    assert isinstance(m.translate("s1", beam=2), str)
+
+
+@pytest.fixture(scope="module")
+def lm_save_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hub_lm")
+    from s2st_tpu.benchmark.synthetic import make_markov_lm_corpus
+    from s2st_tpu.cli.preprocess import main as pp
+    from s2st_tpu.cli.train import main as train_main
+    c = make_markov_lm_corpus(d / "text", n_train=120, n_valid=12,
+                              n_test=12)
+    bin_dir = d / "bin"
+    assert pp(["--only-source", "--trainpref", c["prefs"]["train"],
+               "--validpref", c["prefs"]["valid"],
+               "--testpref", c["prefs"]["test"],
+               "--destdir", str(bin_dir), "--workers", "1"]) == 0
+    assert train_main([
+        str(bin_dir), "--task", "language_modeling",
+        "--arch", "transformer_lm_gpt2_tiny", "--criterion", "cross_entropy",
+        "--optimizer", "adam", "--lr", "0.003",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "5",
+        "--max-tokens", "512", "--max-epoch", "1",
+        "--tokens-per-sample", "64", "--sample-break-mode", "complete",
+        "--save-dir", str(d / "ckpt"), "--seed", "1",
+        "--share-decoder-input-output-embed",
+        "--no-epoch-checkpoints"]) == 0
+    return d / "ckpt"
+
+
+def test_hub_lm_score_and_sample(lm_save_dir):
+    from s2st_tpu import hub
+    m = hub.from_pretrained(str(lm_save_dir))
+    res = m.score("w1 w2 w3")
+    assert res["perplexity"] > 1.0
+    assert res["positional_scores"].shape == (4,)
+    out = m.sample("w1", max_len=8)
+    assert isinstance(out, str) and out.split()[0] == "w1"
+
+
+@pytest.fixture(scope="module")
+def s2st_save(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hub_s2st")
+    corpus = make_tiny_corpus(d / "corpus")
+    from s2st_tpu.cli.train import main as train_main
+    save_dir = d / "ckpt"
+    assert train_main([
+        str(corpus), "--save-dir", str(save_dir),
+        "--config-yaml", "config.yaml",
+        "--train-subset", "train", "--valid-subset", "dev",
+        "--task", "s2s_translation", "--criterion", "s2st_loss",
+        "--arch", "s2st_transformer",
+        "--encoder-layers", "2", "--encoder-embed-dim", "16",
+        "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+        "--decoder-layers", "2", "--decoder-embed-dim", "16",
+        "--decoder-ffn-embed-dim", "32", "--decoder-attention-heads", "2",
+        "--conv-channels", "16", "--middle-layers", "0",
+        "--prenet-dim", "8", "--prenet-layers", "1",
+        "--postnet-layers", "1", "--postnet-conv-dim", "8",
+        "--output-frame-dim", "8",
+        "--max-tokens", "2000", "--max-epoch", "1",
+        "--optimizer", "adam", "--lr", "0.001",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "4",
+        "--clip-norm", "1.0", "--n-frames-per-step", "1",
+        "--bce-pos-weight", "5.0", "--seed", "1",
+        "--encoder-normalize-before", "--decoder-normalize-before",
+        "--max-source-positions", "128", "--max-target-positions", "128",
+        "--required-batch-size-multiple", "1",
+        "--spec-bwd-max-iter", "2",
+        "--log-interval", "1"]) == 0
+    return corpus, save_dir
+
+
+def test_hub_s2st_synthesize_waveform(s2st_save):
+    corpus, save_dir = s2st_save
+    from s2st_tpu import hub
+    m = hub.from_pretrained(str(save_dir))
+    feats = np.load(str(corpus / "features" / "test_0_src.npy"))
+    wave, sr = m.synthesize(feats)
+    assert sr == 16000
+    assert wave.ndim == 1 and wave.dtype == np.float32
+    assert wave.size > 0 and np.isfinite(wave).all()
+    # batch form
+    outs = m.synthesize([feats, feats[:10]])
+    assert len(outs) == 2 and all(w.ndim == 1 for w, _ in outs)
+
+
+def test_hub_missing_config_echo_raises(tmp_path):
+    """Pre-echo checkpoints produce an actionable error."""
+    import numpy as np
+    from s2st_tpu import hub
+    p = tmp_path / "old.npz"
+    np.savez(p, **{"params::x": np.zeros(2), "__meta__": np.frombuffer(
+        b'{"step": 0}', dtype=np.uint8)})
+    with pytest.raises(ValueError, match="no embedded config"):
+        hub.from_pretrained(str(p))
