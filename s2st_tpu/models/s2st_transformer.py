@@ -100,6 +100,11 @@ class S2STConfig:
     # regularization
     dropout: float = 0.1
     attention_dropout: float = 0.1
+    # route full-sequence attention through the Pallas flash kernel
+    # (nn/attention.attend_flash). Only takes effect where expressible:
+    # attention_dropout must be 0 (the kernel has no prob-dropout) and the
+    # guided-attention alignment layer keeps the weights-returning path.
+    use_flash_attention: bool = False
     activation_dropout: float = 0.01
     # LayerDrop (fairseq/modules/layer_drop.py, arXiv 1909.11556): each
     # encoder layer is skipped for the whole batch with this probability
@@ -349,7 +354,9 @@ def encode(variables: Dict[str, Params], cfg: S2STConfig,
                              dropout_rate=cfg.dropout,
                              attn_dropout=cfg.attention_dropout,
                              act_dropout=cfg.activation_dropout,
-                             rng=r, deterministic=deterministic)
+                             rng=r, deterministic=deterministic,
+                             use_flash=getattr(cfg, "use_flash_attention",
+                                               False))
 
     layer_fn = jax.checkpoint(run_layer) if cfg.remat else run_layer
 
@@ -523,7 +530,9 @@ def decode(variables: Dict[str, Params], cfg: S2STConfig,
                 attn_dropout=cfg.attention_dropout,
                 act_dropout=cfg.activation_dropout,
                 rng=rngs[2 + i], deterministic=deterministic,
-                need_attn=(i == alignment_layer))
+                need_attn=(i == alignment_layer),
+                use_flash=getattr(cfg, "use_flash_attention", False),
+                self_attn_causal=True)
             if w is not None:
                 attn = jnp.mean(w, axis=1)  # (B, Tt, Ts) fp32
             if i in cfg.middle_layers_decoder:
@@ -596,6 +605,8 @@ def aux_decode(p: Params, cfg: S2STConfig, dim: int, n_layers: int,
         x, _ = decoder_layer(
             p[f"layer{i}"], x, enc_tap, enc_padding_mask, mask, self_pad,
             cfg.decoder_attention_heads,
+            use_flash=getattr(cfg, "use_flash_attention", False),
+            self_attn_causal=True,
             normalize_before=cfg.decoder_normalize_before,
             activation=cfg.activation_fn, dropout_rate=cfg.dropout,
             attn_dropout=cfg.attention_dropout,

@@ -41,6 +41,53 @@ def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     return x.reshape(b, t, num_heads, c // num_heads)
 
 
+def attend_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                 key_padding_mask: Optional[jnp.ndarray] = None,
+                 causal: bool = False) -> jnp.ndarray:
+    """Fused (never-materialize-the-scores) attention via the Pallas TPU
+    flash kernel (jax.experimental.pallas.ops.tpu.flash_attention).
+
+    Removes the (B, H, Tq, Tk) logits/weights HBM round-trips that the
+    einsum+softmax path pays in fwd AND bwd — the roofline close-out
+    identified exactly this non-GEMM elementwise time as the residual MFU
+    gap. Numerics: fp32 online softmax (same reduction dtype as the
+    baseline path), no attention-prob dropout (callers gate on
+    attention_dropout == 0 or deterministic).
+
+    q: (B, Tq, H, D) PRE-SCALED like `attend`; k/v: (B, Tk, H, D);
+    key_padding_mask: (B, Tk) True at PAD. Sequences are padded here to
+    the kernel's 128-multiple block grid and the pad region is masked via
+    segment ids (pad kv gets segment 0, every query segment 1 — so pad
+    QUERY rows attend the valid keys exactly like the baseline path, and
+    no query can attend a pad key). Returns (B, Tq, H, D)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    tq_p = -(-tq // 128) * 128
+    tk_p = -(-tk // 128) * 128
+    qf = jnp.moveaxis(q, 2, 1)              # (B, H, Tq, D)
+    kf = jnp.moveaxis(k, 2, 1)
+    vf = jnp.moveaxis(v, 2, 1)
+    qf = jnp.pad(qf, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0)))
+    kf = jnp.pad(kf, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
+    vf = jnp.pad(vf, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
+    kv_valid = jnp.ones((b, tk), jnp.int32) if key_padding_mask is None \
+        else (~key_padding_mask).astype(jnp.int32)
+    kv_seg = jnp.pad(kv_valid, ((0, 0), (0, tk_p - tk)))
+    q_seg = jnp.ones((b, tq_p), jnp.int32)
+    blk = min(128, tq_p, tk_p)
+    sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+        block_q_dq=blk)
+    out = flash_attention(qf, kf, vf,
+                          segment_ids=SegmentIds(q=q_seg, kv=kv_seg),
+                          causal=causal, sm_scale=1.0, block_sizes=sizes)
+    return jnp.moveaxis(out[:, :, :tq, :], 1, 2)
+
+
 def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
            key_padding_mask: Optional[jnp.ndarray] = None,
            attn_mask: Optional[jnp.ndarray] = None,
@@ -70,8 +117,14 @@ def mha(p: Params, query: jnp.ndarray, key: jnp.ndarray, value: jnp.ndarray,
         key_padding_mask: Optional[jnp.ndarray] = None,
         attn_mask: Optional[jnp.ndarray] = None,
         dropout_rate: float = 0.0, rng=None, deterministic: bool = True,
-        need_weights: bool = False):
+        need_weights: bool = False,
+        use_flash: bool = False, causal: bool = False):
     """Full (non-incremental) MHA. query/key/value: (B, T, C).
+
+    use_flash: route through the Pallas flash kernel when the call is
+    expressible there — no weights requested, no attention-prob dropout
+    active, and the only additive mask is the causal one (signalled by
+    ``causal=True`` INSTEAD of an attn_mask).
 
     Returns (out (B, Tq, C), weights (B, H, Tq, Tk) fp32 or None).
     """
@@ -81,6 +134,12 @@ def mha(p: Params, query: jnp.ndarray, key: jnp.ndarray, value: jnp.ndarray,
     q = _split_heads(linear(p["q"], query) * scale, num_heads)
     k = _split_heads(linear(p["k"], key), num_heads)
     v = _split_heads(linear(p["v"], value), num_heads)
+    if use_flash and not need_weights and attn_mask is None and \
+            (deterministic or dropout_rate == 0.0):
+        out = attend_flash(q, k, v, key_padding_mask, causal=causal)
+        return linear(p["out"], out.reshape(b, tq, c)), None
+    if causal and attn_mask is None:
+        attn_mask = causal_mask(tq)
     out, w = attend(q, k, v, key_padding_mask, attn_mask,
                     dropout_rate, rng, deterministic)
     out = linear(p["out"], out.reshape(b, tq, c))

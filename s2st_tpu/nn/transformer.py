@@ -81,7 +81,8 @@ def encoder_layer(p: Params, x: jnp.ndarray,
                   num_heads: int, *, normalize_before: bool = True,
                   activation: str = "relu", dropout_rate: float = 0.0,
                   attn_dropout: float = 0.0, act_dropout: float = 0.0,
-                  rng=None, deterministic: bool = True) -> jnp.ndarray:
+                  rng=None, deterministic: bool = True,
+                  use_flash: bool = False) -> jnp.ndarray:
     act = get_activation(activation)
     r_attn, r_attn_out, r_act, r_ffn = split_rngs(rng, 4)
 
@@ -89,7 +90,8 @@ def encoder_layer(p: Params, x: jnp.ndarray,
     h = layer_norm(p["self_attn_ln"], x) if normalize_before else x
     h, _ = mha(p["self_attn"], h, h, h, num_heads,
                key_padding_mask=padding_mask, dropout_rate=attn_dropout,
-               rng=r_attn, deterministic=deterministic)
+               rng=r_attn, deterministic=deterministic,
+               use_flash=use_flash)
     h = dropout(h, dropout_rate, r_attn_out, deterministic)
     x = residual + h
     if not normalize_before:
@@ -133,8 +135,13 @@ def decoder_layer(p: Params, x: jnp.ndarray, enc_out: Optional[jnp.ndarray],
                   activation: str = "relu", dropout_rate: float = 0.0,
                   attn_dropout: float = 0.0, act_dropout: float = 0.0,
                   rng=None, deterministic: bool = True,
-                  need_attn: bool = False):
+                  need_attn: bool = False, use_flash: bool = False,
+                  self_attn_causal: bool = False):
     """Full-sequence decoder layer (training). Returns (x, cross_attn_weights).
+
+    use_flash routes the self-attn (when self_attn_causal replaces the
+    explicit mask) and the cross-attn (when need_attn is False) through
+    the Pallas flash kernel.
 
     cross_attn_weights: fp32 (B, H, Tq, Tk) when need_attn else None.
     """
@@ -145,8 +152,11 @@ def decoder_layer(p: Params, x: jnp.ndarray, enc_out: Optional[jnp.ndarray],
     h = layer_norm(p["self_attn_ln"], x) if normalize_before else x
     h, _ = mha(p["self_attn"], h, h, h, num_heads,
                key_padding_mask=self_attn_padding_mask,
-               attn_mask=self_attn_mask, dropout_rate=attn_dropout,
-               rng=r1, deterministic=deterministic)
+               attn_mask=None if (use_flash and self_attn_causal)
+               else self_attn_mask,
+               dropout_rate=attn_dropout,
+               rng=r1, deterministic=deterministic,
+               use_flash=use_flash, causal=self_attn_causal)
     h = dropout(h, dropout_rate, r2, deterministic)
     x = residual + h
     if not normalize_before:
@@ -159,7 +169,8 @@ def decoder_layer(p: Params, x: jnp.ndarray, enc_out: Optional[jnp.ndarray],
         h, attn_w = mha(p["cross_attn"], h, enc_out, enc_out, num_heads,
                         key_padding_mask=enc_padding_mask,
                         dropout_rate=attn_dropout, rng=r3,
-                        deterministic=deterministic, need_weights=need_attn)
+                        deterministic=deterministic, need_weights=need_attn,
+                        use_flash=use_flash)
         h = dropout(h, dropout_rate, r4, deterministic)
         x = residual + h
         if not normalize_before:

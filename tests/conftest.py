@@ -121,31 +121,35 @@ def tiny_batch(tiny_cfg):
 # and the reference-numerics forward parity test.
 # ---------------------------------------------------------------------------
 SMOKE_TESTS = {
+    # one full CLI e2e (train + resume) is the heavyweight representative;
+    # the other verticals' e2e runs live in the full suite only — measured
+    # r4: they cost 100-145 s EACH on the 1-CPU box, which is what pushed
+    # the tier to 17 min (the contract is <5 min)
     "test_cli_e2e.py::test_train_and_resume",
-    "test_midepoch_resume.py::test_reset_optimizer_still_loads_model_weights",
     "test_generator.py::test_incremental_matches_teacher_forced_decode",
     "test_pipeline.py::test_pipeline_matches_sequential_mlp",
-    "test_pipeline_model.py::test_pp_cli_flags",
     "test_multihost.py::test_row_sharded_collate_disjoint_and_aligned",
     "test_sequence_generator.py::test_beam_search_shapes_and_wellformed",
     "test_trainer.py::test_grad_accum_semantics",
-    "test_losses.py::test_loss_invariant_to_batch_padding",
     "test_model.py::test_forward_jits",
     "test_reference_parity.py::test_teacher_forced_forward_parity",
     "test_data.py::test_utterance_cmvn_and_specaugment",
     "test_checkpoint.py",  # whole file (fast)
-    # round-3 NLP verticals (fast representatives)
+    "test_bench_timing.py",  # whole file (fast)
+    # NLP verticals (fast representatives)
     "test_translation.py::test_collate_matches_reference",
     "test_language_modeling.py::test_slice_indices_complete_mode",
     "test_nat.py::test_inject_noise_semantics",
     "test_bmuf.py",  # whole file (fast)
     "test_base_layer.py::test_balanced_and_near_optimal",
+    "test_resampling_context.py::test_context_window_semantics_vs_reference_collater",
+    "test_hydra_train.py::test_roundtrip_flags_to_yaml_to_same_namespace",
 }
 
 
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "smoke: fast representative subset (<5 min on 1 CPU)")
+        "markers", "smoke: fast representative subset (<5 min on 1 CPU; measured 2026-08-19: ~4 min)")
 
 
 def pytest_collection_modifyitems(config, items):

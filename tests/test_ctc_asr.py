@@ -187,7 +187,6 @@ def test_greedy_decode_and_error_counters_parity():
         assert len(set(uh.values())) == len(set(words))
 
 
-@pytest.mark.smoke
 def test_ctc_finetune_cli_e2e(tmp_path):
     """Pretrain 1 epoch (hubert), then CTC-fine-tune from --w2v-path
     through the generic train CLI; freeze window covers step 1."""

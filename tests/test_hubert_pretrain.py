@@ -209,7 +209,6 @@ def test_hubert_criterion_parity():
                 ref_log[f"count_{br}_{i}"]), (br, i)
 
 
-@pytest.mark.smoke
 def test_hubert_pretrain_cli_e2e(tmp_path):
     """2-epoch HuBERT pretraining through the generic train CLI on a tiny
     on-disk raw-audio + km-label corpus, then resume a 3rd epoch."""

@@ -56,7 +56,6 @@ def test_s2t_lang_tag_prepended(tmp_path):
         assert int(ds[i].tgt_text[0]) == tag
 
 
-@pytest.mark.smoke
 def test_s2t_train_cli_e2e(tmp_path):
     """1-epoch ASR/ST training through --task speech_to_text with the
     reference's criterion name."""
@@ -102,7 +101,6 @@ def test_tts_train_cli_e2e(tmp_path):
     assert (tmp_path / "ckpt" / "checkpoint_last.npz").is_file()
 
 
-@pytest.mark.smoke
 def test_tacotron2_train_cli_e2e(tmp_path):
     """1-epoch Tacotron2 training through --task text_to_speech with the
     reference's arch/criterion names (tacotron_2 + tacotron2 loss)."""

@@ -323,7 +323,6 @@ def test_torch_import_from_genuine_reference_checkpoint(tmp_path):
 # CLI e2e
 # ---------------------------------------------------------------------------
 
-@pytest.mark.smoke
 def test_train_cli_e2e(tmp_path):
     """2-epoch wav2vec2 pretraining run through the generic train CLI on a
     tiny on-disk raw-audio corpus, then resume for a 3rd epoch."""

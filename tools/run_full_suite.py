@@ -1,0 +1,120 @@
+"""Green-full-suite runner: the whole test suite in SERIAL pytest shards.
+
+Why shards + strictly one process at a time: two concurrent jax CPU
+processes on the 1-CPU verification box SIGABRT'd mid-run twice in round 3
+(ROADMAP "Full-suite note"), and a single monolithic run gives no partial
+evidence when the box dies at hour two. Each shard is one pytest
+invocation over a file group; the manifest (TESTSUITE.json) records
+per-shard pass/fail, counts, and runtime so "every test passes at this
+commit" is a checkable artifact.
+
+Usage: python tools/run_full_suite.py [--shards N] [--json TESTSUITE.json]
+       [--pytest-args "..."]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+TAIL_RE = re.compile(
+    r"(?:(\d+) failed)?(?:, )?(?:(\d+) passed)?(?:, )?(?:(\d+) skipped)?"
+    r"(?:, )?(?:(\d+) deselected)?(?:, )?(?:(\d+) error)?")
+
+
+def parse_tail(out: str):
+    """Extract pytest's summary counts from the last lines."""
+    counts = {"passed": 0, "failed": 0, "skipped": 0, "errors": 0}
+    for line in reversed(out.splitlines()[-15:]):
+        if ("passed" in line or "failed" in line or "error" in line
+                or "skipped" in line) and ("=" in line or "in " in line):
+            for n, key in re.findall(r"(\d+) (passed|failed|skipped|error)",
+                                     line):
+                counts[key if key != "error" else "errors"] = int(n)
+            if any(counts.values()):
+                break
+    return counts
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("run_full_suite")
+    ap.add_argument("--shards", type=int, default=12)
+    ap.add_argument("--json", default=str(REPO / "TESTSUITE.json"))
+    ap.add_argument("--pytest-args", default="-q")
+    args = ap.parse_args(argv)
+
+    files = sorted(p.name for p in (REPO / "tests").glob("test_*.py"))
+    n = args.shards
+    shards = [files[i::n] for i in range(n)]
+    shards = [s for s in shards if s]
+
+    env = dict(os.environ)
+    # tests/conftest.py pins the CPU platform itself; clearing the axon
+    # pool var stops the site hook from registering the TPU plugin at all
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env.setdefault("JAX_PLATFORMS", "cpu")
+
+    try:
+        head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                              capture_output=True, text=True
+                              ).stdout.strip()
+    except Exception:
+        head = "unknown"
+
+    results = []
+    t_all = time.time()
+    for i, shard in enumerate(shards):
+        t0 = time.time()
+        cmd = [sys.executable, "-m", "pytest",
+               *[f"tests/{f}" for f in shard],
+               *args.pytest_args.split()]
+        print(f"== shard {i + 1}/{len(shards)}: {len(shard)} files ==",
+              flush=True)
+        proc = subprocess.run(cmd, cwd=REPO, env=env,
+                              capture_output=True, text=True)
+        out = proc.stdout + proc.stderr
+        counts = parse_tail(out)
+        rec = {
+            "shard": i + 1,
+            "files": shard,
+            "returncode": proc.returncode,
+            **counts,
+            "wall_s": round(time.time() - t0, 1),
+        }
+        if proc.returncode not in (0, 5):     # 5 = no tests collected
+            rec["tail"] = out.splitlines()[-30:]
+        results.append(rec)
+        print(json.dumps({k: v for k, v in rec.items() if k != "tail"}),
+              flush=True)
+        # write incrementally so a box death still leaves evidence
+        with open(args.json, "w") as f:
+            json.dump({
+                "commit": head,
+                "complete": i + 1 == len(shards),
+                "green": all(r["returncode"] in (0, 5) and r["failed"] == 0
+                             and r["errors"] == 0 for r in results),
+                "total_passed": sum(r["passed"] for r in results),
+                "total_failed": sum(r["failed"] for r in results),
+                "total_skipped": sum(r["skipped"] for r in results),
+                "wall_s": round(time.time() - t_all, 1),
+                "shards": results,
+            }, f, indent=1)
+
+    green = all(r["returncode"] in (0, 5) and r["failed"] == 0
+                and r["errors"] == 0 for r in results)
+    print(f"GREEN={green} passed={sum(r['passed'] for r in results)} "
+          f"failed={sum(r['failed'] for r in results)} "
+          f"wall={round(time.time() - t_all, 1)}s")
+    return 0 if green else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
