@@ -73,7 +73,9 @@ def run_train_bench(batch_size: int = 32, src_t: int = 1200,
                     warmup_steps: int = 3,
                     cfg_overrides: Dict = None,
                     ctc_weight: float = 1.0, aux_weight: float = 1.0,
-                    prng_impl: str = "rbg") -> Dict[str, float]:
+                    prng_impl: str = "rbg",
+                    quant_noise_scalar: float = 0.0,
+                    scalar_method: str = "histogram") -> Dict[str, float]:
     import jax
     import jax.numpy as jnp
     from ..models import s2st_transformer as m
@@ -97,13 +99,33 @@ def run_train_bench(batch_size: int = 32, src_t: int = 1200,
     tx = build_optimizer("adam", betas=(0.9, 0.98))
     schedule = inverse_sqrt_schedule(1e-3, warmup_updates=10000)
     mesh = make_mesh()
-    trainer = Trainer(cfg, lcfg, tx, schedule, mesh, clip_norm=10.0,
-                      flat_optimizer=True)
-    state = trainer.place_state(create_train_state(variables, tx))
-
     tgt_packed = tgt_raw // nfps
     host_batch = make_train_batch(batch_size, src_t, tgt_packed,
                                   80 * nfps, n_txt=32, vocab=1000)
+    loss_fn = None
+    qcache = None
+    if quant_noise_scalar > 0:
+        # --quant-noise-scalar int8-QAT hooks ride inside the jitted step
+        # (train/quantization.wrap_loss_quant_noise); this measures their
+        # training-throughput cost A/B (VERDICT r3 Weak #6). Observers are
+        # amortized like the reference (scale recomputed every 3000/1000
+        # updates) via the stats-carried cache.
+        from ..train.losses import s2st_loss
+        from ..train.quantization import (init_scalar_qat_cache,
+                                          wrap_loss_quant_noise)
+        loss_fn = wrap_loss_quant_noise(s2st_loss,
+                                        scalar_p=quant_noise_scalar,
+                                        scalar_method=scalar_method)
+        qcache = init_scalar_qat_cache(
+            loss_fn, variables, cfg, lcfg, host_batch,
+            scalar_method=scalar_method)
+    kw = dict(loss_fn=loss_fn) if loss_fn is not None else {}
+    trainer = Trainer(cfg, lcfg, tx, schedule, mesh, clip_norm=10.0,
+                      flat_optimizer=True, **kw)
+    if qcache is not None:
+        variables = {"params": variables["params"],
+                     "stats": {**variables["stats"], "_qscales": qcache}}
+    state = trainer.place_state(create_train_state(variables, tx))
     # typed key with the training CLI's default PRNG (--prng-impl rbg):
     # threefry dropout masks alone cost ~94 ms/step at this operating
     # point on v5e (167.6 vs 73.8 ms/step measured)

@@ -142,6 +142,28 @@ def main(argv: Optional[List[str]] = None, parsed_args=None) -> int:
                       flat_optimizer=flat_ok)
     state = create_train_state(variables, tx)
 
+    if qn_scalar > 0:
+        # amortized QAT observers (qlinear.py:41 update_step=3000 /
+        # qact.py:40 update_step=1000 parity): cached scale/zero_point ride
+        # the stats tree. Site discovery needs one abstract loss trace over
+        # a representative batch — probe a throwaway iterator (does not
+        # touch the training iterator's resume bookkeeping).
+        from ..train.quantization import init_scalar_qat_cache
+        probe_itr = task.get_batch_iterator(
+            args.train_subset, max_tokens=args.max_tokens,
+            max_sentences=args.batch_size, seed=args.seed, shuffle=False)
+        probe_batch = next(iter(probe_itr.next_epoch_itr(shuffle=False)))
+        qcache = init_scalar_qat_cache(
+            loss_fn, {"params": state.params, "stats": state.stats},
+            model_cfg, loss_cfg, probe_batch)
+        state = type(state)(params=state.params,
+                            stats={**state.stats, "_qscales": qcache},
+                            opt_state=state.opt_state, step=state.step)
+        logger.info(
+            f"QAT observer cache: {qcache['w_scale'].shape[0]} weight "
+            f"leaves, {qcache['act_scale'].shape[0]} activation sites "
+            "(recomputed every 3000/1000 updates)")
+
     # frozen HuBERT frontend from a fairseq torch checkpoint
     # (build_hubert parity, s2st_transformer.py:684-697)
     if args.use_hubert and args.load_pretrained_hubert_from:

@@ -40,14 +40,12 @@ logger = logging.getLogger("s2st_tpu.hub")
 def _resolve_paths(model_name_or_path: str, checkpoint_file: str) -> List[str]:
     """Directory + checkpoint_file, a file path, or ':'-joined ensemble
     (hub_utils.from_pretrained's checkpoint_file grammar)."""
-    out = []
-    for part in str(checkpoint_file).split(":"):
-        p = Path(model_name_or_path)
-        out.append(str(p / part) if p.is_dir() else str(p))
-    # direct file path given: ignore checkpoint_file entirely
-    if not Path(model_name_or_path).is_dir():
-        return [str(model_name_or_path)]
-    return out
+    p = Path(model_name_or_path)
+    if p.is_dir():
+        return [str(p / part) for part in str(checkpoint_file).split(":")]
+    # direct path(s) given (':'-joined for an ensemble): checkpoint_file
+    # is ignored, like hub_utils when handed explicit files
+    return [part for part in str(model_name_or_path).split(":")]
 
 
 def _namespace_from_checkpoint(path: str, data_name_or_path: Optional[str],
@@ -233,12 +231,21 @@ class GeneratorHubInterface:
             self._apply_enc(tgt_sentence), append_eos=True), np.int32)
         eos = self.tgt_dict.eos()
         prev = np.concatenate([[eos], tgt_ids[:-1]]).astype(np.int32)
-        out = self._tt.forward(
-            self._ens[0], self.cfg,
-            {"src_tokens": jnp.asarray(src[:1]),
-             "prev_output_tokens": jnp.asarray(prev[None, :])})
-        logits = np.asarray(out["logits"][0], np.float32)
-        logp = logits - _logsumexp(logits)
+        lps = []
+        for v in self._ens:
+            out = self._tt.forward(
+                v, self.cfg,
+                {"src_tokens": jnp.asarray(src[:1]),
+                 "prev_output_tokens": jnp.asarray(prev[None, :])})
+            logits = np.asarray(out["logits"][0], np.float32)
+            lps.append(logits - _logsumexp(logits))
+        if len(lps) == 1:
+            logp = lps[0]
+        else:
+            # ensemble log-mean, matching the beam's combine rule
+            stack = np.stack(lps)
+            m = stack.max(0)
+            logp = m + np.log(np.exp(stack - m).mean(0))
         pos = logp[np.arange(len(tgt_ids)), tgt_ids]
         return {"positional_scores": pos, "score": float(pos.sum()),
                 "tokens": tgt_ids}
@@ -364,8 +371,9 @@ class S2STHubInterface:
         def infer(variables, src, src_lens, rng):
             out = generate_features(variables, cfg, gen_cfg, src, src_lens,
                                     rng=rng, gcmvn_mean=mean, gcmvn_std=std)
-            wave, wave_lens = vocoder(out["feats"], out["raw_out_lens"])
-            return wave, wave_lens
+            wave = vocoder(out["feats"], lengths=out["raw_out_lens"],
+                           rng=rng)
+            return wave, out["raw_out_lens"]
 
         self._infer_cache[ts] = infer
         return infer
@@ -387,11 +395,12 @@ class S2STHubInterface:
         for i, f in enumerate(feats):
             src[i, :f.shape[0]] = f
             lens[i] = f.shape[0]
-        wave, wave_lens = self._infer_fn(ts)(
+        wave, out_frames = self._infer_fn(ts)(
             self._vars, jnp.asarray(src), jnp.asarray(lens),
             jax.random.PRNGKey(seed))
         wave = np.asarray(wave, np.float32)
-        wave_lens = np.asarray(wave_lens)
-        outs = [(wave[i, :int(wave_lens[i])], self.sample_rate)
+        out_frames = np.asarray(out_frames)
+        outs = [(wave[i, :self._vocoder.wave_length(int(out_frames[i]))],
+                 self.sample_rate)
                 for i in range(len(feats))]
         return outs[0] if single else outs

@@ -113,16 +113,55 @@ def embedding(p: Params, ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
 # output is clamped to the int8-representable range at train time and fully
 # fake-quantized at eval. Trace-time constant — reading it under jit bakes
 # the active config into the compiled program.
-_ACT_QUANT: list = [None]  # None | (train: bool, bits: int, method: str)
+#
+# Context forms:
+#   (train, bits, method)                      — inline observers (legacy)
+#   (train, bits, method, cache)               — amortized observers: cache
+#     is a dict {"scales": (N,), "zps": (N,), "recompute": bool tracer,
+#     "i": [site counter], "new": [collected (scale, zp) per site]} built
+#     by train.quantization.wrap_loss_quant_noise. Site index = trace order
+#     of linear/embedding calls, which is deterministic for a fixed model —
+#     the reference's per-module hook identity, functionally.
+_ACT_QUANT: list = [None]
 
 
 def _maybe_quantize_activation(y: jnp.ndarray) -> jnp.ndarray:
     ctx = _ACT_QUANT[0]
     if ctx is None:
         return y
-    from ..ops.quantization import scalar_qat_activation
-    train, bits, method = ctx
-    return scalar_qat_activation(y, train=train, bits=bits, method=method)
+    from ..ops.quantization import observe, scalar_qat_activation
+    train, bits, method = ctx[0], ctx[1], ctx[2]
+    cache = ctx[3] if len(ctx) > 3 else None
+    if cache is None:
+        return scalar_qat_activation(y, train=train, bits=bits,
+                                     method=method)
+    if cache.get("count_only"):
+        # site-count discovery trace (init_scalar_qat_cache): just count
+        cache["i"][0] += 1
+        return scalar_qat_activation(y, train=train, bits=bits,
+                                     method=method)
+    i = cache["i"][0]
+    cache["i"][0] = i + 1
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    def _fresh(_):
+        yd = _jnp.clip(_jax.lax.stop_gradient(y.astype(_jnp.float32)),
+                       -5.0, 5.0)
+        s, z = observe(yd, method, bits)
+        return s, z
+
+    def _cached(_):
+        return cache["scales"][i], cache["zps"][i]
+
+    # qact.py:60-63 parity: recompute every update_step passes, reuse the
+    # cached qparams otherwise (cond executes only the taken branch, so
+    # the expensive observer really is skipped at runtime)
+    scale, zp = _jax.lax.cond(cache["recompute"], _fresh, _cached,
+                              operand=None)
+    cache["new"].append((scale, zp))
+    return scalar_qat_activation(y, train=train, bits=bits, method=method,
+                                 scale=scale, zero_point=zp)
 
 
 # ---------------------------------------------------------------------------

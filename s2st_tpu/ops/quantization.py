@@ -163,16 +163,21 @@ def observe(w: jnp.ndarray, method: str, bits: int = 8, axis: int = -1
 
 
 def scalar_qat_weight(rng, w: jnp.ndarray, p: float, bits: int = 8,
-                      method: str = "histogram", axis: int = -1
-                      ) -> jnp.ndarray:
+                      method: str = "histogram", axis: int = -1,
+                      scale=None, zero_point=None) -> jnp.ndarray:
     """IntLinear/IntEmbedding weight transform (`scalar/modules/qlinear.py:
     69-103`): quantize a random fraction ``p`` of the weights (all of them
     when ``p == 1``, the eval regime) with a straight-through estimator;
     the non-noised weights are hard-clamped to the representable range.
+
+    scale/zero_point: pass CACHED observer outputs to skip the observe
+    pass — the reference recomputes them only every ``update_step=3000``
+    iterations (qlinear.py:41,74) and uses the cached values in between.
     """
     w32 = w.astype(jnp.float32)
-    scale, zero_point = observe(jax.lax.stop_gradient(w32), method, bits,
-                                axis=axis)
+    if scale is None:
+        scale, zero_point = observe(jax.lax.stop_gradient(w32), method, bits,
+                                    axis=axis)
     q = scalar_quantize(jax.lax.stop_gradient(w32), scale, zero_point, bits)
     noise = q - jax.lax.stop_gradient(w32)
     if p < 1.0:
@@ -186,18 +191,24 @@ def scalar_qat_weight(rng, w: jnp.ndarray, p: float, bits: int = 8,
 
 def scalar_qat_activation(y: jnp.ndarray, train: bool, bits: int = 8,
                           method: str = "histogram",
-                          clamp_threshold: float = 5.0) -> jnp.ndarray:
+                          clamp_threshold: float = 5.0,
+                          scale=None, zero_point=None) -> jnp.ndarray:
     """ActivationQuantizer (`scalar/modules/qact.py:57-88`) at the two
     operating points the reference uses (``quantize_model_`` hardcodes
     activation p=0): training → hard clamp to the representable range
     (noise fully masked); eval → fully fake-quantized activations. STE on
     both. ``clamp_threshold`` bounds the observer like the reference's
     [-5, 5] gradient-overflow clamp.
+
+    scale/zero_point: CACHED observer outputs (the reference recomputes
+    activation qparams only every ``update_step=1000`` forward passes,
+    qact.py:40,60-63).
     """
     y32 = y.astype(jnp.float32)
-    yd = jnp.clip(jax.lax.stop_gradient(y32), -clamp_threshold,
-                  clamp_threshold)
-    scale, zero_point = observe(yd, method, bits)
+    if scale is None:
+        yd = jnp.clip(jax.lax.stop_gradient(y32), -clamp_threshold,
+                      clamp_threshold)
+        scale, zero_point = observe(yd, method, bits)
     clamp_low = -scale * zero_point
     clamp_high = scale * (2 ** bits - 1 - zero_point)
     clamped = jnp.clip(y32, clamp_low, clamp_high)

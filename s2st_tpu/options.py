@@ -375,6 +375,12 @@ def add_model_args(parser: argparse.ArgumentParser):
     p.add_argument("--vocab-parallel-embed", action="store_true",
                    help="Megatron-style vocab-sharded aux-decoder embedding "
                         "tables (needs --tp-size > 1)")
+    p.add_argument("--use-flash-attention", action="store_true",
+                   help="Pallas flash-attention for full-sequence attention "
+                        "(needs --attention-dropout 0; measured SLOWER at "
+                        "the flagship recipe point's short sequences — see "
+                        "ROADMAP round-4 falsification — but wins at long "
+                        "sequence lengths)")
 
 
 def add_wav2vec2_args(parser: argparse.ArgumentParser):
@@ -2407,6 +2413,7 @@ def build_model_config(args, src_vocab_size: int, tgt_vocab_size: int,
         dtype=dtype,
         remat=getattr(args, "checkpoint_activations", False),
         vocab_parallel_embed=getattr(args, "vocab_parallel_embed", False),
+        use_flash_attention=getattr(args, "use_flash_attention", False),
     )
 
 

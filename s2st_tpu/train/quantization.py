@@ -359,9 +359,17 @@ def apply_scalar_qat(rng, params: Params, p: float, bits: int = 8,
 def scalar_act_quant(train: bool, bits: int = 8, method: str = "histogram"):
     """Enable the ActivationQuantizer hook in nn.core for the duration of a
     forward trace (see nn/core.py:_ACT_QUANT)."""
+    with scalar_act_quant_ctx((train, bits, method)):
+        yield
+
+
+@contextmanager
+def scalar_act_quant_ctx(ctx):
+    """Set an arbitrary _ACT_QUANT context tuple (incl. the amortized-cache
+    form, nn/core.py:_ACT_QUANT docstring) for a forward trace."""
     from ..nn import core
     prev = core._ACT_QUANT[0]
-    core._ACT_QUANT[0] = (train, bits, method)
+    core._ACT_QUANT[0] = ctx
     try:
         yield
     finally:
@@ -380,41 +388,151 @@ def quantize_params_scalar(params: Params, bits: int = 8,
     return params
 
 
+def init_scalar_qat_cache(loss_fn: Callable, variables, cfg, lcfg,
+                          sample_batch, scalar_bits: int = 8,
+                          scalar_method: str = "histogram") -> dict:
+    """Build the amortized-observer cache the wrapped loss carries in
+    ``stats`` (the reference's cached scale/zero_point module buffers,
+    qlinear.py:60-77 / qact.py:48-63, made functional state).
+
+    Weight-leaf count comes from iter_quantizable; the ACTIVATION site
+    count is discovered with one abstract trace (jax.eval_shape) of the
+    loss under a counting hook. All cached values init to zero — step 0
+    hits the ``step % update_step == 0`` recompute branch first, exactly
+    like the reference's fresh counters."""
+    n_w = len(list(iter_quantizable(variables["params"])))
+    counter = [0]
+    count_ctx = {"count_only": True, "i": counter}
+    jax.eval_shape(
+        lambda v, b: loss_fn(v, cfg, lcfg, b, rng=jax.random.PRNGKey(0),
+                             train=True, _qat_count_ctx=count_ctx),
+        variables, sample_batch)
+    n_act = counter[0]
+    z = jnp.zeros
+    return {"w_scale": z((n_w,), jnp.float32),
+            "w_zp": z((n_w,), jnp.float32),
+            "act_scale": z((n_act,), jnp.float32),
+            "act_zp": z((n_act,), jnp.float32)}
+
+
 def wrap_loss_quant_noise(loss_fn: Callable, pq_p: float = 0.0,
                           pq_block_size: int = 8, scalar_p: float = 0.0,
                           scalar_bits: int = 8,
-                          scalar_method: str = "histogram") -> Callable:
+                          scalar_method: str = "histogram",
+                          scalar_update_step: int = 3000,
+                          act_update_step: int = 1000) -> Callable:
     """Wrap a task loss so the model trains against noised/quantized
     weights (+ clamped activations for scalar QAT). The transform runs
     inside the jitted train step; at valid time (train=False) quant noise
     is off and scalar quantization is total, as in the reference
-    (mod.training gates, `quant_noise.py:59`, `qlinear.py:71`)."""
+    (mod.training gates, `quant_noise.py:59`, `qlinear.py:71`).
 
-    def wrapped(variables, cfg, lcfg, batch, rng=None, train=True, **kw):
+    When ``variables["stats"]["_qscales"]`` exists (init_scalar_qat_cache)
+    and the caller passes ``step``, weight/activation observers run only
+    every scalar_update_step/act_update_step updates — the reference's
+    amortization (qlinear.py:41, qact.py:40); cached qparams are used in
+    between and ride the stats tree (so they also checkpoint/resume).
+    Measured on v5e at the flagship recipe point: every-step observers
+    cost 187.9 ms/step vs 68.3 baseline; amortized ~parity."""
+
+    def _amortized_weights(params, qrng, qcache, step):
+        recompute = (step % scalar_update_step) == 0
+        leaves = list(iter_quantizable(params))
+        new_s, new_z = [], []
+        for i, (path, kind, sub) in enumerate(leaves):
+            k = jax.random.fold_in(qrng, i)
+            axis = 0 if kind == "Linear" else 1
+            w32 = jax.lax.stop_gradient(sub["w"].astype(jnp.float32))
+
+            def _fresh(_, w32=w32, axis=axis):
+                s, zp = q.observe(w32, scalar_method, scalar_bits,
+                                  axis=axis)
+                return (jnp.asarray(s, jnp.float32).reshape(()),
+                        jnp.asarray(zp, jnp.float32).reshape(()))
+
+            def _cached(_, i=i):
+                return qcache["w_scale"][i], qcache["w_zp"][i]
+
+            s, zp = jax.lax.cond(recompute, _fresh, _cached, operand=None)
+            new_s.append(s)
+            new_z.append(zp)
+            w = q.scalar_qat_weight(k, sub["w"], scalar_p, bits=scalar_bits,
+                                    method=scalar_method, axis=axis,
+                                    scale=s, zero_point=zp)
+            params = _set_subtree(params, path, {**sub, "w": w})
+        return params, jnp.stack(new_s), jnp.stack(new_z)
+
+    def wrapped(variables, cfg, lcfg, batch, rng=None, train=True,
+                step=None, _qat_count_ctx=None, **kw):
         params = variables["params"]
+        stats = variables.get("stats", {})
+        qcache = stats.get("_qscales") if isinstance(stats, dict) else None
+        amortize = (scalar_p > 0 and train and step is not None
+                    and qcache is not None
+                    and scalar_method in ("tensor", "histogram"))
+        new_qcache = None
+        act_ctx_cache = None
         if train and rng is not None:
             qrng = jax.random.fold_in(rng, 0x51A7)
             if pq_p > 0:
                 params = apply_quant_noise(
                     jax.random.fold_in(qrng, 1), params, pq_p, pq_block_size)
             if scalar_p > 0:
-                params = apply_scalar_qat(
-                    jax.random.fold_in(qrng, 2), params, scalar_p,
-                    scalar_bits, scalar_method)
+                if amortize:
+                    params, w_s, w_z = _amortized_weights(
+                        params, jax.random.fold_in(qrng, 2), qcache, step)
+                    new_qcache = {"w_scale": w_s, "w_zp": w_z}
+                    act_ctx_cache = {
+                        "scales": qcache["act_scale"],
+                        "zps": qcache["act_zp"],
+                        "recompute": (step % act_update_step) == 0,
+                        "i": [0], "new": []}
+                else:
+                    params = apply_scalar_qat(
+                        jax.random.fold_in(qrng, 2), params, scalar_p,
+                        scalar_bits, scalar_method)
         elif scalar_p > 0:
             # eval = fully quantized network (p=1, qlinear.py:71)
             params = quantize_params_scalar(params, scalar_bits,
                                             scalar_method)
         variables = {**variables, "params": params}
         if scalar_p > 0:
-            with scalar_act_quant(train=train, bits=scalar_bits,
-                                  method=scalar_method):
-                return loss_fn(variables, cfg, lcfg, batch, rng=rng,
-                               train=train, **kw)
-        return loss_fn(variables, cfg, lcfg, batch, rng=rng, train=train,
-                       **kw)
+            act_ctx = _qat_count_ctx if _qat_count_ctx is not None \
+                else act_ctx_cache
+            ctx = (train, scalar_bits, scalar_method) if act_ctx is None \
+                else (train, scalar_bits, scalar_method, act_ctx)
+            with scalar_act_quant_ctx(ctx):
+                out = loss_fn(variables, cfg, lcfg, batch, rng=rng,
+                              train=train, **kw)
+        else:
+            out = loss_fn(variables, cfg, lcfg, batch, rng=rng, train=train,
+                          **kw)
+        if new_qcache is not None:
+            collected = act_ctx_cache["new"]
+            assert len(collected) == qcache["act_scale"].shape[0], (
+                "activation site count changed between the cache-init "
+                f"trace ({qcache['act_scale'].shape[0]}) and this trace "
+                f"({len(collected)}) — re-run init_scalar_qat_cache")
+            new_qcache["act_scale"] = jnp.stack([s for s, _ in collected])
+            new_qcache["act_zp"] = jnp.stack([zp for _, zp in collected])
+            loss, extras = out
+            extras = dict(extras)
+            extras["new_stats"] = {**extras["new_stats"],
+                                   "_qscales": new_qcache}
+            return loss, extras
+        if qcache is not None and train:
+            # cache rides the stats tree but this call isn't amortizing
+            # (no step, or a per-channel method): pass it through so the
+            # new_stats structure still matches the state
+            loss, extras = out
+            extras = dict(extras)
+            extras["new_stats"] = {**extras["new_stats"],
+                                   "_qscales": qcache}
+            return loss, extras
+        return out
 
     wrapped.mean_keys = getattr(loss_fn, "mean_keys", ())
+    wrapped.wants_step = scalar_p > 0
     if getattr(loss_fn, "supports_forward_fn", False):
         wrapped.supports_forward_fn = True
     return wrapped

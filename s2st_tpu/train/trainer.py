@@ -235,10 +235,15 @@ class Trainer:
             path): a single dispatch and zero intermediate host traffic —
             essential when device dispatch has real latency (remote TPU)."""
             diff, nondiff = partition_params(params)
+            # quant-noise losses take `step` to amortize their observer
+            # recomputes (train/quantization.wrap_loss_quant_noise)
+            step_kw = {"step": step} if getattr(loss_fn, "wants_step",
+                                                False) else {}
             def lf(d):
                 p = merge_params(d, nondiff)
                 loss, extras = loss_fn({"params": p, "stats": stats},
-                                       cfg, lcfg, batch, rng=rng, train=True)
+                                       cfg, lcfg, batch, rng=rng, train=True,
+                                       **step_kw)
                 return loss, extras
             (loss, extras), grads = jax.value_and_grad(
                 lf, has_aux=True)(diff)
@@ -266,12 +271,15 @@ class Trainer:
             lambda x, s: s if _is_float_leaf(x) else None,
             state.params, var_sh["params"])
 
-        def grad_fn(params, stats, batch, rng):
+        def grad_fn(params, stats, batch, rng, step):
             diff, nondiff = partition_params(params)
+            step_kw = {"step": step} if getattr(loss_fn, "wants_step",
+                                                False) else {}
             def lf(d):
                 p = merge_params(d, nondiff)
                 loss, extras = loss_fn({"params": p, "stats": stats},
-                                       cfg, lcfg, batch, rng=rng, train=True)
+                                       cfg, lcfg, batch, rng=rng, train=True,
+                                       **step_kw)
                 return loss, extras
             (loss, extras), grads = jax.value_and_grad(lf, has_aux=True)(diff)
             return grads, extras["new_stats"], extras["logging"], \
@@ -279,7 +287,7 @@ class Trainer:
 
         self._grad_step = jax.jit(
             grad_fn,
-            in_shardings=(var_sh["params"], var_sh["stats"], None, rep),
+            in_shardings=(var_sh["params"], var_sh["stats"], None, rep, rep),
             out_shardings=(diff_sh, var_sh["stats"], rep, rep))
 
         def accum(a, b):
@@ -440,7 +448,7 @@ class Trainer:
             batch = self._device_batch(hb)
             sub = jax.random.fold_in(rng, i)
             grads, stats, logging, ss = self._grad_step(
-                state.params, stats, batch, sub)
+                state.params, stats, batch, sub, state.step)
             acc_grads = grads if acc_grads is None else self._accum(acc_grads, grads)
             sample_size = ss if sample_size is None else sample_size + ss
             # accumulate logging scalars on DEVICE (no per-microbatch fetch)

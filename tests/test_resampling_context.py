@@ -250,3 +250,17 @@ def test_truncate_source_view():
     np.testing.assert_array_equal(t[0], [4, 5, 6, 2])   # truncated + eos
     np.testing.assert_array_equal(t[1], [4, 5, 2])      # short: unchanged
     np.testing.assert_array_equal(t.sizes, [4, 3])
+
+
+def test_use_flash_attention_flag_threads_to_config():
+    """--use-flash-attention reaches S2STConfig (the kernel itself is
+    TPU-only: parity+perf evidence in tools/flash_attention_parity.py and
+    the ROADMAP round-4 falsification entry)."""
+    from s2st_tpu.options import build_model_config, parse_training_args
+    argv = ["/tmp/x", "--task", "s2s_translation",
+            "--arch", "s2st_transformer", "--criterion", "s2st_loss",
+            "--use-flash-attention", "--attention-dropout", "0.0"]
+    args = parse_training_args(argv)
+    cfg = build_model_config(args, 10, 10)
+    assert cfg.use_flash_attention is True
+    assert cfg.attention_dropout == 0.0
