@@ -377,10 +377,13 @@ def add_model_args(parser: argparse.ArgumentParser):
                         "tables (needs --tp-size > 1)")
     p.add_argument("--use-flash-attention", action="store_true",
                    help="Pallas flash-attention for full-sequence attention "
-                        "(needs --attention-dropout 0; measured SLOWER at "
-                        "the flagship recipe point's short sequences — see "
-                        "ROADMAP round-4 falsification — but wins at long "
-                        "sequence lengths)")
+                        "(needs --attention-dropout 0). Measured SLOWER at "
+                        "both tested operating points on v5e (enc T~300: "
+                        "103 vs 65 ms; T~600: 110 vs 78 ms — gap narrowing "
+                        "with length but no crossover in this model's "
+                        "range; ROADMAP round-4 falsification). Kept as an "
+                        "escape hatch for much longer contexts/memory "
+                        "pressure.")
 
 
 def add_wav2vec2_args(parser: argparse.ArgumentParser):
