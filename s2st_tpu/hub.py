@@ -89,6 +89,10 @@ def from_pretrained(model_name_or_path: str,
         return S2STHubInterface(args, paths)
     if task_name == "language_modeling":
         return LMHubInterface(args, paths)
+    if task_name in ("masked_lm", "multilingual_masked_lm",
+                     "sentence_prediction", "sentence_ranking") or \
+            str(getattr(args, "arch", "")).startswith(("roberta", "xlm")):
+        return RobertaHubInterface(args, paths)
     return GeneratorHubInterface(args, paths)
 
 
@@ -320,6 +324,106 @@ class LMHubInterface:
                 break
             ids.append(nxt)
         return self.d.string(np.asarray(ids[1:], np.int32))
+
+
+class RobertaHubInterface:
+    """RoBERTa/XLM hub (fairseq/models/roberta/hub_interface.py parity):
+    .encode/.decode (<s> ... </s> framing), .extract_features,
+    .fill_mask(topk), and .predict(head, sentence) for classification
+    checkpoints (sentence_prediction task)."""
+
+    def __init__(self, args: argparse.Namespace, paths: List[str]):
+        import jax
+        from .registry import get_task
+        from .train import checkpoint as ckpt
+        from .train.optim import adam
+        from .train.trainer import create_train_state
+        self.args = args
+        self.task = get_task(args.task).setup_task(args)
+        self.d = self.task.source_dictionary
+        self.cfg, init_fn, _ = self.task.build_model_and_loss()
+        variables = init_fn(jax.random.PRNGKey(0))
+        state = create_train_state(variables, adam())
+        state, _ = ckpt.restore_state(state, paths[0], reset_optimizer=True)
+        self._vars = {"params": state.params, "stats": state.stats}
+        from .models import roberta
+        self._rm = roberta
+        self._mask_idx = self.d.index("<mask>") \
+            if "<mask>" in getattr(self.d, "indices", {}) else self.d.unk()
+
+    def encode(self, sentence: str, *addl: str) -> np.ndarray:
+        """'<s> sent </s>' (+ ' </s> sent </s>' per extra segment) —
+        hub_interface.encode's GPT-2-BPE framing, sans BPE when the
+        checkpoint was trained on plain tokens."""
+        ids = [self.d.bos()] + [int(t) for t in self.d.encode_line(
+            sentence, append_eos=True)]
+        for s in addl:
+            ids += [self.d.eos()] + [int(t) for t in self.d.encode_line(
+                s, append_eos=True)]
+        return np.asarray(ids, np.int32)
+
+    def decode(self, ids: np.ndarray) -> str:
+        ids = np.asarray(ids)
+        keep = (ids != self.d.bos()) & (ids != self.d.eos()) \
+            & (ids != self.d.pad())
+        return self.d.string(ids[keep])
+
+    def extract_features(self, tokens: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+        tokens = np.asarray(tokens, np.int32)
+        if tokens.ndim == 1:
+            tokens = tokens[None]
+        out = self._rm.extract_features(self._vars, self.cfg,
+                                        jnp.asarray(tokens))
+        return np.asarray(out, np.float32)
+
+    def fill_mask(self, masked_input: str, topk: int = 5):
+        """'The capital of France is <mask>.' ->
+        [(filled_sentence, prob, token_str), ...] (hub_interface.fill_mask
+        output shape)."""
+        import jax.numpy as jnp
+        assert "<mask>" in masked_input
+        parts = masked_input.split("<mask>")
+        ids = [self.d.bos()]
+        for i, part in enumerate(parts):
+            if part.strip():
+                ids += [int(t) for t in self.d.encode_line(
+                    part.strip(), append_eos=False)]
+            if i < len(parts) - 1:
+                ids.append(self._mask_idx)
+        ids.append(self.d.eos())
+        tokens = np.asarray(ids, np.int32)
+        feats = self._rm.extract_features(self._vars, self.cfg,
+                                          jnp.asarray(tokens[None]))
+        logits = np.asarray(self._rm.lm_head(self._vars, self.cfg, feats),
+                            np.float32)[0]
+        pos = int(np.nonzero(tokens == self._mask_idx)[0][0])
+        logp = logits[pos] - _logsumexp(logits[pos][None])[0]
+        probs = np.exp(logp)
+        top = np.argsort(-probs)[:topk]
+        out = []
+        for t in top:
+            tok = self.d[int(t)]
+            filled = masked_input.replace("<mask>", tok)
+            out.append((filled, float(probs[t]), tok))
+        return out
+
+    def predict(self, head: str, tokens: np.ndarray,
+                return_logits: bool = False) -> np.ndarray:
+        """Classification log-probs (hub_interface.predict) via the named
+        head trained by the sentence_prediction task."""
+        import jax.numpy as jnp
+        heads = self._vars["params"].get("classification_heads", {})
+        assert head in heads, (head, list(heads))
+        tokens = np.asarray(tokens, np.int32)
+        if tokens.ndim == 1:
+            tokens = tokens[None]
+        logits = np.asarray(self._rm.classification_forward(
+            self._vars, self.cfg, heads[head], jnp.asarray(tokens)),
+            np.float32)
+        if return_logits:
+            return logits
+        return logits - _logsumexp(logits)
 
 
 class S2STHubInterface:

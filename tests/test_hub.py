@@ -173,3 +173,99 @@ def test_hub_missing_config_echo_raises(tmp_path):
         b'{"step": 0}', dtype=np.uint8)})
     with pytest.raises(ValueError, match="no embedded config"):
         hub.from_pretrained(str(p))
+
+
+@pytest.fixture(scope="module")
+def roberta_save(tmp_path_factory):
+    import random
+    random.seed(0)
+    d = str(tmp_path_factory.mktemp("hub_roberta"))
+    for split, n in (("train", 60), ("valid", 8)):
+        with open(f"{d}/{split}.txt", "w") as f:
+            for _ in range(n):
+                f.write(" ".join(f"w{random.randrange(12)}"
+                                 for _ in range(random.randint(5, 10)))
+                        + "\n")
+    from s2st_tpu.cli.preprocess import main as pp
+    bin_dir = f"{d}/bin"
+    assert pp(["--only-source", "--trainpref", f"{d}/train.txt",
+               "--validpref", f"{d}/valid.txt", "--destdir", bin_dir,
+               "--workers", "1"]) == 0
+    from s2st_tpu.cli.train import main as train_main
+    assert train_main([
+        bin_dir, "--task", "masked_lm", "--arch", "roberta",
+        "--criterion", "masked_lm",
+        "--encoder-layers", "1", "--encoder-embed-dim", "16",
+        "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+        "--optimizer", "adam", "--lr", "0.003",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "5",
+        "--max-tokens", "512", "--max-epoch", "1",
+        "--tokens-per-sample", "32", "--sample-break-mode", "complete",
+        "--save-dir", f"{d}/ckpt", "--seed", "1",
+        "--no-epoch-checkpoints"]) == 0
+    return f"{d}/ckpt"
+
+
+def test_hub_roberta_extract_and_fill_mask(roberta_save):
+    """RobertaHubInterface parity surface
+    (fairseq/models/roberta/hub_interface.py): encode framing,
+    extract_features shape, fill_mask candidates."""
+    from s2st_tpu import hub
+    m = hub.from_pretrained(roberta_save)
+    toks = m.encode("w1 w2 w3")
+    assert toks[0] == m.d.bos() and toks[-1] == m.d.eos()
+    assert m.decode(toks) == "w1 w2 w3"
+    feats = m.extract_features(toks)
+    assert feats.shape == (1, len(toks), 16)
+    out = m.fill_mask("w1 <mask> w3", topk=3)
+    assert len(out) == 3
+    filled, prob, tok = out[0]
+    assert "<mask>" not in filled and 0.0 < prob <= 1.0
+    assert out[0][1] >= out[1][1] >= out[2][1]
+
+
+@pytest.fixture(scope="module")
+def sentence_pred_save(tmp_path_factory):
+    import random
+    random.seed(0)
+    d = str(tmp_path_factory.mktemp("hub_sp"))
+    for split, n in (("train", 80), ("valid", 8)):
+        with open(f"{d}/{split}.inp", "w") as fi, \
+                open(f"{d}/{split}.lbl", "w") as fl:
+            for _ in range(n):
+                L = random.randint(3, 8)
+                idx = [random.randrange(1, 10) for _ in range(L)]
+                if random.random() < 0.5:
+                    idx[random.randrange(L)] = 0
+                fi.write(" ".join(f"w{i}" for i in idx) + "\n")
+                fl.write(("yes" if 0 in idx else "no") + "\n")
+    from s2st_tpu.cli.preprocess import main as pp
+    assert pp(["--only-source", "--trainpref", f"{d}/train.inp",
+               "--validpref", f"{d}/valid.inp",
+               "--destdir", f"{d}/bin/input0", "--workers", "1"]) == 0
+    assert pp(["--only-source", "--trainpref", f"{d}/train.lbl",
+               "--validpref", f"{d}/valid.lbl",
+               "--destdir", f"{d}/bin/label", "--workers", "1"]) == 0
+    from s2st_tpu.cli.train import main as train_main
+    assert train_main([
+        f"{d}/bin", "--task", "sentence_prediction", "--arch", "roberta",
+        "--criterion", "sentence_prediction", "--num-classes", "2",
+        "--encoder-layers", "1", "--encoder-embed-dim", "16",
+        "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+        "--optimizer", "adam", "--lr", "0.003",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "5",
+        "--max-tokens", "512", "--max-epoch", "1",
+        "--save-dir", f"{d}/ckpt", "--seed", "1",
+        "--no-epoch-checkpoints"]) == 0
+    return f"{d}/ckpt"
+
+
+def test_hub_roberta_predict_classification(sentence_pred_save):
+    from s2st_tpu import hub
+    m = hub.from_pretrained(sentence_pred_save)
+    lp = m.predict("sentence_classification_head", m.encode("w0 w1 w2"))
+    assert lp.shape == (1, 2)
+    assert np.allclose(np.exp(lp).sum(), 1.0, atol=1e-4)
+    logits = m.predict("sentence_classification_head",
+                       m.encode("w0 w1 w2"), return_logits=True)
+    assert logits.shape == (1, 2)
