@@ -140,6 +140,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         keep = target != 1
         return jnp.where(keep, pos, 0.0), keep
 
+    if cw > 0:
+        # the stateful context carry needs blocks in ascending document
+        # order; mark the dataset so the iterator bypasses its default
+        # descending-length sort (reference LMContextWindowDataset
+        # ordered_indices = np.arange,
+        # fairseq/data/lm_context_window_dataset.py:45-47)
+        if args.gen_subset not in task.datasets:
+            task.load_dataset(args.gen_subset)
+        task.datasets[args.gen_subset].preserve_order = True
     itr = task.get_batch_iterator(args.gen_subset,
                                   max_tokens=args.max_tokens,
                                   max_sentences=args.batch_size,

@@ -91,8 +91,12 @@ class Dictionary:
                 i += 1
 
     def encode_line(self, line: str, append_eos: bool = True,
-                    add_if_not_exist: bool = False) -> np.ndarray:
-        words = line.split()
+                    add_if_not_exist: bool = False,
+                    tokenizer=None) -> np.ndarray:
+        """tokenizer: optional callable splitting the line into symbols
+        (reference ``line_tokenizer=``, dictionary.py — e.g. ``list`` for
+        per-character protein encoding in EncodedFastaDataset)."""
+        words = tokenizer(line) if tokenizer is not None else line.split()
         ids = []
         for w in words:
             ids.append(self.add_symbol(w) if add_if_not_exist else self.index(w))

@@ -374,6 +374,9 @@ def infer_dataset_impl(path: str) -> Optional[str]:
             return "mmap"
         if magic == b"HUFFIDX\x00":
             return "huffman"
+    from .fasta_dataset import FastaDataset
+    if FastaDataset.exists(path):
+        return "fasta"
     return None
 
 
@@ -402,6 +405,11 @@ def make_dataset(path: str, impl: str, fix_lua_indexing: bool = False,
         from .huffman import HuffmanMMapIndexedDataset
         if HuffmanMMapIndexedDataset.exists(path):
             return HuffmanMMapIndexedDataset(path)
+    if impl == "fasta":
+        from .fasta_dataset import EncodedFastaDataset, FastaDataset
+        if FastaDataset.exists(path):
+            assert dictionary is not None
+            return EncodedFastaDataset(path, dictionary)
     return None
 
 

@@ -30,6 +30,15 @@ def snap_len(n: int, min_step: int = 16) -> int:
     return -(-n // step) * step
 
 
+def get_buckets(sizes: np.ndarray, num_buckets: int) -> np.ndarray:
+    """N length-quantile bucket boundaries (reference
+    fairseq/data/data_utils.py:545-553 get_buckets: unique percentiles at
+    linspace(0,100,N+1)[1:], 'lower' interpolation)."""
+    return np.unique(np.percentile(
+        sizes, np.linspace(0, 100, num_buckets + 1),
+        method="lower")[1:])
+
+
 def ordered_indices(lengths: np.ndarray, shuffle: bool, seed: int,
                     epoch: int) -> np.ndarray:
     """Length-major ordering with seeded shuffle tiebreak
@@ -96,7 +105,7 @@ class EpochBatchIterator:
                  skip_remainder_batch: bool = False,
                  max_positions: Optional[int] = None,
                  data_rank: int = 0, data_world: int = 1,
-                 num_workers: int = 0):
+                 num_workers: int = 0, num_batch_buckets: int = 0):
         """max_positions: drop samples whose source length exceeds it
         (--skip-invalid-size-inputs-valid-test + max-source-positions
         filtering, fairseq_task.py:168-199 parity).
@@ -108,6 +117,14 @@ class EpochBatchIterator:
         same program and ``put_batch`` can assemble one global array. This
         replaces fairseq's every-Nth-batch ShardedIterator (iterators.py:
         446-459), which cannot give shape-aligned per-process slices.
+
+        num_batch_buckets: --num-batch-buckets N — when >0, the padded
+        time dims use N length-quantile buckets computed from the dataset
+        (reference BucketPadLengthDataset via num_buckets= consumers,
+        fairseq/tasks/translation.py:354 and audio_pretraining.py:158
+        which force-enables it on TPU) instead of the default geometric
+        snap grid. Static shapes are always on here; this knob trades
+        compile count vs padding waste.
 
         num_workers: collate worker threads (--num-workers; the reference's
         DataLoader workers). Item loading is IO + numpy — both release the
@@ -128,6 +145,8 @@ class EpochBatchIterator:
         self.snap_shapes = snap_shapes
         self.required_batch_size_multiple = required_batch_size_multiple
         self.num_workers = num_workers
+        self.num_batch_buckets = num_batch_buckets
+        self._buckets: Optional[np.ndarray] = None
         self.epoch = 1
         self.iterations_in_epoch = 0
         self._frozen_batches: Optional[List[np.ndarray]] = None
@@ -139,7 +158,20 @@ class EpochBatchIterator:
         if self._frozen_batches is None:
             lengths = np.asarray(
                 [self.dataset.src_frames(i) for i in range(len(self.dataset))])
-            order = ordered_indices(lengths, self.shuffle, self.seed, 1)
+            if getattr(self.dataset, "preserve_order", False):
+                # stream-order datasets (LM --context-window): the stateful
+                # context carry requires blocks in ascending document order,
+                # like the reference LMContextWindowDataset whose
+                # ordered_indices returns np.arange
+                # (fairseq/data/lm_context_window_dataset.py:45-47)
+                order = np.arange(len(lengths))
+            else:
+                order = ordered_indices(lengths, self.shuffle, self.seed, 1)
+            if self.num_batch_buckets > 0 and self._buckets is None:
+                self._buckets = get_buckets(lengths, self.num_batch_buckets)
+                logger.info(
+                    f"bucketing source lengths into {len(self._buckets)} "
+                    f"buckets: {self._buckets.tolist()}")
             if self.max_positions is not None:
                 keep = lengths[order] <= self.max_positions
                 if not keep.all():
@@ -223,6 +255,17 @@ class EpochBatchIterator:
         self._itr = gen()
         return self._itr
 
+    def _snap_time(self, n: int, min_step: int = 16) -> int:
+        """Padded source-time size: smallest quantile bucket >= n when
+        --num-batch-buckets is active (reference get_bucketed_sizes,
+        fairseq/data/data_utils.py:556-564), else the geometric grid."""
+        if self._buckets is not None and len(self._buckets):
+            pos = int(np.searchsorted(self._buckets, n))
+            if pos < len(self._buckets):
+                return int(self._buckets[pos])
+            return int(n)  # longer than every bucket: exact pad
+        return snap_len(n, min_step)
+
     def _fetch_item(self, i: int):
         """dataset[i], with a private augmentation RandomState derived from
         (seed, epoch, index) when the dataset supports it — so SpecAugment
@@ -244,13 +287,19 @@ class EpochBatchIterator:
             # dataset-owned static-shape policy (raw-audio pretraining:
             # crop target snapped DOWN, no padding)
             kw = self.dataset.snap_kwargs(items)
+            if self._buckets is not None:
+                # --num-batch-buckets: re-snap the main time dim onto the
+                # quantile-bucket menu (keys cover the text/audio datasets)
+                for k in ("pad_len", "pad_src_t", "pad_src"):
+                    if k in kw:
+                        kw[k] = self._snap_time(kw[k])
         elif self.snap_shapes:
             def src_len(it):
                 arr = it.src_speech if it.src_speech is not None else it.src_orig
                 return arr.shape[0]
             kw = dict(
                 pad_batch=snap_len(len(items), 8),
-                pad_src_t=snap_len(max(src_len(it) for it in items)),
+                pad_src_t=self._snap_time(max(src_len(it) for it in items)),
                 pad_tgt_t=snap_len(max(it.tgt_speech.shape[0] for it in items)),
                 pad_src_txt=snap_len(max(len(it.src_text) for it in items), 8),
                 pad_tgt_txt=snap_len(max(len(it.tgt_text) for it in items), 8),
@@ -267,6 +316,10 @@ class EpochBatchIterator:
             items_all = [self._fetch_item(int(i)) for i in idxs]
             kw = self.dataset.snap_kwargs(items_all) if self.snap_shapes \
                 else {}
+            if self._buckets is not None:
+                for k in ("pad_len", "pad_src_t", "pad_src"):
+                    if k in kw:
+                        kw[k] = self._snap_time(kw[k])
             gb = snap_len(len(idxs), 8)
             gb = -(-gb // world) * world
             kw["pad_batch"] = gb // world
@@ -309,7 +362,7 @@ class EpochBatchIterator:
             mask_all = False
         batch = self.dataset.collate(
             items, pad_batch=gb // world,
-            pad_src_t=snap_len(src_t) if self.snap_shapes else src_t,
+            pad_src_t=self._snap_time(src_t) if self.snap_shapes else src_t,
             pad_tgt_t=snap_len(tgt_t) if self.snap_shapes else tgt_t,
             pad_src_txt=snap_len(s_txt, 8) if self.snap_shapes else s_txt,
             pad_tgt_txt=snap_len(t_txt, 8) if self.snap_shapes else t_txt)

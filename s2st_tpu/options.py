@@ -48,6 +48,15 @@ def add_common_args(parser: argparse.ArgumentParser):
     p.add_argument("--skip-invalid-size-inputs-valid-test",
                    action="store_true")
     p.add_argument("--required-batch-size-multiple", type=int, default=8)
+    p.add_argument("--num-batch-buckets", type=int, default=0,
+                   help="if >0, replace the iterator's default geometric "
+                        "static-shape grid with N length-quantile buckets "
+                        "for the padded time dims (reference "
+                        "fairseq/tasks/translation.py:218 + "
+                        "data_utils.get_buckets; the reference force-enables "
+                        "this on TPU, audio_pretraining.py:158 — here "
+                        "static shapes are always on, this controls the "
+                        "menu size)")
 
 
 def add_task_args(parser: argparse.ArgumentParser):
@@ -92,7 +101,8 @@ def add_task_args(parser: argparse.ArgumentParser):
                    help="truncate source to max-source-positions "
                    "(translation.py:88 TruncateDataset wrap)")
     p.add_argument("--dataset-impl", default=None,
-                   choices=[None, "raw", "cached", "lazy", "mmap"])
+                   choices=[None, "raw", "cached", "lazy", "mmap", "fasta",
+                            "huffman"])
     # language_modeling task (fairseq/tasks/language_modeling.py config)
     # legacy_masked_lm task (fairseq/tasks/legacy_masked_lm.py add_args +
     # criterions/legacy_masked_lm.py add_args)

@@ -410,7 +410,8 @@ class LegacyMaskedLMTask:
             required_batch_size_multiple=getattr(
                 self.args, "required_batch_size_multiple", 1),
             data_rank=data_rank, data_world=data_world,
-            num_workers=getattr(self.args, "num_workers", 0))
+            num_workers=getattr(self.args, "num_workers", 0),
+            num_batch_buckets=getattr(self.args, "num_batch_buckets", 0))
 
     # ------------------------------------------------------------------
 

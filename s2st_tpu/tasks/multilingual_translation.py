@@ -180,7 +180,8 @@ class MultilingualTranslationTask:
                 shuffle=shuffle,
                 required_batch_size_multiple=getattr(
                     self.args, "required_batch_size_multiple", 1),
-                data_rank=data_rank, data_world=data_world)
+                data_rank=data_rank, data_world=data_world,
+                num_batch_buckets=getattr(self.args, "num_batch_buckets", 0))
             for i, (pair, ds) in enumerate(self.datasets[split].items())}
         return RoundRobinIterator(itrs)
 

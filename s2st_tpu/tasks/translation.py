@@ -201,7 +201,8 @@ class TranslationTask:
                 self.args, "required_batch_size_multiple", 1),
             max_positions=max_pos,
             data_rank=data_rank, data_world=data_world,
-            num_workers=getattr(self.args, "num_workers", 0))
+            num_workers=getattr(self.args, "num_workers", 0),
+            num_batch_buckets=getattr(self.args, "num_batch_buckets", 0))
 
     # ------------------------------------------------------------------
     def build_model_config(self):

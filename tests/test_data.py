@@ -254,3 +254,32 @@ def test_num_workers_same_batches_and_resume():
     assert len(rest) == len(seq0) - 1
     for a, b in zip(rest, seq0[1:]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_num_batch_buckets_quantile_menu():
+    """--num-batch-buckets: bucket math matches the reference
+    (fairseq/data/data_utils.py:545-564 get_buckets/get_bucketed_sizes)
+    and the iterator's padded src-time dims come from the bucket menu."""
+    from s2st_tpu.data.iterators import get_buckets
+    sizes = np.array([5, 7, 9, 12, 18, 25, 31, 39, 40, 40])
+    buckets = get_buckets(sizes, 3)
+    # reference math, hand-checked: percentiles [0,33.3,66.6,100] 'lower'
+    ref = np.unique(np.percentile(sizes, np.linspace(0, 100, 4),
+                                  method="lower")[1:])
+    np.testing.assert_array_equal(buckets, ref)
+
+    ds = _FakeDataset()
+    it = EpochBatchIterator(ds, max_tokens=100, seed=3, shuffle=False,
+                            num_batch_buckets=4)
+    pad_ts = set()
+    for b in it.next_epoch_itr(shuffle=False):
+        pad_ts.add(b["pad_kw"]["pad_src_t"])
+    assert it._buckets is not None and len(it._buckets) <= 4
+    assert pad_ts <= set(int(x) for x in it._buckets)
+    # every sample fits its bucket
+    assert max(ds.lens) <= max(pad_ts)
+
+    # default grid still used when the flag is off
+    it0 = EpochBatchIterator(ds, max_tokens=100, seed=3, shuffle=False)
+    for b in it0.next_epoch_itr(shuffle=False):
+        assert b["pad_kw"]["pad_src_t"] % 16 == 0

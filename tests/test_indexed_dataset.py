@@ -307,3 +307,40 @@ def test_preprocess_dict_only_and_existing_dict_guard(tmp_path):
         pp_main(["-s", "es", "-t", "en",
                  "--trainpref", str(tmp_path / "train"),
                  "--destdir", str(dest)])
+
+
+def test_fasta_dataset_roundtrip(tmp_path):
+    """--dataset-impl fasta (reference fairseq/data/fasta_dataset.py via
+    indexed_dataset.py:56,67,85-88): records parse, index caches, and
+    EncodedFastaDataset encodes per-residue with eos."""
+    import numpy as np
+    from s2st_tpu.data.dictionary import Dictionary
+    from s2st_tpu.data.fasta_dataset import EncodedFastaDataset, FastaDataset
+    from s2st_tpu.data.indexed_dataset import (infer_dataset_impl,
+                                               make_dataset)
+    prefix = str(tmp_path / "proteins")
+    with open(prefix + ".fasta", "w") as f:
+        f.write(">seq1 desc\nMKV\nLAG\n>seq2\nGG\n>seq3\nMKVLAGGA\n")
+    ds = FastaDataset(prefix)
+    assert len(ds) == 3
+    assert ds[0] == (">seq1 desc", "MKVLAG")
+    assert ds[1] == (">seq2", "GG")
+    assert list(ds.sizes) == [6, 2, 8]
+
+    d = Dictionary()
+    for ch in "MKVLAG":
+        d.add_symbol(ch)
+    enc = EncodedFastaDataset(prefix, d)
+    row = enc[0]
+    assert row[-1] == d.eos()
+    assert [d[int(t)] for t in row[:-1]] == list("MKVLAG")
+    # index cache written and reused
+    assert (tmp_path / "proteins.fasta.idx.npy").is_file()
+    enc2 = EncodedFastaDataset(prefix, d)
+    np.testing.assert_array_equal(enc2.offsets, enc.offsets)
+
+    # factory dispatch parity
+    assert infer_dataset_impl(prefix) == "fasta"
+    via = make_dataset(prefix, "fasta", dictionary=d)
+    np.testing.assert_array_equal(via[2][:-1],
+                                  [d.index(c) for c in "MKVLAGGA"])

@@ -228,6 +228,47 @@ def test_eval_lm_context_window_e2e(tmp_path, capsys):
     assert ctx <= base * 1.5
 
 
+def test_context_window_blocks_arrive_in_stream_order():
+    """ADVICE r4 (high): with equal-length LM blocks the default
+    descending-length lexsort delivers blocks in REVERSE document order,
+    so the stateful ContextWindow prepended trailing tokens of the
+    FOLLOWING block. preserve_order (set by eval_lm when
+    --context-window > 0) must restore ascending stream order, like the
+    reference LMContextWindowDataset.ordered_indices -> np.arange."""
+    from s2st_tpu.data.iterators import EpochBatchIterator
+
+    class _Blocks:
+        """8 equal-length 'LM blocks' that collate to their own ids."""
+        sizes = np.full(8, 32)
+
+        def __len__(self):
+            return 8
+
+        def src_frames(self, i):
+            return 32
+
+        def collate(self, items, **kw):
+            return {"id": np.asarray(items)}
+
+        def __getitem__(self, i):
+            return i
+
+    ds = _Blocks()
+    it = EpochBatchIterator(ds, max_tokens=96, shuffle=False,
+                            snap_shapes=False)
+    default_ids = [int(i) for b in it.next_epoch_itr(shuffle=False)
+                   for i in b["id"]]
+    assert default_ids == list(range(8))[::-1]  # the failure mode
+
+    ds2 = _Blocks()
+    ds2.preserve_order = True
+    it2 = EpochBatchIterator(ds2, max_tokens=96, shuffle=False,
+                             snap_shapes=False)
+    ordered_ids = [int(i) for b in it2.next_epoch_itr(shuffle=False)
+                   for i in b["id"]]
+    assert ordered_ids == list(range(8))  # ascending stream order
+
+
 def test_truncate_source_view():
     """--truncate-source (translation.py:88-95): strip eos, truncate to
     max_source_positions-1, re-append eos."""
