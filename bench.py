@@ -104,6 +104,10 @@ def main():
         "rtf_windows": [round(audio_seconds / t, 1) for t in gl["windows"]],
         "contention_detected": gl["contention_detected"],
         "bench_retries": gl["retries"],
+        # every capture's median RTF, kept AND discarded, so the
+        # lowest-median retry selection is auditable (ADVICE r4)
+        "rtf_capture_medians": [round(audio_seconds / t, 1)
+                                for t in gl["capture_medians"]],
     }
 
     # B=1 single-utterance latency (serving tail-latency point; the
@@ -165,6 +169,11 @@ def main():
         if result["value"] < result["hifigan_rtf"]:
             result["crosscheck_disagreement"] = True
             gl2 = capture_gl()
+            # auditability (ADVICE r4): record BOTH captures' medians so
+            # the faster-median keep is visible in the JSON
+            result["crosscheck_capture_rtfs"] = [
+                round(audio_seconds / gl["median"], 1),
+                round(audio_seconds / gl2["median"], 1)]
             if gl2["median"] < gl["median"]:
                 result["value"] = round(audio_seconds / gl2["median"], 3)
                 result["vs_baseline"] = round(result["value"] / 10.0, 3)

@@ -43,10 +43,16 @@ def robust_windows(run_window: Callable[[int], float],
       spread             -- max/min of the kept capture
       contention_detected-- any capture exceeded spread_limit
       retries            -- number of full-capture retries performed
+      capture_medians    -- median of EVERY capture (kept and discarded),
+                            in run order, so the lowest-median selection
+                            is auditable in the recorded JSON (ADVICE r4:
+                            a one-sided retry policy must expose what it
+                            threw away)
     """
     kept = None
     contention = False
     retries = 0
+    capture_medians: List[float] = []
     for w in range(warmup_windows):
         run_window(10_000 + w)   # large offset: never collides with a
         # measured window's fold_in index
@@ -59,6 +65,7 @@ def robust_windows(run_window: Callable[[int], float],
             "best": min(times),
             "spread": max(times) / max(min(times), 1e-12),
         }
+        capture_medians.append(cand["median"])
         if kept is None or cand["median"] < kept["median"]:
             kept = cand
         if cand["spread"] <= spread_limit:
@@ -68,4 +75,5 @@ def robust_windows(run_window: Callable[[int], float],
             retries = attempt + 1
     kept["contention_detected"] = contention
     kept["retries"] = retries
+    kept["capture_medians"] = capture_medians
     return kept

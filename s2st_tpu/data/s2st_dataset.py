@@ -368,15 +368,28 @@ class S2STDatasetCreator:
                          src_dict, tgt_dict, n_frames_per_step,
                          speaker_to_id)
         if is_train_split and len(datasets) > 1 and cfg.sampling_alpha != 1.0:
-            # temperature-based corpus sampling (s2st_dataset.py:577-586):
-            # per-corpus size = total source frames (the s2t get_size_ratios
-            # groups by lang pair; one tsv == one pair in these recipes)
+            # temperature-based corpus sampling: the reference
+            # get_size_ratios (speech_to_text_dataset.py:422-452) AGGREGATES
+            # frame counts per lang pair before applying alpha, so several
+            # TSVs sharing a pair get one pooled ratio (ADVICE r4); TSVs
+            # without src_lang/tgt_lang columns fall back to per-TSV groups
+            def _pair(d, k):
+                s = d[0] if d else {}
+                return (s.get("src_lang", ""), s.get("tgt_lang", "")) \
+                    if ("src_lang" in s or "tgt_lang" in s) else ("", f"#{k}")
+            pairs = [_pair(d, k) for k, d in enumerate(datasets)]
             sizes = np.array([sum(int(s["src_n_frames"]) for s in d)
                               for d in datasets], np.float64)
-            probs = sizes / sizes.sum()
-            tgt = probs ** cfg.sampling_alpha
-            tgt = tgt / tgt.sum()
-            ratios = tgt * sizes.sum() / sizes
+            lp_sz: Dict = {}
+            for p, sz in zip(pairs, sizes):
+                lp_sz[p] = lp_sz.get(p, 0.0) + sz
+            sz_sum = sum(lp_sz.values())
+            tgt_prob = {p: (v / sz_sum) ** cfg.sampling_alpha
+                        for p, v in lp_sz.items()}
+            prob_sum = sum(tgt_prob.values())
+            ratios = np.array([
+                (tgt_prob[p] / prob_sum) * sz_sum / lp_sz[p]
+                for p in pairs], np.float64)
             logger = __import__("logging").getLogger(__name__)
             logger.info("temperature resampling (alpha="
                         f"{cfg.sampling_alpha}): ratios="

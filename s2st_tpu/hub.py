@@ -348,8 +348,11 @@ class RobertaHubInterface:
         self._vars = {"params": state.params, "stats": state.stats}
         from .models import roberta
         self._rm = roberta
+        # fill_mask needs a real mask token; resolved lazily so
+        # extract_features/predict work on mask-less checkpoints
+        # (reference hub_interface errors via assert at encode time)
         self._mask_idx = self.d.index("<mask>") \
-            if "<mask>" in getattr(self.d, "indices", {}) else self.d.unk()
+            if "<mask>" in getattr(self.d, "indices", {}) else None
 
     def encode(self, sentence: str, *addl: str) -> np.ndarray:
         """'<s> sent </s>' (+ ' </s> sent </s>' per extra segment) —
@@ -382,7 +385,16 @@ class RobertaHubInterface:
         [(filled_sentence, prob, token_str), ...] (hub_interface.fill_mask
         output shape)."""
         import jax.numpy as jnp
-        assert "<mask>" in masked_input
+        if self._mask_idx is None:
+            raise ValueError(
+                "this checkpoint's dictionary has no <mask> token — "
+                "fill_mask needs a masked-LM checkpoint (reference "
+                "hub_interface.fill_mask asserts the same)")
+        if masked_input.count("<mask>") != 1:
+            raise ValueError(
+                "fill_mask expects exactly one <mask> in the input "
+                f"(got {masked_input.count('<mask>')}); reference "
+                "hub_interface.fill_mask scores a single mask position")
         parts = masked_input.split("<mask>")
         ids = [self.d.bos()]
         for i, part in enumerate(parts):

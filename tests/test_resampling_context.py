@@ -147,6 +147,48 @@ def test_train_cli_multi_corpus_resampling(tmp_path):
     assert (save / "checkpoint_last.npz").is_file()
 
 
+def test_resampling_ratios_pool_by_lang_pair(tmp_path):
+    """ADVICE r4: the reference get_size_ratios
+    (speech_to_text_dataset.py:422-452) aggregates frame counts per lang
+    pair before applying alpha — two TSVs sharing a pair must get ONE
+    pooled ratio, not independent per-TSV ratios."""
+    root = make_tiny_corpus(tmp_path / "c")
+
+    def lang_copy(split_src, split_dst, src_lang, tgt_lang, n_rows):
+        lines = (root / split_src).read_text().splitlines()
+        hdr = lines[0] + "\tsrc_lang\ttgt_lang"
+        out = [hdr]
+        for ln in lines[1:1 + n_rows]:
+            out.append(f"{split_dst[:-4]}_{ln}\t{src_lang}\t{tgt_lang}")
+        (root / split_dst).write_text("\n".join(out) + "\n")
+
+    # A (es->en, 8 rows) + B (es->en, 3 rows) + C (fr->en, 2 rows)
+    lang_copy("train.tsv", "tA.tsv", "es", "en", 8)
+    lang_copy("train.tsv", "tB.tsv", "es", "en", 3)
+    lang_copy("dev.tsv", "tC.tsv", "fr", "en", 2)
+    alpha = 0.5
+    with open(root / "config.yaml", "a") as f:
+        f.write(f"sampling_alpha: {alpha}\n")
+
+    import csv
+    sz = {}
+    for s in ("tA", "tB", "tC"):
+        rows = list(csv.DictReader(open(root / f"{s}.tsv"), delimiter="\t"))
+        sz[s] = sum(int(r["src_n_frames"]) for r in rows)
+    lp = {"es": sz["tA"] + sz["tB"], "fr": sz["tC"]}
+    sz_sum = sum(lp.values())
+    tp = {k: (v / sz_sum) ** alpha for k, v in lp.items()}
+    psum = sum(tp.values())
+    expected = {k: (tp[k] / psum) * sz_sum / lp[k] for k in lp}
+
+    ds = _load(root, "tA,tB,tC")
+    got = ds._resample["ratios"]
+    # A and B share the pooled es->en ratio; C gets the fr->en ratio
+    assert got[0] == pytest.approx(expected["es"], rel=1e-9)
+    assert got[1] == pytest.approx(expected["es"], rel=1e-9)
+    assert got[2] == pytest.approx(expected["fr"], rel=1e-9)
+
+
 # ---------------------------------------------------------------------------
 # eval_lm --context-window
 # ---------------------------------------------------------------------------
