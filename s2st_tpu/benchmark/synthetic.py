@@ -182,5 +182,11 @@ def make_markov_lm_corpus(root: Path, n_train: int = 600, n_valid: int = 48,
                     tok = int(r.choice(vocab, p=trans[tok]))
                     seq.append(tok)
                 f.write(" ".join(f"w{t}" for t in seq) + "\n")
+    # the generative parameters are part of the return value so the
+    # convergence gate can compute the EXACT entropy-rate floor of the
+    # token stream (incl. the eos-hazard term) instead of gating against
+    # the much weaker uniform-vocabulary baseline
     return {"root": root, "prefs": {s: str(root / f"{s}.txt")
-                                    for s in ("train", "valid", "test")}}
+                                    for s in ("train", "valid", "test")},
+            "trans": trans, "start": start,
+            "min_len": min_len, "max_len": max_len}

@@ -451,7 +451,8 @@ def main(argv: Optional[List[str]] = None, parsed_args=None) -> int:
         import time as _time
         _tick = _time.perf_counter()
         _steps_since_log = 0
-        for i, (microbatches, dev_batches) in enumerate(itr):
+        for i, (microbatches, dev_batches) in enumerate(
+                progress.wrap(itr, prefix=f"epoch {epoch:03d}")):
             # rng folded from host-side counters — never fetch state.step
             # per iteration (a device round trip each time)
             step_rng = jax.random.fold_in(
@@ -608,7 +609,8 @@ def validate(args, task, trainer, state, eval_fn, progress, rng):
         bleu_fn = task.build_valid_bleu(trainer.cfg)
     all_hyps: list = []
     all_refs: list = []
-    for batch in valid_itr.next_epoch_itr(shuffle=False):
+    for batch in progress.wrap(valid_itr.next_epoch_itr(shuffle=False),
+                               prefix="valid"):
         if bleu_fn is not None:
             hyps, refs = bleu_fn(state.variables(), batch)
             if getattr(args, "eval_bleu_print_samples", False) and n == 0 \

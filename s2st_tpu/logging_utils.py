@@ -184,6 +184,16 @@ class ProgressLogger:
         self.log_format = log_format
         self.log_interval = log_interval
         self.epoch = epoch
+        # interactive tqdm bar (progress_bar.py:100-130 TqdmProgressBar):
+        # wrap() attaches the bar to an epoch iterator; log() drives
+        # set_postfix instead of emitting a line per interval
+        self._bar = None
+        if log_format == "tqdm":
+            try:
+                import tqdm as _tqdm  # noqa: F401
+            except ImportError:
+                logger.warning("tqdm not installed; falling back to simple")
+                self.log_format = "simple"
         self._tb = None
         if tensorboard_logdir:
             try:
@@ -246,13 +256,39 @@ class ProgressLogger:
                           for k, v in stats.items())
         return f"{tag} | {body}" if tag else body
 
+    def wrap(self, iterable, prefix: Optional[str] = None):
+        """Attach the interactive bar to an epoch iterator (TqdmProgressBar
+        wraps the iterable, progress_bar.py:100-113). No-op for the
+        line-oriented formats."""
+        if self.log_format != "tqdm":
+            return iterable
+        from tqdm import tqdm
+        try:
+            total = len(iterable)
+        except TypeError:
+            total = None
+        self._bar = tqdm(iterable, desc=prefix, total=total, leave=False)
+        return self._bar
+
     def log(self, stats: Dict[str, Any], tag: str = "train_inner",
             step: int = 0):
-        logger.info(self._fmt(stats, tag, step))
+        if self._bar is not None:
+            # set_postfix parity (progress_bar.py:115-123): refresh the
+            # bar's stat trailer instead of emitting one line per interval
+            self._bar.set_postfix({k: (f"{v:.4g}" if isinstance(v, float)
+                                       else v) for k, v in stats.items()},
+                                  refresh=False)
+        else:
+            logger.info(self._fmt(stats, tag, step))
         self._tb_write(stats, tag, step)
         self._sinks_write(stats, tag, step)
 
     def print(self, stats: Dict[str, Any], tag: str = "train", step: int = 0):
+        if self._bar is not None:
+            from tqdm import tqdm
+            self._bar.close()
+            self._bar = None
+            tqdm.write(self._fmt(stats, tag, step))
         logger.info(self._fmt(stats, tag, step))
         self._tb_write(stats, tag, step)
         self._sinks_write(stats, tag, step)

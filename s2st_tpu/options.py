@@ -27,7 +27,7 @@ def add_common_args(parser: argparse.ArgumentParser):
     p.add_argument("--task", default="s2s_translation")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--log-format", default="simple",
-                   choices=["simple", "json"])
+                   choices=["simple", "json", "tqdm"])
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--log-file", default=None)
     p.add_argument("--tensorboard-logdir", default=None)

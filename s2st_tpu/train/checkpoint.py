@@ -40,8 +40,19 @@ def _host_array(x) -> np.ndarray:
 
 
 def flatten_tree(tree, prefix="") -> Dict[str, np.ndarray]:
+    leaves = jax.tree_util.tree_leaves_with_path(tree)
+    # ONE batched device_get for every fully-addressable leaf: device_get
+    # on a list starts async copies for all leaves before blocking, so the
+    # fetch pipelines into a single transfer wave instead of ~700 serial
+    # round trips (on the tunneled chip the per-leaf path made each
+    # checkpoint save cost minutes); multi-host shards still gather per
+    # leaf via _host_array
+    addressable = [leaf for _, leaf in leaves
+                   if not (isinstance(leaf, jax.Array)
+                           and not leaf.is_fully_addressable)]
+    fetched = iter(jax.device_get(addressable))
     flat = {}
-    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+    for path, leaf in leaves:
         parts = []
         for k in path:
             if hasattr(k, "key"):
@@ -50,7 +61,11 @@ def flatten_tree(tree, prefix="") -> Dict[str, np.ndarray]:
                 parts.append(str(k.idx))
             else:
                 parts.append(str(k))
-        flat[prefix + _SEP.join(parts)] = _host_array(leaf)
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            val = _host_array(leaf)
+        else:
+            val = np.asarray(next(fetched))
+        flat[prefix + _SEP.join(parts)] = val
     return flat
 
 

@@ -295,12 +295,17 @@ class Trainer:
 
         self._accum = jax.jit(accum, out_shardings=diff_sh)
 
+        # donate params + opt state only: grads have no same-shaped output
+        # left to alias (new_diff aliases the donated params, mu/nu alias the
+        # donated opt state), so donating them is never usable and only
+        # produces "donated buffers were not usable" warnings every
+        # accumulation step
         self._apply_step = jax.jit(
             apply_grads,
             in_shardings=(diff_sh, opt_sh, rep, diff_sh,
                           rep, rep),
             out_shardings=(diff_sh, opt_sh, rep, rep, rep),
-            donate_argnums=(0, 1, 3))
+            donate_argnums=(0, 1))
 
         def valid_fn(params, stats, batch, rng):
             loss, extras = loss_fn({"params": params, "stats": stats},

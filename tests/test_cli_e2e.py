@@ -287,3 +287,14 @@ def test_generate_for_s2st_strategies(corpus, tmp_path):
     p_lines = [ln for ln in out.splitlines() if ln.startswith("P-")]
     assert len(p_lines) >= 4
     assert all(float(x) <= 0.0 for x in p_lines[0].split("\t")[1].split())
+
+
+def test_train_with_tqdm_progress(corpus, tmp_path):
+    """--log-format tqdm drives the interactive bar path through a real
+    epoch loop (reference TqdmProgressBar, progress_bar.py:100-130)."""
+    from s2st_tpu.cli.train import main as train_main
+    save_dir = tmp_path / "ckpts_tqdm"
+    rc = train_main(_train_args(corpus, save_dir,
+                                extra=("--log-format", "tqdm")))
+    assert rc == 0
+    assert (save_dir / "checkpoint2.npz").is_file()

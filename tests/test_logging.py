@@ -71,3 +71,35 @@ def test_missing_sink_libs_warn_not_crash(caplog):
     p = lu.ProgressLogger(wandb_project="p", azureml_logging=True)
     assert p._wandb is None and p._azureml is None
     p.log({"loss": 1.0})  # sinks disabled; must not raise
+
+
+def test_tqdm_format_wraps_and_postfixes():
+    """--log-format tqdm (reference TqdmProgressBar,
+    progress_bar.py:100-130): wrap() attaches a bar, log() drives
+    set_postfix (no per-interval lines), print() closes the bar and
+    writes one line."""
+    p = lu.ProgressLogger(log_format="tqdm")
+    wrapped = p.wrap(iter(range(5)), prefix="epoch 001")
+    assert p._bar is wrapped
+    out = list(wrapped)
+    assert out == [0, 1, 2, 3, 4]
+    p.log({"loss": 1.25, "num_updates": 3}, tag="train_inner", step=3)
+    assert p._bar.postfix and "1.25" in p._bar.postfix
+    p.print({"loss": 1.0}, tag="train", step=5)
+    assert p._bar is None  # closed at epoch boundary
+
+
+def test_tqdm_format_falls_back_without_tqdm(monkeypatch):
+    import builtins
+    real_import = builtins.__import__
+
+    def block_tqdm(name, *a, **kw):
+        if name == "tqdm":
+            raise ImportError("blocked")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", block_tqdm)
+    monkeypatch.delitem(sys.modules, "tqdm", raising=False)
+    p = lu.ProgressLogger(log_format="tqdm")
+    assert p.log_format == "simple"
+    assert p.wrap(iter([1, 2])) is not None  # plain passthrough

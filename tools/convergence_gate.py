@@ -101,6 +101,14 @@ def run_s2st(work: Path, fast: bool):
         "--max-source-positions", "128", "--max-target-positions", "128",
         "--required-batch-size-multiple", "1", "--log-interval", "8",
         "--validate-interval", "4",
+        # aux ASR/ST decoders ON so their accuracy meters can be gated
+        # (reference logs these, examples/s2s_trans/criterions/
+        # s2st_loss.py:369-392): the corpus texts are the token sequences,
+        # so a learning model drives both accuracies toward 1.0
+        "--asr-ce-weight", "0.3", "--st-ce-weight", "0.3",
+        "--report-accuracy", "--label-smoothing", "0.1",
+        "--asr-decoder-layers", "1", "--st-decoder-layers", "1",
+        "--asr-decoder-embed-dim", "32", "--st-decoder-embed-dim", "32",
         "--eval-inference", "--best-checkpoint-metric", "mcd_loss",
         "--spec-bwd-max-iter", "2",
         "--log-format", "json", "--log-file", str(log),
@@ -110,6 +118,10 @@ def run_s2st(work: Path, fast: bool):
     mcd = [d["valid_mcd_loss"] for d in valids if "valid_mcd_loss" in d]
     ins = [d.get("valid_ins_rate") for d in valids
            if "valid_mcd_loss" in d]
+    asr_acc = [d["valid_asr_n_correct"] / max(d["valid_asr_total"], 1.0)
+               for d in valids if d.get("valid_asr_total")]
+    st_acc = [d["valid_st_n_correct"] / max(d["valid_st_total"], 1.0)
+              for d in valids if d.get("valid_st_total")]
     trains = [d for d in parse_log(log, "train_loss")
               if "train_loss" in d]
     tloss = [d["train_loss"] for d in trains]
@@ -121,6 +133,10 @@ def run_s2st(work: Path, fast: bool):
         gates = {
             "dev_mcd_improves_from_peak": len(mcd) >= 2
             and mcd[-1] < max(mcd),
+            "aux_asr_accuracy_rises": len(asr_acc) >= 2
+            and asr_acc[-1] > asr_acc[0],
+            "aux_st_accuracy_rises": len(st_acc) >= 2
+            and st_acc[-1] > st_acc[0],
             "train_loss_falls": len(sm) >= 2 and sm[-1] < sm[0],
         }
     else:
@@ -130,14 +146,33 @@ def run_s2st(work: Path, fast: bool):
             "dev_mcd_below_4": bool(mcd) and mcd[-1] < 4.0,
             "insertion_rate_below_1": bool(ins) and ins[-1] is not None
             and ins[-1] < 1.0,
+            # strength gates on the aux recognition/translation streams
+            # (dev accuracy on UNSEEN sequences; deterministic corpus, so
+            # a learning model should read/translate nearly every token)
+            "aux_asr_dev_accuracy_85": bool(asr_acc) and asr_acc[-1] >= 0.85,
+            "aux_st_dev_accuracy_85": bool(st_acc) and st_acc[-1] >= 0.85,
             "train_loss_falls": len(sm) >= 2 and sm[-1] < sm[0],
         }
+    margins = {}
+    if mcd:
+        margins["mcd_final_over_peak"] = round(mcd[-1] / max(mcd), 4)
+        margins["mcd_final"] = round(mcd[-1], 4)
+    if ins and ins[-1] is not None:
+        margins["ins_rate_final"] = round(ins[-1], 4)
+    if asr_acc:
+        margins["aux_asr_dev_accuracy"] = round(asr_acc[-1], 4)
+    if st_acc:
+        margins["aux_st_dev_accuracy"] = round(st_acc[-1], 4)
     return {"vertical": "s2st", "epochs": epochs,
             "dev_mcd_trajectory": [round(x, 4) for x in mcd],
             "dev_ins_rate_trajectory": [round(x, 4) for x in ins
                                         if x is not None],
+            "dev_aux_asr_accuracy_trajectory": [round(x, 4)
+                                                for x in asr_acc],
+            "dev_aux_st_accuracy_trajectory": [round(x, 4) for x in st_acc],
             "train_loss_trajectory": [round(x, 4) for x in tloss],
-            "gates": gates, "passed": all(gates.values())}
+            "gates": gates, "margins": margins,
+            "passed": all(gates.values())}
 
 
 def run_mt(work: Path, fast: bool):
@@ -186,10 +221,37 @@ def run_mt(work: Path, fast: bool):
             "valid_bleu_ends_above_30": bool(bleu) and bleu[-1] >= 30.0,
             "valid_loss_falls": len(vloss) >= 2 and vloss[-1] < vloss[0],
         }
+    margins = {"best_bleu": round(max(bleu), 2) if bleu else None,
+               "final_bleu": round(bleu[-1], 2) if bleu else None}
     return {"vertical": "mt", "epochs": epochs,
             "valid_bleu_trajectory": [round(x, 2) for x in bleu],
             "valid_loss_trajectory": [round(x, 4) for x in vloss],
-            "gates": gates, "passed": all(gates.values())}
+            "gates": gates, "margins": margins,
+            "passed": all(gates.values())}
+
+
+def markov_entropy_floor_nats(valid_txt: Path, trans, start,
+                              min_len: int, max_len: int) -> float:
+    """EXACT per-token NLL of the optimal predictor on the realized valid
+    stream: documents are iid, lengths Uniform{min..max} independent of
+    content, and ``--sample-break-mode complete`` keeps every document
+    whole within a block, so the optimal predictor always knows the
+    position within the current document. Per symbol:
+      first token      -log start[t0]
+      token at pos k   -log((1-h_k) * trans[t_{k-1}][t_k]),
+                       h_k = P(L=k | L>=k) = [k>=min] / (max-k+1)
+      eos after L      -log h_L
+    No model can average below this on the same stream."""
+    tot, n = 0.0, 0
+    for line in Path(valid_txt).read_text().splitlines():
+        toks = [int(w[1:]) for w in line.split()]
+        tot += -math.log(start[toks[0]])
+        for k in range(1, len(toks)):
+            h = 0.0 if k < min_len else 1.0 / (max_len - k + 1)
+            tot += -math.log((1.0 - h) * trans[toks[k - 1]][toks[k]])
+        tot += -math.log(1.0 / (max_len - len(toks) + 1))
+        n += len(toks) + 1
+    return tot / n
 
 
 def run_lm(work: Path, fast: bool):
@@ -223,17 +285,33 @@ def run_lm(work: Path, fast: bool):
     # valid_loss is nats/token; uniform baseline over the built dictionary
     # (12 words + 4 specials, but only eos is emittable among specials)
     uniform_nats = math.log(13)
+    # strength bound: the Markov corpus's own computable entropy rate —
+    # a model could halve the uniform baseline and still be far from
+    # having learned the chain; this gate can't be gamed that way
+    floor_nats = markov_entropy_floor_nats(
+        Path(c["prefs"]["valid"]), c["trans"], c["start"],
+        c["min_len"], c["max_len"])
     ppl = [math.exp(x) for x in vloss]
     gates = {
         "valid_loss_improves_30pct": len(vloss) >= 2
         and vloss[-1] <= 0.70 * vloss[0],
         "beats_uniform_baseline": bool(vloss) and vloss[-1] < uniform_nats,
+        "within_25pct_of_entropy_floor": bool(vloss)
+        and vloss[-1] <= 1.25 * floor_nats,
+    }
+    margins = {
+        "entropy_floor_nats": round(floor_nats, 4),
+        "entropy_floor_ppl": round(math.exp(floor_nats), 2),
+        "final_nats": round(vloss[-1], 4) if vloss else None,
+        "final_over_floor": round(vloss[-1] / floor_nats, 4)
+        if vloss else None,
     }
     return {"vertical": "lm", "epochs": epochs,
             "valid_loss_trajectory": [round(x, 4) for x in vloss],
             "valid_ppl_trajectory": [round(x, 2) for x in ppl],
             "uniform_baseline_ppl": round(math.exp(uniform_nats), 2),
-            "gates": gates, "passed": all(gates.values())}
+            "gates": gates, "margins": margins,
+            "passed": all(gates.values())}
 
 
 RUNNERS = {"s2st": run_s2st, "mt": run_mt, "lm": run_lm}

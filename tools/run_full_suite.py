@@ -52,8 +52,16 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     files = sorted(p.name for p in (REPO / "tests").glob("test_*.py"))
+    # FENCE the pipeline-parallel files into their own single-file shards:
+    # the round-3/4 SIGABRT ghost lived in the PP/TP composition path after
+    # ~250 compiled mesh programs accumulated in one long-lived XLA CPU
+    # process (ROADMAP round-4 §0); a fresh interpreter per PP file keeps an
+    # abort there attributable and unable to poison a mixed shard.
+    FENCED = [f for f in files if f.startswith("test_pipeline")]
+    files = [f for f in files if f not in FENCED]
     n = args.shards
     shards = [files[i::n] for i in range(n)]
+    shards += [[f] for f in FENCED]
     shards = [s for s in shards if s]
 
     env = dict(os.environ)

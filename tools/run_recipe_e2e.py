@@ -1,0 +1,416 @@
+"""Run the WHOLE baseline recipe (recipes/run_baseline.sh stages 1-11) as
+one product and record the evidence (RECIPE_RUN.json).
+
+The reference's deliverable is examples/s2s_trans/run_baseline.sh:55-202 —
+manifests -> g2p -> features -> train -> average-15 -> waveform dump ->
+ASR-BLEU -> multi-reference BLEU -> aux ASR WER -> aux ST BLEU — as ONE
+pipeline. Every stage here is the fork's own CLI, driven through the
+committed recipe script itself (env-var operating-point overrides only, the
+same knobs the recipe exposes), so a failure in any stage is visible as a
+non-zero rc in the artifact.
+
+Environment substitutions (both env-blocked upstream assets):
+  - Fisher corpus       -> synthetic paired-audio corpus with REAL learnable
+    structure: each vocabulary word has a fixed multi-harmonic tone
+    prototype; src utterances speak English-ish words, tgt utterances speak
+    the mapped Chinese characters (CJK targets keep the g2p stage's
+    latin-target drop rule inert, mirroring the en->zh TED direction the
+    phonemizer models). Rendered as real 16 kHz wavs so stage 3 does real
+    fbank/logmel extraction.
+  - paper wav2vec2 ASR  -> a tiny Wav2Vec2ForCTC TRAINED here (torch CPU)
+    on the corpus's target-side audio, so stage 8's ASR-BLEU measures the
+    S2ST model's output intelligibility instead of scoring noise against a
+    random-init transcriber.
+
+Usage: python tools/run_recipe_e2e.py [--workdir DIR] [--json RECIPE_RUN.json]
+       [--target-epochs N] [--keep-workdir]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+import wave as wave_mod
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+logging.basicConfig(level=logging.INFO, stream=sys.stdout,
+                    format="%(asctime)s | recipe_e2e | %(message)s")
+log = logging.getLogger("recipe_e2e")
+
+SRC_WORDS = ["red", "blue", "green", "gold", "black",
+             "white", "pink", "gray", "brown", "teal"]
+TGT_CHARS = list("一二三四五六七八九十")
+SR = 16000
+WORD_DUR = 0.22          # seconds per rendered word
+GAP_DUR = 0.03           # inter-word silence
+
+
+def _render_word(idx: int, base: float, step: float,
+                 rng: np.random.RandomState) -> np.ndarray:
+    """One word = a fixed 3-harmonic tone at a word-specific f0, with an
+    attack/release envelope. Deterministic prototype + per-utterance noise."""
+    n = int(WORD_DUR * SR)
+    t = np.arange(n) / SR
+    f0 = base + step * idx
+    x = (0.55 * np.sin(2 * np.pi * f0 * t)
+         + 0.25 * np.sin(2 * np.pi * 2 * f0 * t)
+         + 0.12 * np.sin(2 * np.pi * 3 * f0 * t))
+    env = np.minimum(1.0, np.minimum(np.arange(n), np.arange(n)[::-1])
+                     / (0.015 * SR))
+    x = 0.5 * x * env + 0.008 * rng.randn(n)
+    return np.concatenate([x, np.zeros(int(GAP_DUR * SR))])
+
+
+def _write_wav(path: Path, x: np.ndarray) -> None:
+    q = np.clip(x, -1.0, 1.0)
+    pcm = (q * 32767.0).astype("<i2")
+    with wave_mod.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes(pcm.tobytes())
+
+
+def make_wav_corpus(root: Path, n_train=192, n_dev=24, n_tst=24, seed=0,
+                    min_words=3, max_words=6):
+    """<root>/wavs/*.wav + meta_{train,dev,tst}.tsv + refs/en.0.norm.lc.rm.
+
+    Token sequences are sampled independently per split from 10^3..10^6
+    possibilities, so dev/tst are unseen in train with high probability."""
+    root = Path(root)
+    wav_dir = root / "wavs"
+    wav_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    splits = {"train": n_train, "dev": n_dev, "tst": n_tst}
+    meta = {}
+    for split, n in splits.items():
+        rows = []
+        for i in range(n):
+            k = rng.randint(min_words, max_words + 1)
+            toks = rng.randint(0, len(SRC_WORDS), size=k)
+            src = np.concatenate([_render_word(t, 320.0, 145.0, rng)
+                                  for t in toks])
+            tgt = np.concatenate([_render_word(t, 260.0, 125.0, rng)
+                                  for t in toks])
+            uid = f"{split}_{i:04d}"
+            _write_wav(wav_dir / f"{uid}_src.wav", src)
+            _write_wav(wav_dir / f"{uid}_tgt.wav", tgt)
+            rows.append({
+                "id": uid,
+                "src_wav": f"wavs/{uid}_src.wav",
+                "tgt_wav": f"wavs/{uid}_tgt.wav",
+                "src_text": " ".join(SRC_WORDS[t] for t in toks),
+                "tgt_text": "".join(TGT_CHARS[t] for t in toks),
+                "speaker": "spk0",
+            })
+        meta[split] = rows
+        with open(root / f"meta_{split}.tsv", "w", encoding="utf-8") as f:
+            cols = ["id", "src_wav", "tgt_wav", "src_text", "tgt_text",
+                    "speaker"]
+            f.write("\t".join(cols) + "\n")
+            for r in rows:
+                f.write("\t".join(str(r[c]) for c in cols) + "\n")
+    # stage-9 multi-reference file: spaced target chars, tst manifest order
+    # (matches the g2p chars-fallback phonemization of tgt_text)
+    refs = root / "refs"
+    refs.mkdir(exist_ok=True)
+    with open(refs / "en.0.norm.lc.rm", "w", encoding="utf-8") as f:
+        for r in meta["tst"]:
+            f.write(" ".join(r["tgt_text"]) + "\n")
+    return meta
+
+
+def _load_wav(path: Path) -> np.ndarray:
+    with wave_mod.open(str(path), "rb") as w:
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    return pcm.astype(np.float32) / 32767.0
+
+
+def train_tiny_asr(model_dir: Path, corpus_root: Path, train_rows,
+                   steps=500, seed=0):
+    """Train a tiny Wav2Vec2ForCTC on the corpus's TARGET audio (torch CPU)
+    so stage 8's ASR-BLEU is a real intelligibility measurement. Stands in
+    for the env-blocked paper checkpoint; the loading/inference path in
+    cli/evaluate_s2s_bleu is identical (HF Processor + ForCTC dir)."""
+    import torch
+    from transformers import (Wav2Vec2Config, Wav2Vec2CTCTokenizer,
+                              Wav2Vec2FeatureExtractor, Wav2Vec2ForCTC,
+                              Wav2Vec2Processor)
+    torch.manual_seed(seed)
+    model_dir.mkdir(parents=True, exist_ok=True)
+    vocab = {"<pad>": 0, "<unk>": 1, "|": 2}
+    for c in TGT_CHARS:
+        vocab[c] = len(vocab)
+    with open(model_dir / "vocab.json", "w", encoding="utf-8") as f:
+        json.dump(vocab, f, ensure_ascii=False)
+    tok = Wav2Vec2CTCTokenizer(str(model_dir / "vocab.json"),
+                               unk_token="<unk>", pad_token="<pad>",
+                               word_delimiter_token="|")
+    fe = Wav2Vec2FeatureExtractor(feature_size=1, sampling_rate=SR,
+                                  padding_value=0.0, do_normalize=True,
+                                  return_attention_mask=False)
+    Wav2Vec2Processor(feature_extractor=fe,
+                      tokenizer=tok).save_pretrained(str(model_dir))
+    # shallow 160x conv frontend: the stock 7-layer/320x stack needs ~5x
+    # more CTC steps to escape blank collapse on tone words (measured)
+    cfg = Wav2Vec2Config(vocab_size=len(vocab), hidden_size=128,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         intermediate_size=256, conv_dim=(64, 64, 64),
+                         conv_kernel=(10, 8, 8), conv_stride=(8, 4, 5),
+                         ctc_loss_reduction="mean", pad_token_id=0,
+                         apply_spec_augment=False)
+    model = Wav2Vec2ForCTC(cfg)
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+
+    waves = [_load_wav(corpus_root / r["tgt_wav"]) for r in train_rows]
+    texts = [" ".join(r["tgt_text"]) for r in train_rows]
+    labels = [tok(t).input_ids for t in texts]
+    rng = np.random.RandomState(seed)
+    bsz = 16
+    losses = []
+    for step in range(steps):
+        idx = rng.randint(0, len(waves), size=bsz)
+        # mild robustness augmentation: random gain + noise, so the ASR
+        # survives Griffin-Lim phase artifacts in the dumped predictions
+        ws = [waves[i] * rng.uniform(0.6, 1.4)
+              + rng.randn(len(waves[i])).astype(np.float32)
+              * rng.uniform(0.0, 0.02) for i in idx]
+        maxlen = max(len(w) for w in ws)
+        batch = np.zeros((bsz, maxlen), np.float32)
+        for j, w in enumerate(ws):
+            w = (w - w.mean()) / (w.std() + 1e-7)   # do_normalize=True
+            batch[j, :len(w)] = w
+        maxlab = max(len(labels[i]) for i in idx)
+        lab = np.full((bsz, maxlab), -100, np.int64)
+        for j, i in enumerate(idx):
+            lab[j, :len(labels[i])] = labels[i]
+        out = model(input_values=torch.from_numpy(batch),
+                    labels=torch.from_numpy(lab))
+        opt.zero_grad()
+        out.loss.backward()
+        opt.step()
+        losses.append(float(out.loss))
+        if step % 100 == 0:
+            log.info(f"tiny-ASR step {step}: ctc loss {out.loss:.3f}")
+    model.save_pretrained(str(model_dir))
+
+    # sanity: greedy-decode exact-match rate on clean train audio
+    model.eval()
+    hits = 0
+    probe = min(24, len(waves))
+    with torch.no_grad():
+        for i in range(probe):
+            w = waves[i]
+            w = (w - w.mean()) / (w.std() + 1e-7)
+            ids = model(torch.from_numpy(w[None])).logits.argmax(-1)[0]
+            hyp = tok.decode(ids.tolist())
+            hits += int(hyp == texts[i])
+    return {"ctc_loss_first": round(float(np.mean(losses[:20])), 3),
+            "ctc_loss_final": round(float(np.mean(losses[-20:])), 3),
+            "train_greedy_exact": round(hits / probe, 3)}
+
+
+def run_stage(n: int, env: dict, log_dir: Path):
+    t0 = time.time()
+    p = subprocess.run(
+        ["bash", str(REPO / "recipes" / "run_baseline.sh")],
+        env=env, cwd=str(REPO), capture_output=True, text=True,
+        timeout=7200)
+    wall = time.time() - t0
+    (log_dir / f"stage{n}.log").write_text(
+        p.stdout + "\n==== STDERR ====\n" + p.stderr)
+    tail = "\n".join((p.stdout.strip() or p.stderr.strip()).splitlines()[-4:])
+    log.info(f"stage {n}: rc={p.returncode} in {wall:.1f}s")
+    return {"stage": n, "rc": p.returncode, "wall_s": round(wall, 1),
+            "tail": tail}, p.stdout
+
+
+def count_epoch_ckpts(save_dir: Path) -> int:
+    return len([p for p in save_dir.glob("checkpoint[0-9]*.npz")
+                if re.fullmatch(r"checkpoint(\d+)\.npz", p.name)])
+
+
+def posthoc_mcd(dump_dir: Path):
+    """Corpus MCD-DTW + insertion rate over the stage-7 dumped
+    {id}_pred.wav / {id}_targ.wav pairs, with the same normalization the
+    validation meter uses (mcd_loss sum / target frames)."""
+    import jax.numpy as jnp
+    from s2st_tpu.ops.mcd import batch_mcd
+    wav_dir = dump_dir / "wav"
+    pairs = []
+    for pred in sorted(wav_dir.glob("*_pred.wav")):
+        targ = wav_dir / pred.name.replace("_pred.wav", "_targ.wav")
+        if targ.exists():
+            pairs.append((_load_wav(pred), _load_wav(targ)))
+    if not pairs:
+        return {"error": "no pred/targ wav pairs dumped"}
+    pmax = max(len(p) for p, _ in pairs)
+    tmax = max(len(t) for _, t in pairs)
+    pw = np.zeros((len(pairs), pmax), np.float32)
+    tw = np.zeros((len(pairs), tmax), np.float32)
+    pl = np.zeros(len(pairs), np.int32)
+    tl = np.zeros(len(pairs), np.int32)
+    for i, (p, t) in enumerate(pairs):
+        pw[i, :len(p)], tw[i, :len(t)] = p, t
+        pl[i], tl[i] = len(p), len(t)
+    sums = batch_mcd(jnp.asarray(pw), jnp.asarray(pl),
+                     jnp.asarray(tw), jnp.asarray(tl), SR)
+    tf = float(sums["targ_frames"])
+    return {"n_utts": len(pairs),
+            "mcd_dtw": round(float(sums["mcd_loss"]) / tf, 4),
+            "ins_rate": round(float(sums["nins"]) / tf, 4),
+            "del_rate": round(float(sums["ndel"]) / tf, 4)}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser("run_recipe_e2e")
+    ap.add_argument("--workdir", default=str(REPO / ".recipe_run"))
+    ap.add_argument("--json", default=str(REPO / "RECIPE_RUN.json"))
+    ap.add_argument("--target-epochs", type=int, default=20,
+                    help="epoch checkpoints to aim for (stage 6 averages 15)")
+    ap.add_argument("--max-update", type=int, default=200,
+                    help="initial stage-5 budget; extended epoch-aware "
+                         "until >=16 epoch checkpoints exist")
+    ap.add_argument("--asr-steps", type=int, default=1200)
+    ap.add_argument("--keep-workdir", action="store_true")
+    args = ap.parse_args(argv)
+
+    work = Path(args.workdir)
+    if work.exists():
+        shutil.rmtree(work)
+    work.mkdir(parents=True)
+    log_dir = work / "logs"
+    log_dir.mkdir()
+
+    record = {"recorded_unix": round(time.time(), 1),
+              "recipe": "recipes/run_baseline.sh",
+              "reference": "examples/s2s_trans/run_baseline.sh:55-202",
+              "stages": [], "metrics": {}, "notes": []}
+    try:
+        import jax
+        record["platform"] = str(jax.devices()[0])
+    except Exception as e:  # pragma: no cover
+        record["platform"] = f"unavailable: {e}"
+
+    corpus_root = work / "corpus"
+    t0 = time.time()
+    meta = make_wav_corpus(corpus_root)
+    record["corpus"] = {
+        "kind": "synthetic paired tone-prototype corpus (learnable; "
+                "Fisher data is env-blocked)",
+        "n_train": len(meta["train"]), "n_dev": len(meta["dev"]),
+        "n_tst": len(meta["tst"]), "vocab": len(SRC_WORDS),
+        "gen_wall_s": round(time.time() - t0, 1)}
+    log.info(f"corpus: {record['corpus']}")
+
+    t0 = time.time()
+    asr_dir = work / "tiny_asr"
+    record["asr"] = train_tiny_asr(asr_dir, corpus_root, meta["train"],
+                                   steps=args.asr_steps)
+    record["asr"]["wall_s"] = round(time.time() - t0, 1)
+    record["asr"]["note"] = ("tiny Wav2Vec2ForCTC trained on the corpus "
+                             "tgt audio (paper ASR ckpt is env-blocked)")
+    log.info(f"tiny ASR: {record['asr']}")
+
+    save_dir = work / "ckpt"
+    dump_dir = save_dir / "dump_wav_tst"
+    base_env = {
+        **os.environ,
+        "AUDIO_MANIFEST_ROOT": str(work / "audio_manifests"),
+        "FEATURE_MANIFEST_ROOT": str(work / "features"),
+        "SAVE_DIR": str(save_dir),
+        "SPLIT": "tst",
+        "METADATA_TSVS": " ".join(
+            f"{s}:{corpus_root / f'meta_{s}.tsv'}"
+            for s in ("train", "dev", "tst")),
+        "AUDIO_DATA_ROOT": str(corpus_root),
+        "g2p_nj": "2",
+        "asr_model_path": str(asr_dir),
+        "multi_ref_dir": str(corpus_root / "refs"),
+        # operating-point scale-down for the synthetic corpus (all are
+        # env knobs the recipe itself exposes; flags stay the reference's)
+        "max_tokens": "2000",
+        "warmup_updates": "60",
+        "num_workers": "2",
+    }
+
+    outputs = {}
+    failed = False
+    max_update = args.max_update
+    for n in (1, 2, 3, 5, 6, 7, 8, 9, 10, 11):
+        env = dict(base_env, stage=str(n), stop_stage=str(n),
+                   max_update=str(max_update))
+        entry, out = run_stage(n, env, log_dir)
+        if n == 5:
+            # need >=16 epoch checkpoints for the avg-15 stage; updates/epoch
+            # is only known empirically, so extend the budget epoch-aware
+            # (resume-from-checkpoint_last) instead of blind doubling
+            tries = 0
+            while entry["rc"] == 0 and tries < 3 \
+                    and count_epoch_ckpts(save_dir) < 16:
+                epochs = max(count_epoch_ckpts(save_dir), 1)
+                upe = max_update / epochs
+                max_update = int(np.ceil(upe * args.target_epochs) + upe)
+                tries += 1
+                log.info(f"stage 5: {epochs} epoch ckpts < 16 "
+                         f"(~{upe:.1f} upd/epoch) -> resume to "
+                         f"max_update={max_update}")
+                env = dict(base_env, stage="5", stop_stage="5",
+                           max_update=str(max_update))
+                more, out = run_stage(5, env, log_dir)
+                entry["rc"] = more["rc"]
+                entry["wall_s"] += more["wall_s"]
+                entry["tail"] = more["tail"]
+            entry["epoch_checkpoints"] = count_epoch_ckpts(save_dir)
+            entry["max_update"] = max_update
+        record["stages"].append(entry)
+        outputs[n] = out
+        if entry["rc"] != 0:
+            failed = True
+            log.error(f"stage {n} FAILED (rc={entry['rc']}) — "
+                      f"see {log_dir}/stage{n}.log")
+            break
+
+    if not failed:
+        m = record["metrics"]
+        b = re.search(r"BLEU[^=]*= ?([\d.]+)", outputs.get(8, ""))
+        m["asr_bleu"] = float(b.group(1)) if b else None
+        b = re.search(r"BLEU4? ?[^=]*= ?([\d.]+)", outputs.get(9, ""))
+        m["multi_ref_bleu"] = float(b.group(1)) if b else None
+        b = re.search(r"WER: ?([\d.]+)", outputs.get(10, ""))
+        m["aux_asr_wer"] = float(b.group(1)) if b else None
+        b = re.search(r"beam=\d+: .*?BLEU[^=]*= ?([\d.]+)",
+                      outputs.get(11, ""))
+        m["aux_st_bleu"] = float(b.group(1)) if b else None
+        t0 = time.time()
+        m["test_set"] = posthoc_mcd(dump_dir)
+        m["test_set"]["wall_s"] = round(time.time() - t0, 1)
+        log.info(f"metrics: {m}")
+
+    record["ok"] = (not failed
+                    and all(s["rc"] == 0 for s in record["stages"]))
+    record["total_wall_s"] = round(
+        sum(s["wall_s"] for s in record["stages"]), 1)
+    Path(args.json).write_text(json.dumps(record, indent=1,
+                                          ensure_ascii=False) + "\n")
+    log.info(f"wrote {args.json} (ok={record['ok']})")
+    if not args.keep_workdir and record["ok"]:
+        shutil.rmtree(work, ignore_errors=True)
+    return 0 if record["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
