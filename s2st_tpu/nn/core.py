@@ -155,10 +155,15 @@ def _maybe_quantize_activation(y: jnp.ndarray) -> jnp.ndarray:
         return cache["scales"][i], cache["zps"][i]
 
     # qact.py:60-63 parity: recompute every update_step passes, reuse the
-    # cached qparams otherwise (cond executes only the taken branch, so
-    # the expensive observer really is skipped at runtime)
-    scale, zp = _jax.lax.cond(cache["recompute"], _fresh, _cached,
-                              operand=None)
+    # cached qparams otherwise. A STATIC python-bool recompute (trainer's
+    # host-side step counter) compiles the taken branch straight-line —
+    # no per-site cond launch; a traced recompute falls back to lax.cond
+    # (which still executes only the taken branch at runtime)
+    if isinstance(cache["recompute"], bool):
+        scale, zp = _fresh(None) if cache["recompute"] else _cached(None)
+    else:
+        scale, zp = _jax.lax.cond(cache["recompute"], _fresh, _cached,
+                                  operand=None)
     cache["new"].append((scale, zp))
     return scalar_qat_activation(y, train=train, bits=bits, method=method,
                                  scale=scale, zero_point=zp)

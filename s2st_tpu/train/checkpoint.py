@@ -98,12 +98,8 @@ def unflatten_into(tree, flat: Dict[str, np.ndarray], prefix="",
     return jax.tree_util.tree_map_with_path(rebuild, tree)
 
 
-def save_checkpoint_file(path: str, state, extra_meta: Optional[Dict] = None):
-    """state: TrainState-like with params/stats/opt_state/step.
-
-    Checkpoints are always written in the per-layer layout: a pipeline-
-    parallel run's pre-stacked state (parallel.pipeline) is unstacked here
-    so its checkpoints load into non-PP runs (and torch export) unchanged."""
+def _flatten_state(state, extra_meta: Optional[Dict] = None) -> Dict:
+    """Host-side flat dict for a TrainState (one batched device fetch)."""
     from ..parallel.pipeline import tree_is_stacked, unstack_pipeline_tree
     from .optim import adam_state_is_flat, unflatten_adam_state
     params, opt_state = state.params, state.opt_state
@@ -122,15 +118,46 @@ def save_checkpoint_file(path: str, state, extra_meta: Optional[Dict] = None):
     meta["step"] = int(jax.device_get(state.step))
     flat["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    return flat
+
+
+def save_checkpoint_files(paths, state, extra_meta: Optional[Dict] = None):
+    """Write ONE state to several checkpoint names (epoch N + last + best
+    all snapshot the same update): flatten/fetch once, np.savez once,
+    hard-link the remaining names (copy when the fs refuses links). The
+    naive loop paid a full device fetch + gigabyte write per name."""
+    flat = _flatten_state(state, extra_meta)
     if jax.process_index() != 0:
         # multi-host: the flatten above is a COLLECTIVE (process_allgather
         # of sharded leaves) so every process reaches it; only rank 0
         # touches the filesystem (fairseq trainer.py:205-212)
         return
-    tmp = path + ".tmp.npz"
+    step = json.loads(bytes(flat["__meta__"]))["step"]
+    first = paths[0]
+    tmp = first + ".tmp.npz"
     np.savez(tmp, **flat)
-    os.replace(tmp, path)
-    logger.info(f"saved checkpoint to {path} (step {meta['step']})")
+    os.replace(tmp, first)
+    logger.info(f"saved checkpoint to {first} (step {step})")
+    for path in paths[1:]:
+        tmp = path + ".tmp.npz"
+        try:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            os.link(first, tmp)
+        except OSError:
+            import shutil
+            shutil.copyfile(first, tmp)
+        os.replace(tmp, path)
+        logger.info(f"saved checkpoint to {path} (step {step})")
+
+
+def save_checkpoint_file(path: str, state, extra_meta: Optional[Dict] = None):
+    """state: TrainState-like with params/stats/opt_state/step.
+
+    Checkpoints are always written in the per-layer layout: a pipeline-
+    parallel run's pre-stacked state (parallel.pipeline) is unstacked here
+    so its checkpoints load into non-PP runs (and torch export) unchanged."""
+    save_checkpoint_files([path], state, extra_meta)
 
 
 def peek_meta(path: str) -> Dict:
@@ -304,31 +331,36 @@ class CheckpointManager:
              extra_meta: Optional[Dict] = None):
         meta = dict(extra_meta or {})
         meta["epoch"] = epoch
+        # every name written here snapshots the SAME state: collect them
+        # and let save_checkpoint_files fetch/serialize once + link
+        targets = []
         if val_metric is not None:
             meta["val_metric"] = float(val_metric)
             if self.best is None or (val_metric > self.best if self.maximize
                                      else val_metric < self.best):
                 self.best = float(val_metric)
-                save_checkpoint_file(
-                    str(self.save_dir / "checkpoint_best.npz"), state, meta)
-        if end_of_epoch and not self.no_epoch_checkpoints:
-            save_checkpoint_file(
-                str(self.save_dir / f"checkpoint{epoch}.npz"), state, meta)
-            self._gc_epochs()
-        if not end_of_epoch and num_updates is not None:
+                targets.append("checkpoint_best.npz")
+        wrote_epoch = end_of_epoch and not self.no_epoch_checkpoints
+        if wrote_epoch:
+            targets.append(f"checkpoint{epoch}.npz")
+        wrote_interval = not end_of_epoch and num_updates is not None
+        if wrote_interval:
             # mid-epoch update checkpoint (--save-interval-updates;
             # checkpoint_utils.py:74-78 checkpoint_{epoch}_{updates}.pt)
-            save_checkpoint_file(
-                str(self.save_dir / f"checkpoint_{epoch}_{num_updates}.npz"),
-                state, meta)
+            targets.append(f"checkpoint_{epoch}_{num_updates}.npz")
+        if val_metric is not None and self.keep_best > 0:
+            targets.append(f"checkpoint.best_{self.metric}_"
+                           f"{val_metric:.3f}."
+                           f"{int(jax.device_get(state.step))}.npz")
+        targets.append("checkpoint_last.npz")
+        save_checkpoint_files([str(self.save_dir / t) for t in targets],
+                              state, meta)
+        if wrote_epoch:
+            self._gc_epochs()
+        if wrote_interval:
             self._gc_updates()
         if val_metric is not None and self.keep_best > 0:
-            name = (f"checkpoint.best_{self.metric}_{val_metric:.3f}."
-                    f"{int(jax.device_get(state.step))}.npz")
-            save_checkpoint_file(str(self.save_dir / name), state, meta)
             self._gc_best()
-        save_checkpoint_file(
-            str(self.save_dir / "checkpoint_last.npz"), state, meta)
 
     def _gc_epochs(self):
         if self.keep_last_epochs <= 0 or jax.process_index() != 0:

@@ -435,35 +435,46 @@ def wrap_loss_quant_noise(loss_fn: Callable, pq_p: float = 0.0,
     Measured on v5e at the flagship recipe point: every-step observers
     cost 187.9 ms/step vs 68.3 baseline; amortized ~parity."""
 
-    def _amortized_weights(params, qrng, qcache, step):
-        recompute = (step % scalar_update_step) == 0
+    def _amortized_weights(params, qrng, qcache, step, recompute=None):
+        if recompute is None:
+            recompute = (step % scalar_update_step) == 0
         leaves = list(iter_quantizable(params))
-        new_s, new_z = [], []
+
+        def _fresh_all():
+            ss, zz = [], []
+            for path, kind, sub in leaves:
+                axis = 0 if kind == "Linear" else 1
+                w32 = jax.lax.stop_gradient(sub["w"].astype(jnp.float32))
+                s, zp = q.observe(w32, scalar_method, scalar_bits, axis=axis)
+                ss.append(jnp.asarray(s, jnp.float32).reshape(()))
+                zz.append(jnp.asarray(zp, jnp.float32).reshape(()))
+            return jnp.stack(ss), jnp.stack(zz)
+
+        if isinstance(recompute, bool):
+            # STATIC recompute flag (trainer host-side step counter): the
+            # taken branch is compiled straight-line — the per-step program
+            # carries zero observer code and zero control flow. ~350
+            # lax.cond launches per step were the bulk of the residual QAT
+            # overhead (each cond is its own un-fusable launch).
+            svec, zvec = _fresh_all() if recompute \
+                else (qcache["w_scale"], qcache["w_zp"])
+        else:
+            # dynamic step (no host counter available): ONE cond over the
+            # whole stacked observer pass instead of one cond per leaf
+            svec, zvec = jax.lax.cond(
+                recompute, lambda _: _fresh_all(),
+                lambda _: (qcache["w_scale"], qcache["w_zp"]), operand=None)
         for i, (path, kind, sub) in enumerate(leaves):
             k = jax.random.fold_in(qrng, i)
             axis = 0 if kind == "Linear" else 1
-            w32 = jax.lax.stop_gradient(sub["w"].astype(jnp.float32))
-
-            def _fresh(_, w32=w32, axis=axis):
-                s, zp = q.observe(w32, scalar_method, scalar_bits,
-                                  axis=axis)
-                return (jnp.asarray(s, jnp.float32).reshape(()),
-                        jnp.asarray(zp, jnp.float32).reshape(()))
-
-            def _cached(_, i=i):
-                return qcache["w_scale"][i], qcache["w_zp"][i]
-
-            s, zp = jax.lax.cond(recompute, _fresh, _cached, operand=None)
-            new_s.append(s)
-            new_z.append(zp)
             w = q.scalar_qat_weight(k, sub["w"], scalar_p, bits=scalar_bits,
                                     method=scalar_method, axis=axis,
-                                    scale=s, zero_point=zp)
+                                    scale=svec[i], zero_point=zvec[i])
             params = _set_subtree(params, path, {**sub, "w": w})
-        return params, jnp.stack(new_s), jnp.stack(new_z)
+        return params, svec, zvec
 
     def wrapped(variables, cfg, lcfg, batch, rng=None, train=True,
-                step=None, _qat_count_ctx=None, **kw):
+                step=None, qat_recompute=None, _qat_count_ctx=None, **kw):
         params = variables["params"]
         stats = variables.get("stats", {})
         qcache = stats.get("_qscales") if isinstance(stats, dict) else None
@@ -479,13 +490,18 @@ def wrap_loss_quant_noise(loss_fn: Callable, pq_p: float = 0.0,
                     jax.random.fold_in(qrng, 1), params, pq_p, pq_block_size)
             if scalar_p > 0:
                 if amortize:
+                    w_flag = a_flag = None
+                    if qat_recompute is not None:
+                        w_flag, a_flag = qat_recompute
                     params, w_s, w_z = _amortized_weights(
-                        params, jax.random.fold_in(qrng, 2), qcache, step)
+                        params, jax.random.fold_in(qrng, 2), qcache, step,
+                        recompute=w_flag)
                     new_qcache = {"w_scale": w_s, "w_zp": w_z}
                     act_ctx_cache = {
                         "scales": qcache["act_scale"],
                         "zps": qcache["act_zp"],
-                        "recompute": (step % act_update_step) == 0,
+                        "recompute": ((step % act_update_step) == 0
+                                      if a_flag is None else a_flag),
                         "i": [0], "new": []}
                 else:
                     params = apply_scalar_qat(
@@ -533,6 +549,11 @@ def wrap_loss_quant_noise(loss_fn: Callable, pq_p: float = 0.0,
 
     wrapped.mean_keys = getattr(loss_fn, "mean_keys", ())
     wrapped.wants_step = scalar_p > 0
+    if scalar_p > 0:
+        # the trainer keys a host-side step counter off these to pass
+        # STATIC qat_recompute flags (2-3 cached programs total) instead
+        # of tracing ~700 per-site lax.conds into every step
+        wrapped.qat_update_steps = (scalar_update_step, act_update_step)
     if getattr(loss_fn, "supports_forward_fn", False):
         wrapped.supports_forward_fn = True
     return wrapped

@@ -149,6 +149,12 @@ class Trainer:
         self._accum = None
         self._valid_step = None
         self._fused_step = None
+        self._fused_steps = {}
+        self._grad_steps = {}
+        # host-side mirror of state.step for STATIC qat_recompute flags;
+        # counts dispatches like the reference's per-module forward
+        # counters (qlinear.py:41), initialized lazily from the device step
+        self._host_step = None
 
     def reinitialize(self):
         """Drop the compiled steps so the next call re-jits against the
@@ -156,6 +162,9 @@ class Trainer:
         by the iPQ Quantizer after it swaps quantized layers in)."""
         self._grad_step = self._apply_step = self._accum = None
         self._valid_step = self._fused_step = None
+        self._fused_steps = {}
+        self._grad_steps = {}
+        self._host_step = None
 
     # ------------------------------------------------------------------
     # compiled pieces
@@ -230,40 +239,56 @@ class Trainer:
                 (new_params, new_opt), (params, opt_state))
             return new_params, new_opt, step + ok.astype(jnp.int32), gnorm, lr
 
-        def fused_fn(params, stats, opt_state, step, batch, rng, lr_scale):
-            """grad + apply in ONE compiled program (update_freq == 1 fast
-            path): a single dispatch and zero intermediate host traffic —
-            essential when device dispatch has real latency (remote TPU)."""
-            diff, nondiff = partition_params(params)
+        def _loss_step_kw(step, qat_flags):
             # quant-noise losses take `step` to amortize their observer
-            # recomputes (train/quantization.wrap_loss_quant_noise)
-            step_kw = {"step": step} if getattr(loss_fn, "wants_step",
-                                                False) else {}
-            def lf(d):
-                p = merge_params(d, nondiff)
-                loss, extras = loss_fn({"params": p, "stats": stats},
-                                       cfg, lcfg, batch, rng=rng, train=True,
-                                       **step_kw)
-                return loss, extras
-            (loss, extras), grads = jax.value_and_grad(
-                lf, has_aux=True)(diff)
-            ss = extras["sample_size"]
-            new_diff, new_opt, new_step, gnorm, lr = apply_grads(
-                diff, opt_state, step, grads, ss, lr_scale)
-            new_params = merge_params(new_diff, nondiff)
-            logging = dict(extras["logging"])
-            logging["gnorm"] = gnorm
-            logging["lr"] = lr
-            return (new_params, extras["new_stats"], new_opt, new_step,
-                    logging)
+            # recomputes; qat_flags are STATIC recompute booleans from the
+            # trainer's host-side step counter, selecting one of 2-3 cached
+            # straight-line programs instead of tracing ~700 per-site
+            # lax.conds into every step (train/quantization.py)
+            kw = {"step": step} if getattr(loss_fn, "wants_step",
+                                           False) else {}
+            if qat_flags is not None:
+                kw["qat_recompute"] = qat_flags
+            return kw
 
-        self._fused_step = jax.jit(
-            fused_fn,
-            in_shardings=(var_sh["params"], var_sh["stats"], opt_sh, rep,
-                          None, rep, rep),
-            out_shardings=(var_sh["params"], var_sh["stats"], opt_sh, rep,
-                           rep),
-            donate_argnums=(0, 2))
+        def make_fused(qat_flags=None):
+            def fused_fn(params, stats, opt_state, step, batch, rng,
+                         lr_scale):
+                """grad + apply in ONE compiled program (update_freq == 1
+                fast path): a single dispatch and zero intermediate host
+                traffic — essential when device dispatch has real latency
+                (remote TPU)."""
+                diff, nondiff = partition_params(params)
+                step_kw = _loss_step_kw(step, qat_flags)
+                def lf(d):
+                    p = merge_params(d, nondiff)
+                    loss, extras = loss_fn({"params": p, "stats": stats},
+                                           cfg, lcfg, batch, rng=rng,
+                                           train=True, **step_kw)
+                    return loss, extras
+                (loss, extras), grads = jax.value_and_grad(
+                    lf, has_aux=True)(diff)
+                ss = extras["sample_size"]
+                new_diff, new_opt, new_step, gnorm, lr = apply_grads(
+                    diff, opt_state, step, grads, ss, lr_scale)
+                new_params = merge_params(new_diff, nondiff)
+                logging = dict(extras["logging"])
+                logging["gnorm"] = gnorm
+                logging["lr"] = lr
+                return (new_params, extras["new_stats"], new_opt, new_step,
+                        logging)
+
+            return jax.jit(
+                fused_fn,
+                in_shardings=(var_sh["params"], var_sh["stats"], opt_sh, rep,
+                              None, rep, rep),
+                out_shardings=(var_sh["params"], var_sh["stats"], opt_sh,
+                               rep, rep),
+                donate_argnums=(0, 2))
+
+        self._make_fused = make_fused
+        self._fused_steps = {None: make_fused()}
+        self._fused_step = self._fused_steps[None]
 
         # grad/accum/apply run on the differentiable subtree only (iPQ
         # assignments etc. are frozen buffers; partition_params docstring)
@@ -271,24 +296,30 @@ class Trainer:
             lambda x, s: s if _is_float_leaf(x) else None,
             state.params, var_sh["params"])
 
-        def grad_fn(params, stats, batch, rng, step):
-            diff, nondiff = partition_params(params)
-            step_kw = {"step": step} if getattr(loss_fn, "wants_step",
-                                                False) else {}
-            def lf(d):
-                p = merge_params(d, nondiff)
-                loss, extras = loss_fn({"params": p, "stats": stats},
-                                       cfg, lcfg, batch, rng=rng, train=True,
-                                       **step_kw)
-                return loss, extras
-            (loss, extras), grads = jax.value_and_grad(lf, has_aux=True)(diff)
-            return grads, extras["new_stats"], extras["logging"], \
-                extras["sample_size"]
+        def make_grad(qat_flags=None):
+            def grad_fn(params, stats, batch, rng, step):
+                diff, nondiff = partition_params(params)
+                step_kw = _loss_step_kw(step, qat_flags)
+                def lf(d):
+                    p = merge_params(d, nondiff)
+                    loss, extras = loss_fn({"params": p, "stats": stats},
+                                           cfg, lcfg, batch, rng=rng,
+                                           train=True, **step_kw)
+                    return loss, extras
+                (loss, extras), grads = jax.value_and_grad(
+                    lf, has_aux=True)(diff)
+                return grads, extras["new_stats"], extras["logging"], \
+                    extras["sample_size"]
 
-        self._grad_step = jax.jit(
-            grad_fn,
-            in_shardings=(var_sh["params"], var_sh["stats"], None, rep, rep),
-            out_shardings=(diff_sh, var_sh["stats"], rep, rep))
+            return jax.jit(
+                grad_fn,
+                in_shardings=(var_sh["params"], var_sh["stats"], None, rep,
+                              rep),
+                out_shardings=(diff_sh, var_sh["stats"], rep, rep))
+
+        self._make_grad = make_grad
+        self._grad_steps = {None: make_grad()}
+        self._grad_step = self._grad_steps[None]
 
         def accum(a, b):
             return jax.tree_util.tree_map(jnp.add, a, b)
@@ -415,6 +446,19 @@ class Trainer:
                                                      rep)),
             step=jax.device_put(state.step, rep))
 
+    def _qat_flags(self, state):
+        """STATIC (weight, activation) observer-recompute flags for the
+        amortized scalar-QAT loss, from a host-side step mirror — selects
+        one of <=3 cached compiled programs so the hot program carries no
+        per-site control flow (train/quantization.wrap_loss_quant_noise)."""
+        us = getattr(self.loss_fn, "qat_update_steps", None)
+        if us is None:
+            return None
+        if self._host_step is None:
+            self._host_step = int(jax.device_get(state.step))
+        s = self._host_step
+        return (s % us[0] == 0, s % us[1] == 0)
+
     def train_step(self, state: TrainState, microbatches, rng,
                    fetch_metrics: bool = True, lr_scale: float = 1.0
                    ) -> Tuple[TrainState, Dict[str, Any]]:
@@ -430,13 +474,20 @@ class Trainer:
         pipeline without a host sync in between."""
         if self._grad_step is None:
             self._build(state)
+        qat_flags = self._qat_flags(state)
 
         if len(microbatches) == 1:
+            fused = self._fused_steps.get(qat_flags)
+            if fused is None:
+                fused = self._fused_steps[qat_flags] = \
+                    self._make_fused(qat_flags)
             batch = self._device_batch(microbatches[0])
             new_params, new_stats, new_opt, new_step, logging = \
-                self._fused_step(state.params, state.stats, state.opt_state,
-                                 state.step, batch, rng,
-                                 jnp.float32(lr_scale))
+                fused(state.params, state.stats, state.opt_state,
+                      state.step, batch, rng,
+                      jnp.float32(lr_scale))
+            if qat_flags is not None:
+                self._host_step += 1
             new_state = TrainState(params=new_params, stats=new_stats,
                                    opt_state=new_opt, step=new_step)
             if not fetch_metrics:
@@ -449,10 +500,14 @@ class Trainer:
         acc_logging = None
         sample_size = None
         stats = state.stats
+        grad_step = self._grad_steps.get(qat_flags)
+        if grad_step is None:
+            grad_step = self._grad_steps[qat_flags] = \
+                self._make_grad(qat_flags)
         for i, hb in enumerate(microbatches):
             batch = self._device_batch(hb)
             sub = jax.random.fold_in(rng, i)
-            grads, stats, logging, ss = self._grad_step(
+            grads, stats, logging, ss = grad_step(
                 state.params, stats, batch, sub, state.step)
             acc_grads = grads if acc_grads is None else self._accum(acc_grads, grads)
             sample_size = ss if sample_size is None else sample_size + ss
@@ -463,6 +518,8 @@ class Trainer:
         new_diff, new_opt, new_step, gnorm, lr = self._apply_step(
             diff, state.opt_state, state.step, acc_grads, sample_size,
             jnp.float32(lr_scale))
+        if qat_flags is not None:
+            self._host_step += 1
         new_state = TrainState(params=merge_params(new_diff, nondiff),
                                stats=stats, opt_state=new_opt, step=new_step)
         host = jax.device_get({**acc_logging, "gnorm": gnorm, "lr": lr,

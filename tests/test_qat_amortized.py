@@ -149,3 +149,40 @@ def test_trainer_e2e_amortized_qat(tmp_path):
         assert ws.ndim == 1 and (ws > 0).all()
     # resume loads the cache back (template includes _qscales)
     assert train_main(argv + ["--max-epoch", "2"]) == 0
+
+
+def test_static_recompute_flags_match_dynamic_cond():
+    """The trainer-side STATIC qat_recompute flags (host step counter ->
+    straight-line compiled branch) must be bit-identical to the dynamic
+    lax.cond path at every step of the schedule (fresh, cached, and
+    re-fresh steps)."""
+    cfg, variables, batch, base_loss = _tiny_setup()
+    wrapped = wrap_loss_quant_noise(base_loss, scalar_p=0.5,
+                                    scalar_update_step=2, act_update_step=2)
+    assert wrapped.qat_update_steps == (2, 2)
+    cache = init_scalar_qat_cache(wrapped, variables, cfg, None, batch)
+    variables["stats"]["_qscales"] = cache
+
+    rng = jax.random.PRNGKey(3)
+    stats_dyn = dict(variables["stats"])
+    stats_sta = dict(variables["stats"])
+    for step in range(4):
+        flag = (step % 2 == 0, step % 2 == 0)
+        ld, ed = wrapped({**variables, "stats": stats_dyn}, cfg, None,
+                         batch, rng=rng, train=True,
+                         step=jnp.asarray(step, jnp.int32))
+        ls, es = wrapped({**variables, "stats": stats_sta}, cfg, None,
+                         batch, rng=rng, train=True,
+                         step=jnp.asarray(step, jnp.int32),
+                         qat_recompute=flag)
+        np.testing.assert_array_equal(np.asarray(ld), np.asarray(ls))
+        qd, qs = ed["new_stats"]["_qscales"], es["new_stats"]["_qscales"]
+        for k in ("w_scale", "w_zp", "act_scale", "act_zp"):
+            # the straight-line branch compiles with different fusion than
+            # the lax.cond body -> last-ulp rounding differences (~1e-9 on
+            # ~5e-3 scales); the semantics, not the ulps, are under test
+            np.testing.assert_allclose(np.asarray(qd[k]),
+                                       np.asarray(qs[k]), rtol=1e-6,
+                                       atol=1e-9)
+        stats_dyn = {**stats_dyn, "_qscales": qd}
+        stats_sta = {**stats_sta, "_qscales": qs}
