@@ -124,7 +124,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         args.tokens_per_sample -= cw
 
     task = get_task(args.task).setup_task(args)
-    model_cfg, init_fn, _ = task.build_model_and_loss()
+    # model from the checkpoint's embedded config when present (fairseq
+    # load_model_ensemble parity: no arch flags needed at eval)
+    from ..options import model_args_from_checkpoint, task_args_scope
+    with task_args_scope(task, model_args_from_checkpoint(args)):
+        model_cfg, init_fn, _ = task.build_model_and_loss()
     vocab = task.dictionary
 
     ens, _lp = load_lm_ensemble(model_cfg, init_fn, args.path.split(":"))

@@ -85,10 +85,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         # NAT family decodes by iterative refinement, not beam search
         # (fairseq task.build_generator -> IterativeRefinementGenerator)
         return _main_nat(args, task)
-    model_cfg, init_fn, _ = task.build_model_and_loss()
+    # rebuild the model from the checkpoint's embedded config when present
+    # (fairseq load_model_ensemble parity: no arch flags needed at decode)
+    from ..options import model_args_from_checkpoint, task_args_scope
+    margs = model_args_from_checkpoint(args)
+    with task_args_scope(task, margs):
+        model_cfg, init_fn, _ = task.build_model_and_loss()
     src_dict, tgt_dict = task.source_dictionary, task.target_dictionary
-    is_lstm = str(args.arch).startswith("lstm")
-    is_conv = str(args.arch).startswith(("lightconv", "dynamicconv"))
+    is_lstm = str(margs.arch).startswith("lstm")
+    is_conv = str(margs.arch).startswith(("lightconv", "dynamicconv"))
 
     ens_vars = load_text_model_ensemble(args.path.split(":"), model_cfg,
                                         init_fn)
@@ -377,9 +382,12 @@ def _main_nat(args, task) -> int:
     from ..train.optim import adam
     from ..train.trainer import create_train_state
 
-    model_cfg, init_fn, _ = task.build_model_and_loss()
+    from ..options import model_args_from_checkpoint, task_args_scope
+    margs = model_args_from_checkpoint(args)
+    with task_args_scope(task, margs):
+        model_cfg, init_fn, _ = task.build_model_and_loss()
     src_dict, tgt_dict = task.source_dictionary, task.target_dictionary
-    arch = str(args.arch)
+    arch = str(margs.arch)
     if arch.startswith("cmlm"):
         kind = "cmlm"
     elif arch.startswith("levenshtein"):

@@ -43,7 +43,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ..train.trainer import create_train_state
 
     task = get_task(args.task).setup_task(args)
-    model_cfg = task.build_model_config()
+    # model config comes from the checkpoint's embedded args when present
+    # (fairseq load_model_ensemble parity — the reference's stage 10/11
+    # commands pass no arch flags; run_baseline.sh:174-202)
+    from ..options import model_args_from_checkpoint, task_args_scope
+    margs = model_args_from_checkpoint(args)
+    with task_args_scope(task, margs):
+        model_cfg = task.build_model_config()
 
     # pick the aux decoder by scoring mode (reference :107-110)
     use_asr = args.scoring == "wer"

@@ -93,9 +93,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ..train.trainer import create_train_state
 
     task = get_task(args.task).setup_task(args)
-    full_cfg, init_fn, _ = task.build_model_and_loss()
-    is_t2s = args.arch.startswith("t2s_transformer")
-    is_fs2 = args.arch.startswith("fastspeech2")
+    # rebuild the model from the checkpoint's embedded config when present
+    # (fairseq load_model_ensemble parity — the reference's stage 7 command
+    # passes only --n-frames-per-step; run_baseline.sh:143-151)
+    from ..options import model_args_from_checkpoint, task_args_scope
+    margs = model_args_from_checkpoint(args)
+    with task_args_scope(task, margs):
+        full_cfg, init_fn, _ = task.build_model_and_loss()
+    is_t2s = margs.arch.startswith("t2s_transformer")
+    is_fs2 = margs.arch.startswith("fastspeech2")
     model_cfg = full_cfg.base if is_t2s else full_cfg
 
     # load checkpoint (ensemble: first path; averaging handled offline).

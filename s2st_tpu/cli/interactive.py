@@ -60,7 +60,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .generate import load_text_model_ensemble
 
     task = get_task(args.task).setup_task(args)
-    model_cfg = task.build_model_config()
+    # model from the checkpoint's embedded config when present (fairseq
+    # load_model_ensemble parity: no arch flags needed at decode)
+    from ..options import model_args_from_checkpoint, task_args_scope
+    with task_args_scope(task, model_args_from_checkpoint(args)):
+        model_cfg = task.build_model_config()
     src_dict, tgt_dict = task.source_dictionary, task.target_dictionary
 
     ens = load_text_model_ensemble(args.path.split(":"), model_cfg)

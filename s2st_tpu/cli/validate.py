@@ -31,7 +31,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ..parallel.mesh import make_mesh
 
     task = get_task(args.task).setup_task(args)
-    model_cfg, init_fn, loss_fn = task.build_model_and_loss()
+    # model from the checkpoint's embedded config when present (fairseq
+    # load_model_ensemble parity: no arch flags needed at validate)
+    from ..options import model_args_from_checkpoint, task_args_scope
+    with task_args_scope(task, model_args_from_checkpoint(args)):
+        model_cfg, init_fn, loss_fn = task.build_model_and_loss()
     loss_cfg = task.build_loss_config()
     mesh = make_mesh(dp=args.dp_size, fsdp=args.fsdp_size, tp=args.tp_size)
 

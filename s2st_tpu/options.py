@@ -593,6 +593,11 @@ def add_generation_args(parser: argparse.ArgumentParser):
     p = parser.add_argument_group("generation")
     p.add_argument("--path", required=True, help="checkpoint path(s), ':'-sep")
     p.add_argument("--results-path", default=None)
+    p.add_argument("--model-overrides", default="{}",
+                   help="python-dict literal of config keys to override "
+                        "when rebuilding the model from the checkpoint's "
+                        "embedded config (fairseq generate "
+                        "--model-overrides)")
     p.add_argument("--max-iter", type=int, default=1500)
     p.add_argument("--eos-prob-threshold", type=float, default=0.5)
     p.add_argument("--duration-factor", type=float, default=1.0,
@@ -2344,6 +2349,75 @@ def parse_training_args(argv: Optional[List[str]] = None):
 
 def parse_generation_args(argv: Optional[List[str]] = None):
     return _two_pass(get_generation_parser(), argv)
+
+
+# keys a generation CLI owns even when the checkpoint carries a config
+# echo: where/what to decode and how to batch it are run-time choices,
+# everything architectural comes from training time
+_GEN_CLI_KEYS = frozenset({
+    "data", "task", "path", "gen_subset", "train_subset", "valid_subset",
+    "config_yaml", "results_path", "user_dir", "max_tokens", "batch_size",
+    "max_sentences", "num_workers", "seed", "scoring", "beam", "nbest",
+    "model_overrides", "skip_invalid_size_inputs_valid_test",
+    "required_batch_size_multiple", "source_lang", "target_lang",
+})
+
+
+def model_args_from_checkpoint(args: argparse.Namespace,
+                               ) -> argparse.Namespace:
+    """Namespace for MODEL-BUILDING at inference time.
+
+    fairseq parity: checkpoint_utils.load_model_ensemble (:250-280)
+    rebuilds each model from the checkpoint's own saved config
+    (state["cfg"]/"args"), which is why run_baseline.sh stages 7/10/11
+    pass no architecture flags at all. Here the checkpoint's embedded
+    flag echo (cli/train.py save_meta) overrides the CLI namespace for
+    every key except the run-time ones in _GEN_CLI_KEYS;
+    --model-overrides (a python-dict literal) wins over both. Returns
+    the CLI namespace unchanged for torch .pt/.bin checkpoints or
+    checkpoints that predate the config echo.
+
+    Use with ``task_args_scope`` so the override applies only while the
+    model config is built — data loading keeps the CLI's choices."""
+    path = (getattr(args, "path", "") or "").split(":")[0]
+    overrides = {}
+    raw = getattr(args, "model_overrides", None)
+    if raw and raw.strip() and raw.strip() != "{}":
+        import ast
+        overrides = ast.literal_eval(raw)
+    saved = None
+    if path and not path.endswith((".pt", ".bin")):
+        try:
+            from .train.checkpoint import peek_meta
+            saved = peek_meta(path).get("args")
+        except Exception:
+            saved = None
+    if not saved and not overrides:
+        return args
+    merged = dict(vars(args))
+    for k, v in (saved or {}).items():
+        if k not in _GEN_CLI_KEYS:
+            merged[k] = v
+    merged.update(overrides)
+    return argparse.Namespace(**merged)
+
+
+class task_args_scope:
+    """Temporarily swap ``task.args`` (e.g. for build_model_config /
+    build_model_and_loss against a checkpoint-echoed namespace) and
+    restore on exit."""
+
+    def __init__(self, task, ns: argparse.Namespace):
+        self.task, self.ns = task, ns
+
+    def __enter__(self):
+        self._old = self.task.args
+        self.task.args = self.ns
+        return self.task
+
+    def __exit__(self, *exc):
+        self.task.args = self._old
+        return False
 
 
 def parse_eval_lm_args(argv: Optional[List[str]] = None):

@@ -300,6 +300,12 @@ def main(argv=None) -> int:
               "reference": "examples/s2s_trans/run_baseline.sh:55-202",
               "stages": [], "metrics": {}, "notes": []}
     try:
+        record["commit"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=str(REPO),
+            capture_output=True, text=True).stdout.strip()
+    except Exception:
+        pass
+    try:
         import jax
         record["platform"] = str(jax.devices()[0])
     except Exception as e:  # pragma: no cover
