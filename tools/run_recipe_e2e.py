@@ -218,9 +218,32 @@ def train_tiny_asr(model_dir: Path, corpus_root: Path, train_rows,
             ids = model(torch.from_numpy(w[None])).logits.argmax(-1)[0]
             hyp = tok.decode(ids.tolist())
             hits += int(hyp == texts[i])
-    return {"ctc_loss_first": round(float(np.mean(losses[:20])), 3),
-            "ctc_loss_final": round(float(np.mean(losses[-20:])), 3),
-            "train_greedy_exact": round(hits / probe, 3)}
+    rec = {"ctc_loss_first": round(float(np.mean(losses[:20])), 3),
+           "ctc_loss_final": round(float(np.mean(losses[-20:])), 3),
+           "train_greedy_exact": round(hits / probe, 3)}
+    (model_dir / "asr_record.json").write_text(json.dumps(rec))
+    return rec
+
+
+def probe_tiny_asr(model_dir: Path, corpus_root: Path, train_rows):
+    """Re-measure greedy exact-match of an already-trained tiny ASR
+    (used by --resume so the artifact still carries a quality stat)."""
+    import torch
+    from transformers import Wav2Vec2CTCTokenizer, Wav2Vec2ForCTC
+    tok = Wav2Vec2CTCTokenizer(str(model_dir / "vocab.json"),
+                               unk_token="<unk>", pad_token="<pad>",
+                               word_delimiter_token="|")
+    model = Wav2Vec2ForCTC.from_pretrained(str(model_dir))
+    model.eval()
+    hits = 0
+    probe = min(24, len(train_rows))
+    with torch.no_grad():
+        for r in train_rows[:probe]:
+            w = _load_wav(corpus_root / r["tgt_wav"])
+            w = (w - w.mean()) / (w.std() + 1e-7)
+            ids = model(torch.from_numpy(w[None])).logits.argmax(-1)[0]
+            hits += int(tok.decode(ids.tolist()) == " ".join(r["tgt_text"]))
+    return round(hits / probe, 3)
 
 
 def run_stage(n: int, env: dict, log_dir: Path):
@@ -286,14 +309,20 @@ def main(argv=None) -> int:
                          "until >=16 epoch checkpoints exist")
     ap.add_argument("--asr-steps", type=int, default=1200)
     ap.add_argument("--keep-workdir", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse an existing workdir: skip corpus gen / "
+                         "tiny-ASR training when their artifacts exist and "
+                         "let stage 5 resume from checkpoint_last (the "
+                         "corpus is seed-deterministic, so reuse == regen)")
     args = ap.parse_args(argv)
 
     work = Path(args.workdir)
-    if work.exists():
+    resuming = args.resume and work.exists()
+    if work.exists() and not resuming:
         shutil.rmtree(work)
-    work.mkdir(parents=True)
+    work.mkdir(parents=True, exist_ok=True)
     log_dir = work / "logs"
-    log_dir.mkdir()
+    log_dir.mkdir(exist_ok=True)
 
     record = {"recorded_unix": round(time.time(), 1),
               "recipe": "recipes/run_baseline.sh",
@@ -324,8 +353,17 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     asr_dir = work / "tiny_asr"
-    record["asr"] = train_tiny_asr(asr_dir, corpus_root, meta["train"],
-                                   steps=args.asr_steps)
+    if resuming and (asr_dir / "model.safetensors").exists():
+        rec_path = asr_dir / "asr_record.json"
+        record["asr"] = (json.loads(rec_path.read_text())
+                         if rec_path.exists() else {})
+        record["asr"]["reused"] = True
+        record["asr"]["train_greedy_exact"] = probe_tiny_asr(
+            asr_dir, corpus_root, meta["train"])
+        log.info("tiny ASR: reusing the already-trained model (--resume)")
+    else:
+        record["asr"] = train_tiny_asr(asr_dir, corpus_root, meta["train"],
+                                       steps=args.asr_steps)
     record["asr"]["wall_s"] = round(time.time() - t0, 1)
     record["asr"]["note"] = ("tiny Wav2Vec2ForCTC trained on the corpus "
                              "tgt audio (paper ASR ckpt is env-blocked)")
