@@ -33,6 +33,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     import jax
     import jax.numpy as jnp
+    from ..utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
     from ..registry import get_task
     from ..generate.sequence_generator import (BeamConfig, beam_search_aux,
                                                score_sequences)

@@ -83,6 +83,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     import jax
     import jax.numpy as jnp
+    from ..utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
     from ..registry import get_task
     from ..generate.speech_generator import (GenerationConfig,
                                              generate_features,

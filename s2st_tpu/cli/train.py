@@ -40,6 +40,8 @@ def main(argv: Optional[List[str]] = None, parsed_args=None) -> int:
         args = parse_training_args(argv)
 
     import jax
+    from ..utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
     from ..registry import get_task
     from ..logging_utils import ProgressLogger
     from ..parallel.mesh import make_mesh
