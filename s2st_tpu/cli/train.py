@@ -219,6 +219,7 @@ def main(argv: Optional[List[str]] = None, parsed_args=None) -> int:
     resume_meta: dict = {}
     resumed = False
     if not args.no_save:
+        import os as _os
         mgr = ckpt.CheckpointManager(
             args.save_dir,
             best_checkpoint_metric=args.best_checkpoint_metric,
@@ -226,7 +227,10 @@ def main(argv: Optional[List[str]] = None, parsed_args=None) -> int:
             keep_best_checkpoints=args.keep_best_checkpoints,
             keep_last_epochs=args.keep_last_epochs,
             keep_interval_updates=args.keep_interval_updates,
-            no_epoch_checkpoints=args.no_epoch_checkpoints)
+            no_epoch_checkpoints=args.no_epoch_checkpoints,
+            write_asynchronously=(
+                getattr(args, "write_checkpoints_asynchronously", False)
+                or _os.environ.get("S2ST_TPU_ASYNC_CHECKPOINT") == "1"))
     # --restore-file: default name -> save_dir/checkpoint_last.npz; an
     # explicit path/filename is honored as given, then under save_dir
     # (checkpoint_utils.load_checkpoint:190-236 semantics)
@@ -587,6 +591,9 @@ def main(argv: Optional[List[str]] = None, parsed_args=None) -> int:
         epoch += 1
 
     watchdog.stop()
+    if mgr is not None:
+        # drain pending async checkpoint writes before the process exits
+        mgr.wait()
     logger.info(f"done training at update {int(state.step)}")
     return 0
 

@@ -537,6 +537,11 @@ def add_checkpoint_args(parser: argparse.ArgumentParser):
     p.add_argument("--keep-best-checkpoints", type=int, default=-1)
     p.add_argument("--keep-last-epochs", type=int, default=-1)
     p.add_argument("--no-save", action="store_true")
+    p.add_argument("--write-checkpoints-asynchronously", "--save-async",
+                   action="store_true",
+                   help="fetch+write checkpoints in a background thread "
+                        "(the training loop keeps dispatching; an on-device "
+                        "snapshot protects against donated-buffer reuse)")
     p.add_argument("--no-epoch-checkpoints", action="store_true",
                    help="only store last/best checkpoints")
     p.add_argument("--best-checkpoint-metric", default="loss")

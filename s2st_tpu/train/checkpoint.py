@@ -18,6 +18,7 @@ import logging
 import os
 import re
 from pathlib import Path
+from types import SimpleNamespace
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -298,6 +299,69 @@ def load_pretrained_component(variables, path: str, component: str):
 
 
 # ---------------------------------------------------------------------------
+# async writes
+# ---------------------------------------------------------------------------
+
+class _AsyncWriter:
+    """Single background worker draining a FIFO of checkpoint-write
+    closures (fetch + serialize + GC). One worker keeps writes ordered, so
+    checkpoint_last is always the newest enqueued state."""
+
+    def __init__(self):
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._run, name="ckpt-writer", daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            fn = self._q.get()
+            try:
+                if fn is not None:
+                    fn()
+            except BaseException as e:  # surfaced on next submit/wait
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _reraise(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def submit(self, fn):
+        self._reraise()
+        self._q.put(fn)
+
+    def wait(self):
+        self._q.join()
+        self._reraise()
+
+
+def _snapshot_state(state):
+    """On-device copy of a TrainState's arrays, as ONE compiled program
+    (per-leaf eager copies would pay a dispatch round trip each on a
+    remote backend). The copy's buffers are fresh — the training loop may
+    immediately re-enter the donating train step while the background
+    thread fetches the snapshot."""
+    tree = (state.params, state.stats, state.opt_state, state.step)
+    params, stats, opt_state, step = _copy_tree(tree)
+    view = SimpleNamespace(params=params, stats=stats,
+                           opt_state=opt_state, step=step)
+    return view
+
+
+@jax.jit
+def _copy_tree(tree):
+    # jit WITHOUT donation: outputs cannot alias inputs, so this is a real
+    # device-side materialization of new buffers
+    return jax.tree_util.tree_map(jnp.copy, tree)
+
+
+# ---------------------------------------------------------------------------
 # save-dir policy
 # ---------------------------------------------------------------------------
 
@@ -310,7 +374,8 @@ class CheckpointManager:
                  keep_best_checkpoints: int = -1, keep_last_epochs: int = -1,
                  keep_interval_updates: int = -1,
                  no_epoch_checkpoints: bool = False,
-                 no_save_optimizer_state: bool = False):
+                 no_save_optimizer_state: bool = False,
+                 write_asynchronously: bool = False):
         self.save_dir = Path(save_dir)
         self.save_dir.mkdir(parents=True, exist_ok=True)
         self.metric = best_checkpoint_metric
@@ -320,6 +385,14 @@ class CheckpointManager:
         self.keep_interval_updates = keep_interval_updates
         self.no_epoch_checkpoints = no_epoch_checkpoints
         self.best: Optional[float] = None
+        # async writes (--write-checkpoints-asynchronously; reference:
+        # checkpoint_utils.py:513 ioPath async_write). Multi-host keeps the
+        # sync path: the flatten is a collective and a background thread
+        # cannot guarantee cross-process ordering against training-step
+        # collectives.
+        self.async_writer: Optional[_AsyncWriter] = (
+            _AsyncWriter() if write_asynchronously
+            and jax.process_count() == 1 else None)
         if jax.process_index() == 0:
             # probe writability up-front (checkpoint_utils.py:815 parity)
             probe = self.save_dir / ".writability_probe"
@@ -353,14 +426,25 @@ class CheckpointManager:
                            f"{val_metric:.3f}."
                            f"{int(jax.device_get(state.step))}.npz")
         targets.append("checkpoint_last.npz")
-        save_checkpoint_files([str(self.save_dir / t) for t in targets],
-                              state, meta)
-        if wrote_epoch:
-            self._gc_epochs()
-        if wrote_interval:
-            self._gc_updates()
-        if val_metric is not None and self.keep_best > 0:
-            self._gc_best()
+        paths = [str(self.save_dir / t) for t in targets]
+        gc_best = val_metric is not None and self.keep_best > 0
+
+        def write_and_gc(snap):
+            save_checkpoint_files(paths, snap, meta)
+            if wrote_epoch:
+                self._gc_epochs()
+            if wrote_interval:
+                self._gc_updates()
+            if gc_best:
+                self._gc_best()
+
+        if self.async_writer is not None:
+            # on-device snapshot first: the caller's next train step may
+            # donate+overwrite the live state's buffers while we fetch
+            snap = _snapshot_state(state)
+            self.async_writer.submit(lambda: write_and_gc(snap))
+        else:
+            write_and_gc(state)
 
     def _gc_epochs(self):
         if self.keep_last_epochs <= 0 or jax.process_index() != 0:
@@ -398,7 +482,15 @@ class CheckpointManager:
         for _, p in scored[self.keep_best:]:
             p.unlink()
 
+    def wait(self):
+        """Block until every enqueued async write has hit the filesystem
+        (no-op in sync mode). Call before process exit and before reading
+        files this manager wrote."""
+        if self.async_writer is not None:
+            self.async_writer.wait()
+
     def last_checkpoint(self) -> Optional[str]:
+        self.wait()
         p = self.save_dir / "checkpoint_last.npz"
         return str(p) if p.is_file() else None
 

@@ -104,3 +104,43 @@ def test_average_checkpoints(tmp_path, state):
                     jax.tree_util.tree_leaves(expect)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_async_save_matches_sync_and_survives_donation(tmp_path, state):
+    """--write-checkpoints-asynchronously: the background write must
+    snapshot the state BEFORE the training loop's next donating step can
+    reuse the live buffers, and the file set/bytes must match sync mode."""
+    sync_dir, async_dir = tmp_path / "sync", tmp_path / "async"
+    CheckpointManager(str(sync_dir)).save(state, 1, val_metric=2.0)
+
+    mgr = CheckpointManager(str(async_dir), write_asynchronously=True)
+    assert mgr.async_writer is not None
+    mgr.save(state, 1, val_metric=2.0)
+    # immediately clobber the live state through a DONATING jit, the way
+    # the real train step does (trainer.py donate_argnums)
+    clobber = jax.jit(
+        lambda t: jax.tree_util.tree_map(lambda x: x * 0 - 1, t),
+        donate_argnums=(0,))
+    clobber((state.params, state.opt_state))
+    mgr.wait()
+
+    for name in ("checkpoint_last.npz", "checkpoint1.npz",
+                 "checkpoint_best.npz"):
+        fa, ma = load_checkpoint_file(str(async_dir / name))
+        fs, ms = load_checkpoint_file(str(sync_dir / name))
+        assert ma["step"] == ms["step"] == 7
+        assert set(fa) == set(fs)
+        for k in fs:
+            np.testing.assert_array_equal(fa[k], fs[k])
+
+
+def test_async_save_gc_and_last_checkpoint_wait(tmp_path, state):
+    mgr = CheckpointManager(str(tmp_path), best_checkpoint_metric="loss",
+                            keep_last_epochs=2, write_asynchronously=True)
+    for epoch in range(1, 5):
+        mgr.save(state, epoch)
+    # last_checkpoint() drains the queue before looking at the directory
+    assert mgr.last_checkpoint() is not None
+    files = {p.name for p in tmp_path.iterdir()}
+    assert "checkpoint4.npz" in files and "checkpoint3.npz" in files
+    assert "checkpoint1.npz" not in files

@@ -389,6 +389,9 @@ def main(argv=None) -> int:
         "max_tokens": "2000",
         "warmup_updates": "60",
         "num_workers": "2",
+        # overlap the per-epoch checkpoint host-fetch with training
+        # (the remote-TPU fetch of the 72M-param state is ~45s/epoch)
+        "S2ST_TPU_ASYNC_CHECKPOINT": "1",
     }
 
     outputs = {}
