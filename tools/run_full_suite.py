@@ -72,6 +72,10 @@ def main(argv=None):
     # dump the native traceback on SIGABRT (the round-3 full runs died
     # with an opaque 'Fatal Python error'; this captures where)
     env.setdefault("PYTHONFAULTHANDLER", "1")
+    # pytest block-buffers stdout into the capture pipe; an abort() from a
+    # native thread loses everything unflushed (the round-5 shard-14 log
+    # was one truncated line). Unbuffered keeps the faulthandler dump.
+    env.setdefault("PYTHONUNBUFFERED", "1")
 
     try:
         head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
@@ -105,13 +109,17 @@ def main(argv=None):
         }
         if proc.returncode not in (0, 5):     # 5 = no tests collected
             rec["tail"] = out.splitlines()[-30:]
-            if proc.returncode < 0 and len(shard) > 1:
+            if proc.returncode < 0:
                 # killed by a signal (round-3/4 observation: XLA CPU can
                 # SIGABRT after many compiled mesh programs accumulate in
                 # ONE process — e.g. shard1's test_pp_composes_with_tp died
                 # at program ~250 but passes alone). Retry file-by-file:
                 # fresh interpreter per file sidesteps the accumulation
-                # and attributes a real failure to its file.
+                # and attributes a real failure to its file. Single-file
+                # shards retry too (round-5: the fenced test_pipeline_model
+                # aborted once even in a fresh interpreter, then passed 4/4
+                # on rerun — a nondeterministic native race, not
+                # accumulation); the abort stays visible in per_file_retry.
                 retry = []
                 for f2 in shard:
                     p2 = subprocess.run(
