@@ -308,6 +308,10 @@ def main(argv=None) -> int:
                     help="initial stage-5 budget; extended epoch-aware "
                          "until >=16 epoch checkpoints exist")
     ap.add_argument("--asr-steps", type=int, default=1200)
+    ap.add_argument("--max-tokens", type=int, default=2000,
+                    help="stage-5 batch budget (frames); bigger batches "
+                         "cut updates/epoch, amortizing the per-epoch "
+                         "checkpoint fetch and host-side per-step work")
     ap.add_argument("--keep-workdir", action="store_true")
     ap.add_argument("--resume", action="store_true",
                     help="reuse an existing workdir: skip corpus gen / "
@@ -386,12 +390,14 @@ def main(argv=None) -> int:
         "multi_ref_dir": str(corpus_root / "refs"),
         # operating-point scale-down for the synthetic corpus (all are
         # env knobs the recipe itself exposes; flags stay the reference's)
-        "max_tokens": "2000",
+        "max_tokens": str(args.max_tokens),
         "warmup_updates": "60",
         "num_workers": "2",
-        # overlap the per-epoch checkpoint host-fetch with training
-        # (the remote-TPU fetch of the 72M-param state is ~45s/epoch)
-        "S2ST_TPU_ASYNC_CHECKPOINT": "1",
+        # NOTE: async checkpoint writes (S2ST_TPU_ASYNC_CHECKPOINT) were
+        # tried here and OOM the chip: the on-device snapshot needs ~2x
+        # the 870MB train state and the v5e-lite HBM headroom at this
+        # operating point is smaller (RESOURCE_EXHAUSTED at the next
+        # batch put; docs/PERF.md "Async checkpoint writes"). Sync saves.
     }
 
     outputs = {}
