@@ -302,16 +302,28 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser("run_recipe_e2e")
     ap.add_argument("--workdir", default=str(REPO / ".recipe_run"))
     ap.add_argument("--json", default=str(REPO / "RECIPE_RUN.json"))
-    ap.add_argument("--target-epochs", type=int, default=20,
-                    help="epoch checkpoints to aim for (stage 6 averages 15)")
-    ap.add_argument("--max-update", type=int, default=200,
-                    help="initial stage-5 budget; extended epoch-aware "
+    ap.add_argument("--target-epochs", type=int, default=48,
+                    help="epoch checkpoints to aim for (stage 6 averages "
+                         "15); 48 puts the avg-15 window past the "
+                         "mean-collapse knee the convergence gate measured "
+                         "at ~epoch 24-28 (CONVERGENCE_TPU.json s2st "
+                         "dev_mcd_trajectory)")
+    ap.add_argument("--max-update", type=int, default=420,
+                    help="initial stage-5 budget (~48 epochs at the "
+                         "default batch size); extended epoch-aware "
                          "until >=16 epoch checkpoints exist")
     ap.add_argument("--asr-steps", type=int, default=1200)
-    ap.add_argument("--max-tokens", type=int, default=2000,
+    ap.add_argument("--max-tokens", type=int, default=4000,
                     help="stage-5 batch budget (frames); bigger batches "
                          "cut updates/epoch, amortizing the per-epoch "
                          "checkpoint fetch and host-side per-step work")
+    ap.add_argument("--lr", default="3e-3",
+                    help="stage-5 peak lr (recipe env knob); the reference "
+                         "default 1.5e-3 is tuned for Fisher-scale data — "
+                         "on the tiny synthetic corpus it leaves the first "
+                         "~25 epochs in the Tacotron-style mean-collapse "
+                         "plateau. 3e-3 is the convergence gate's proven "
+                         "operating point (tools/convergence_gate.py)")
     ap.add_argument("--keep-workdir", action="store_true")
     ap.add_argument("--resume", action="store_true",
                     help="reuse an existing workdir: skip corpus gen / "
@@ -391,6 +403,7 @@ def main(argv=None) -> int:
         # operating-point scale-down for the synthetic corpus (all are
         # env knobs the recipe itself exposes; flags stay the reference's)
         "max_tokens": str(args.max_tokens),
+        "lr": str(args.lr),
         "warmup_updates": "60",
         "num_workers": "2",
         # NOTE: async checkpoint writes (S2ST_TPU_ASYNC_CHECKPOINT) were
